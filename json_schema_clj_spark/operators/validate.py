@@ -1,0 +1,132 @@
+"""Table validation runner: compiled checks → violations, verdicts, sinks.
+
+The distributed analog of the reference's `validate` entry point
+(/root/reference/src/json_schema/core.clj:1500-1502): where one call
+returns `{:errors [...] :warnings [...]}` for one document, this runner
+annotates every row of a DataFrame with its violation array and derives
+
+* **violation rows** — one row per (document, violation), the exploded
+  error sink `{:path :message}` analog, plus severity routing
+  (add-error, core.clj:42-45), and
+* **per-partition verdicts** — `(part, n_rows, n_fail, pass)` pass/fail
+  rollups (a north-star extension; the reference is single-document).
+
+Everything is a single Catalyst plan: scan → predicate eval (whole-stage
+codegen) → map-side partial agg → tiny shuffle on the partition key.  At
+10^12 rows the verdict agg shuffles only |partitions| rows and the
+violation sink is filter-pushdown-friendly (violations are rare).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.compiler import compile_for_table
+from ..plans.ir import Compiled
+
+
+def with_validation(
+    df: DataFrame,
+    schema: dict,
+    config: Optional[dict] = None,
+    out_col: str = "violations",
+) -> DataFrame:
+    """Annotate every row with `violations array<struct>` + `valid boolean`.
+
+    `valid` counts only error-severity violations, matching the reference's
+    `valid == (empty? errors)` contract (warnings and deferreds don't fail
+    a document — utils.clj:50-71, custom_extensions_test.clj:91-128).
+    """
+    compiled: Compiled = compile_for_table(schema, df.schema, config=config)
+    annotated = df.withColumn(out_col, compiled.violations)
+    return annotated.withColumn(
+        "valid",
+        F.size(F.filter(F.col(out_col), lambda v: v["severity"] == F.lit("error"))) == F.lit(0),
+    )
+
+
+def violation_rows(
+    validated: DataFrame,
+    id_cols: list[str],
+    out_col: str = "violations",
+) -> DataFrame:
+    """Explode to one row per violation: the distributed error sink.
+
+    Filter-first so the explode only touches failing rows — at scale the
+    generated plan is scan → codegen predicate → explode of a tiny subset.
+    """
+    return (
+        validated.where(F.size(F.col(out_col)) > 0)
+        .select(*id_cols, F.explode(F.col(out_col)).alias("v"))
+        .select(
+            *id_cols,
+            F.col("v.keyword_path").alias("keyword_path"),
+            F.col("v.instance_path").alias("instance_path"),
+            F.col("v.keyword").alias("keyword"),
+            F.col("v.message").alias("message"),
+            F.col("v.severity").alias("severity"),
+        )
+    )
+
+
+def verdicts(
+    validated: DataFrame,
+    part_col: str,
+    out_col: str = "violations",
+) -> DataFrame:
+    """Per-partition pass/fail rollup `(part, n_rows, n_fail, pass)`.
+
+    Spark's hash aggregate does map-side partial aggregation automatically,
+    so the shuffle carries one row per (task, partition key) — negligible at
+    any scale.
+    """
+    return (
+        validated.groupBy(F.col(part_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_fail"),
+        )
+        .withColumn("pass", F.col("n_fail") == F.lit(0))
+    )
+
+
+def keyword_breakdown(
+    validated: DataFrame,
+    out_col: str = "violations",
+) -> DataFrame:
+    """Violation counts per violated keyword path — the aggregate view a
+    100 TB run actually reads first.  Explodes only failing rows, then a
+    partial-aggregated groupBy on a low-cardinality key."""
+    return (
+        validated.where(F.size(F.col(out_col)) > 0)
+        .select(F.explode(F.col(out_col)).alias("v"))
+        .groupBy(
+            F.array_join(F.col("v.keyword_path"), "/").alias("keyword_path"),
+            F.col("v.keyword").alias("keyword"),
+            F.col("v.severity").alias("severity"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+
+
+def validate(
+    df: DataFrame,
+    schema: dict,
+    id_cols: list[str],
+    part_col: Optional[str] = None,
+    config: Optional[dict] = None,
+) -> dict:
+    """One-call API: returns dict of lazy DataFrames
+    {annotated, violations, verdicts?, keywords}."""
+    annotated = with_validation(df, schema, config=config)
+    out = {
+        "annotated": annotated,
+        "violations": violation_rows(annotated, id_cols),
+        "keywords": keyword_breakdown(annotated),
+    }
+    if part_col is not None:
+        out["verdicts"] = verdicts(annotated, part_col)
+    return out

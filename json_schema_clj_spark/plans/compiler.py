@@ -1,0 +1,1124 @@
+"""Schema → Catalyst Column compiler (the fast path).
+
+The analog of the reference's compile-then-validate engine
+(/root/reference/src/json_schema/core.clj:148-181 `compile-schema`): where
+the reference dispatches each schema keyword through the open `schema-key`
+multimethod (core.clj:134) to build a tree of validator *closures*, we
+dispatch through the :data:`KEYWORD_COMPILERS` registry to build a tree of
+Spark SQL *Column expressions* — one boolean `ok` plus an
+`array<violation>` per subschema (:class:`~..plans.ir.Compiled`).
+
+The compiled tree is pure Catalyst: whole-stage codegen evaluates it
+JVM-side with zero per-row Python.  Keywords whose semantics cannot be
+expressed over the target's Spark type raise
+:class:`ColumnBackendUnsupported`; the engine-level API then falls back to
+the Arrow-batched Python backend (json_schema_clj_spark.pyvalidator) for
+that schema.
+
+Extension surface: :func:`register_keyword` mirrors the reference's open
+multimethod (custom keywords `discriminator`, `exclusiveProperties`,
+`subset`, `deferred` are registered exactly like standard ones).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import replace
+from decimal import Decimal
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import formats
+from .ir import Compiled, Ctx, PathSeg, merge, simple_check, violation
+
+# ---------------------------------------------------------------------------
+
+
+class ColumnBackendUnsupported(Exception):
+    """This (schema, Spark type) combination needs the Python backend."""
+
+
+KeywordCompiler = Callable[[Any, dict, Column, Ctx], Optional[Compiled]]
+KEYWORD_COMPILERS: dict[str, KeywordCompiler] = {}
+
+# keywords consumed elsewhere or pure annotations — reference compiles these
+# to nil validators (core.clj:724-728, 742-750, 912-915, 1132-1133,
+# 1153-1157, 1193-1205)
+NOOP_KEYWORDS = {
+    "title",
+    "description",
+    "$schema",
+    "id",
+    "$id",
+    "default",
+    "definitions",
+    "then",
+    "else",
+    "additionalItems",
+    "exclusiveFormatMaximum",
+    "exclusiveFormatMinimum",
+    # absorbed into minimum/maximum when those are present; handled there
+    # (draft-6 standalone numeric form has its own compiler below)
+}
+
+
+def register_keyword(name: str):
+    def deco(fn: KeywordCompiler) -> KeywordCompiler:
+        KEYWORD_COMPILERS[name] = fn
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _is_integral(dt) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def _is_numeric(dt) -> bool:
+    return isinstance(dt, T.NumericType)
+
+
+def _empty() -> Column:
+    from .ir import _typed_empty_array
+
+    return _typed_empty_array()
+
+
+def _null_pass(target: Column, c: Compiled) -> Compiled:
+    """Non-applicable / absent values pass (comparator ladder,
+    core.clj:93-124; properties guard core.clj:367-389)."""
+    return Compiled(
+        ok=F.when(target.isNull(), F.lit(True)).otherwise(c.ok),
+        violations=F.when(target.isNull(), _empty()).otherwise(c.violations),
+    )
+
+
+def _const_fail(ctx: Ctx, keyword: str, message: str) -> Compiled:
+    return simple_check(F.lit(False), ctx.schema_path, ctx.instance_path, keyword, message, ctx.severity(keyword))
+
+
+def _probe_ok(schema, target: Column, ctx: Ctx) -> Column:
+    """Compile a subschema for its ok-flag only — the analog of running a
+    child with scratch :errors (core.clj:781,799)."""
+    return compile_schema(schema, target, ctx).ok
+
+
+def _resolve_data_pointer(ref: str, ctx: Ctx):
+    """$data relative-JSON-pointer resolution (reference compile-pointer,
+    core.clj:65-91): returns (Column, DataType|None) or a literal string for
+    the `N#` key form.  Walks from the root row struct for absolute `#/...`
+    pointers, or from instance_path minus N for relative `N/...` ones."""
+    is_root = ref.startswith("#")
+    is_key = ref.endswith("#")
+    body = ref
+    if is_root:
+        body = body[2:] if body.startswith("#/") else body[1:]
+    if is_key:
+        body = body[:-1].rstrip("/") if body != "#" else ""
+    segs = [s for s in body.split("/") if s != ""]
+
+    def decode(s: str) -> str:
+        return s.replace("~1", "/").replace("~0", "~").replace("%25", "%")
+
+    if is_root:
+        base_path: tuple = ()
+    else:
+        if not segs:
+            raise ColumnBackendUnsupported(f"empty relative $data pointer {ref!r}")
+        steps_back = int(segs[0])
+        segs = segs[1:]
+        if steps_back > len(ctx.instance_path):
+            raise ColumnBackendUnsupported(f"$data pointer {ref!r} escapes the row")
+        base_path = ctx.instance_path[: len(ctx.instance_path) - steps_back]
+
+    full = list(base_path) + [decode(s) if not s.isdigit() else int(s) for s in segs]
+    if is_key:
+        if not full:
+            raise ColumnBackendUnsupported(f"$data key pointer {ref!r} at root")
+        last = full[-1]
+        if isinstance(last, Column):
+            return last.cast("string"), T.StringType()
+        return F.lit(str(last)), T.StringType()
+
+    if ctx.root_col is None:
+        raise ColumnBackendUnsupported("$data requires root_col in compile context")
+    col = ctx.root_col
+    dt = ctx.root_dtype
+    for seg in full:
+        if isinstance(seg, (Column, int)):
+            idx = (seg + F.lit(1)) if isinstance(seg, Column) else F.lit(int(seg) + 1)
+            col = F.element_at(col, idx)
+            dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+        else:
+            col = col.getField(seg) if not isinstance(dt, T.MapType) else F.element_at(col, F.lit(seg))
+            if isinstance(dt, T.StructType) and seg in dt.fieldNames():
+                dt = dt[seg].dataType
+            elif isinstance(dt, T.MapType):
+                dt = dt.valueType
+            else:
+                dt = None
+    return col, dt
+
+
+def _maybe_data(value, ctx: Ctx):
+    """Detect the v5 `{"$data": "<pointer>"}` form ($data-pointer,
+    core.clj:126-127). Returns (resolved Column, dtype) or None."""
+    if isinstance(value, dict) and "$data" in value:
+        return _resolve_data_pointer(value["$data"], ctx)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# type keyword (schema-type multimethod, core.clj:183-348)
+
+
+def _type_ok(tname, target: Column, dtype, ctx: Ctx) -> Column:
+    """ok-Column for a single type name against a known Spark dtype.
+    Compile-time dtype knowledge turns most of these into constants that
+    Catalyst folds away."""
+    if isinstance(tname, dict):  # draft-3 union member as inline schema
+        return _probe_ok(tname, target, ctx)
+    t = str(tname)
+    if t == "any":
+        return F.lit(True)
+    if t in ("null", "nil"):
+        return target.isNull()
+    if t == "string":
+        if dtype is None or isinstance(dtype, T.StringType):
+            # non-standard quirk: blank strings are NOT valid strings
+            # (core.clj:189-190 "expected not empty string")
+            return target.isNotNull() & (F.trim(target) != F.lit(""))
+        return F.lit(False)
+    if t == "boolean":
+        if dtype is None or isinstance(dtype, T.BooleanType):
+            return target.isNotNull()
+        return F.lit(False)
+    if t == "number":
+        if dtype is None or _is_numeric(dtype):
+            return target.isNotNull()
+        return F.lit(False)
+    if t == "integer":
+        # 1.0 is NOT an integer (core.clj:238-244; suite numeric-unification
+        # cases are skipped by the reference — do not "fix")
+        if dtype is None or _is_integral(dtype):
+            return target.isNotNull()
+        if isinstance(dtype, T.DecimalType) and dtype.scale == 0:
+            return target.isNotNull()
+        return F.lit(False)
+    if t == "object":
+        if dtype is None or isinstance(dtype, (T.StructType, T.MapType)):
+            return target.isNotNull()
+        return F.lit(False)
+    if t == "array":
+        if dtype is None or isinstance(dtype, T.ArrayType):
+            return target.isNotNull()
+        return F.lit(False)
+    if t in formats.TYPE_REGEX:
+        if dtype is None or isinstance(dtype, T.StringType):
+            base = target.isNotNull() & target.rlike(formats.TYPE_REGEX[t])
+            if t == "uri":
+                base = base & (F.trim(target) != F.lit(""))
+            return base
+        return F.lit(False)
+    return None  # unknown type
+
+
+@register_keyword("type")
+def _compile_type(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    sev = ctx.severity("type")
+    members = value if isinstance(value, list) else [value]
+    oks = []
+    for m in members:
+        ok = _type_ok(m, target, ctx.dtype, ctx)
+        if ok is None:
+            # "Broken schema: unknown type" (core.clj:344-348)
+            return _const_fail(ctx, "type", f"Broken schema: unknown type {m}")
+        oks.append(ok)
+    ok_all = oks[0]
+    for o in oks[1:]:
+        ok_all = ok_all | o
+    if isinstance(value, list):
+        msg = f"expected one of types {', '.join(str(m) for m in members)}"
+        return simple_check(ok_all, ctx.schema_path, ctx.instance_path, "type", msg, sev)
+    t = str(value)
+    if t == "string" and (ctx.dtype is None or isinstance(ctx.dtype, T.StringType)):
+        # distinguish the blank-string quirk message (core.clj:186-190)
+        msg = F.when(
+            target.isNotNull() & (F.trim(F.coalesce(target, F.lit(""))) == F.lit("")),
+            F.lit("expected not empty string"),
+        ).otherwise(F.lit("expected type of string"))
+        return simple_check(ok_all, ctx.schema_path, ctx.instance_path, "type", msg, sev)
+    msgs = {
+        "boolean": "expected boolean",
+        "number": "expected number",
+        "integer": "expected integer",
+        "object": "expected object",
+        "array": "expected array",
+        "null": "expected null",
+        "nil": "expected null",
+        "date": "wrong date format",
+        "datetime": "wrong datetime format",
+        "time": "wrong time format",
+        "uri": "wrong uri format",
+        "oid": "wrong oid format",
+        "uuid": "wrong uuid format",
+        "email": "wrong email format",
+        "string": "expected type of string",
+    }
+    return simple_check(
+        ok_all, ctx.schema_path, ctx.instance_path, "type", msgs.get(t, f"expected {t}"), sev
+    )
+
+
+# ---------------------------------------------------------------------------
+# enum / const
+
+
+def _scalar_lit(v):
+    if v is None or isinstance(v, (str, bool, int, float)):
+        return F.lit(v)
+    raise ColumnBackendUnsupported(f"non-scalar literal {v!r} needs the Python backend")
+
+
+@register_keyword("enum")
+def _compile_enum(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    sev = ctx.severity("enum")
+    data = _maybe_data(value, ctx)
+    if data is not None:
+        ref_col, ref_dt = data
+        if ref_dt is not None and not isinstance(ref_dt, T.ArrayType):
+            return _const_fail(ctx, "enum", f"could not enum by {value['$data']}")
+        ok = F.when(ref_col.isNull(), F.lit(True)).otherwise(
+            F.coalesce(F.array_contains(ref_col, target), F.lit(False))
+        )
+        c = simple_check(ok, ctx.schema_path, ctx.instance_path, "enum", "expected one of $data enum", sev)
+        return _null_pass(target, c) if False else c
+    for v in value:
+        _scalar_lit(v)  # reject non-scalar members (Python backend handles those)
+    ok = F.coalesce(target.isin(*value), F.lit(False)) if value else F.lit(False)
+    # null is in the enum iff None is a member
+    if any(v is None for v in value):
+        ok = ok | target.isNull()
+    msg = "expected one of " + ", ".join(str(v) for v in value)
+    return simple_check(ok, ctx.schema_path, ctx.instance_path, "enum", msg, sev)
+
+
+def _compile_const(keyword: str):
+    def fn(value, schema, target: Column, ctx: Ctx) -> Compiled:
+        sev = ctx.severity(keyword)
+        data = _maybe_data(value, ctx)
+        if data is not None:
+            ref_col, _ = data
+            ok = target.eqNullSafe(ref_col)
+            return simple_check(
+                ok, ctx.schema_path, ctx.instance_path, keyword,
+                F.concat(F.lit("expected "), F.coalesce(ref_col.cast("string"), F.lit("null")),
+                         F.lit(", but "), F.coalesce(target.cast("string"), F.lit("null"))),
+                sev,
+            )
+        ok = target.eqNullSafe(_scalar_lit(value))
+        msg = F.concat(
+            F.lit(f"expected {json.dumps(value) if not isinstance(value, str) else value}, but "),
+            F.coalesce(target.cast("string"), F.lit("null")),
+        )
+        return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword, msg, sev)
+
+    return fn
+
+
+KEYWORD_COMPILERS["const"] = _compile_const("const")
+KEYWORD_COMPILERS["constant"] = _compile_const("constant")
+
+
+# ---------------------------------------------------------------------------
+# numeric / string comparators — one generator specializes all bounded
+# keywords, mirroring compile-comparator (core.clj:93-124)
+
+
+def make_comparator(
+    keyword: str,
+    op: str,  # 'ge' | 'gt' | 'le' | 'lt'
+    applicable_dtypes,  # predicate on dtype: value-applicability
+    value_expr: Callable[[Column], Column],  # e.g. identity or F.length
+    bound_is_ok,  # predicate on a literal bound's python type
+    message: str,
+):
+    def fn(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+        sev = ctx.severity(keyword)
+        exclusive = None
+        if keyword in ("minimum", "maximum"):
+            exclusive = schema.get("exclusive" + keyword.capitalize())
+        elif keyword in ("formatMinimum", "formatMaximum"):
+            exclusive = schema.get("exclusiveFormat" + keyword[6:])
+        if isinstance(exclusive, dict):
+            raise ColumnBackendUnsupported("$data exclusive flag needs the Python backend")
+        eff_op = op
+        if exclusive is True:
+            eff_op = {"ge": "gt", "le": "lt"}[op]
+        if ctx.dtype is not None and not applicable_dtypes(ctx.dtype):
+            return None  # non-applicable values pass (comparator ladder)
+        data = _maybe_data(value, ctx)
+        v = value_expr(target)
+
+        def cmp(bound_col: Column) -> Column:
+            if eff_op == "ge":
+                return v >= bound_col
+            if eff_op == "gt":
+                return v > bound_col
+            if eff_op == "le":
+                return v <= bound_col
+            return v < bound_col
+
+        if data is not None:
+            bound_col, bound_dt = data
+            if bound_dt is not None and not bound_is_ok_dtype(bound_dt, bound_is_ok):
+                return simple_check(
+                    F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
+                    F.concat(F.lit(" could not compare with "), F.coalesce(bound_col.cast("string"), F.lit("null"))),
+                    sev,
+                )
+            ok = F.when(bound_col.isNull() | target.isNull(), F.lit(True)).otherwise(cmp(bound_col))
+            msg = F.concat(F.lit(f"expected{message} "), v.cast("string"), F.lit(f" {_op_sym(eff_op)} "), bound_col.cast("string"))
+            return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword, msg, sev)
+        if value is None:
+            return None
+        if not bound_is_ok(value):
+            return simple_check(
+                F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
+                f" could not compare with {value}", sev,
+            )
+        bound_col = F.lit(value)
+        ok = F.when(target.isNull(), F.lit(True)).otherwise(cmp(bound_col))
+        msg = F.concat(F.lit(f"expected{message} "), v.cast("string"), F.lit(f" {_op_sym(eff_op)} {value}"))
+        return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword, msg, sev)
+
+    return fn
+
+
+def _op_sym(op: str) -> str:
+    return {"ge": ">=", "gt": ">", "le": "<=", "lt": "<"}[op]
+
+
+def bound_is_ok_dtype(dt, bound_is_ok) -> bool:
+    if bound_is_ok is _is_number_py:
+        return _is_numeric(dt)
+    return isinstance(dt, T.StringType) or _is_numeric(dt)
+
+
+def _is_number_py(x) -> bool:
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+def _is_str_py(x) -> bool:
+    return isinstance(x, str)
+
+
+_ident = lambda c: c  # noqa: E731
+
+KEYWORD_COMPILERS["minimum"] = make_comparator("minimum", "ge", _is_numeric, _ident, _is_number_py, "")
+KEYWORD_COMPILERS["maximum"] = make_comparator("maximum", "le", _is_numeric, _ident, _is_number_py, "")
+KEYWORD_COMPILERS["minLength"] = make_comparator(
+    "minLength", "ge", lambda dt: isinstance(dt, T.StringType), F.length, _is_number_py, " string length"
+)
+KEYWORD_COMPILERS["maxLength"] = make_comparator(
+    "maxLength", "le", lambda dt: isinstance(dt, T.StringType), F.length, _is_number_py, " string length"
+)
+KEYWORD_COMPILERS["minItems"] = make_comparator(
+    "minItems", "ge", lambda dt: isinstance(dt, T.ArrayType), F.size, _is_number_py, " array length"
+)
+KEYWORD_COMPILERS["maxItems"] = make_comparator(
+    "maxItems", "le", lambda dt: isinstance(dt, T.ArrayType), F.size, _is_number_py, " array length"
+)
+KEYWORD_COMPILERS["formatMinimum"] = make_comparator(
+    "formatMinimum", "ge", lambda dt: isinstance(dt, T.StringType), _ident, _is_str_py, ""
+)
+KEYWORD_COMPILERS["formatMaximum"] = make_comparator(
+    "formatMaximum", "le", lambda dt: isinstance(dt, T.StringType), _ident, _is_str_py, ""
+)
+
+
+def _exclusive_numeric(keyword: str, op: str, absorbed_by: str):
+    """Draft-6 standalone numeric exclusiveMinimum/Maximum — compiles to
+    nothing when the absorbing bound keyword is present (core.clj:1005-1020,
+    1040-1055)."""
+
+    def fn(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+        if absorbed_by in schema or isinstance(value, bool):
+            return None
+        return make_comparator(keyword, op, _is_numeric, _ident, _is_number_py, "")(
+            value, schema, target, ctx
+        )
+
+    return fn
+
+
+KEYWORD_COMPILERS["exclusiveMinimum"] = _exclusive_numeric("exclusiveMinimum", "gt", "minimum")
+KEYWORD_COMPILERS["exclusiveMaximum"] = _exclusive_numeric("exclusiveMaximum", "lt", "maximum")
+
+
+def _compile_multiple_of(keyword: str):
+    def fn(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+        sev = ctx.severity(keyword)
+        if ctx.dtype is not None and not _is_numeric(ctx.dtype):
+            return None
+        data = _maybe_data(value, ctx)
+        if data is not None:
+            bound_col, bound_dt = data
+            if bound_dt is not None and not _is_numeric(bound_dt):
+                return _const_fail(ctx, keyword, f"could not find multiple of $data {value['$data']}")
+            dec = target.cast(T.DecimalType(38, 10))
+            bdec = bound_col.cast(T.DecimalType(38, 10))
+            ok = F.when(bound_col.isNull() | target.isNull(), F.lit(True)).otherwise(
+                (target == F.lit(0)) | (dec % bdec == F.lit(0))
+            )
+            return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword,
+                                F.concat(F.lit("expected "), target.cast("string"),
+                                         F.lit(" is multiple of "), bound_col.cast("string")), sev)
+        if not _is_number_py(value):
+            return None
+        # exact decimal remainder — reference tests the printed exact
+        # rational (is-divider?, core.clj:419-421); DecimalType(38,10)
+        # remainder is exact for the bounds the suite exercises
+        if _is_integral(ctx.dtype) and isinstance(value, int):
+            ok = (target == F.lit(0)) | (F.pmod(target, F.lit(value)) == F.lit(0))
+        else:
+            dec = target.cast(T.DecimalType(38, 10))
+            bdec = F.lit(Decimal(str(value))).cast(T.DecimalType(38, 10))
+            ok = (target == F.lit(0)) | (dec % bdec == F.lit(0))
+        ok = F.when(target.isNull(), F.lit(True)).otherwise(ok)
+        verb = "multiple of" if keyword == "multipleOf" else "divisible by"
+        msg = F.concat(F.lit("expected "), target.cast("string"), F.lit(f" is {verb} {value}"))
+        return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword, msg, sev)
+
+    return fn
+
+
+KEYWORD_COMPILERS["multipleOf"] = _compile_multiple_of("multipleOf")
+KEYWORD_COMPILERS["divisibleBy"] = _compile_multiple_of("divisibleBy")
+
+
+# ---------------------------------------------------------------------------
+# pattern / format
+
+
+@register_keyword("pattern")
+def _compile_pattern(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    sev = ctx.severity("pattern")
+    if ctx.dtype is not None and not isinstance(ctx.dtype, T.StringType):
+        return None  # non-strings pass (core.clj:1363 guard)
+    data = _maybe_data(value, ctx)
+    if data is not None:
+        pat_col, _ = data
+        # find-semantics regex with a non-foldable pattern (Spark >= 3.0)
+        ok = F.when(pat_col.isNull() | target.isNull(), F.lit(True)).otherwise(F.rlike(target, pat_col))
+        msg = F.concat(F.lit("expected "), F.coalesce(target, F.lit("null")), F.lit(" matches "), pat_col)
+        return simple_check(ok, ctx.schema_path, ctx.instance_path, "pattern", msg, sev)
+    # re-find semantics == rlike (substring match), same java.util.regex
+    # dialect as the reference (core.clj:1354-1377)
+    ok = F.when(target.isNull(), F.lit(True)).otherwise(target.rlike(value))
+    msg = F.concat(F.lit("expected "), F.coalesce(target, F.lit("null")), F.lit(f" matches {value}"))
+    return simple_check(ok, ctx.schema_path, ctx.instance_path, "pattern", msg, sev)
+
+
+@register_keyword("format")
+def _compile_format(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    sev = ctx.severity("format")
+    if ctx.dtype is not None and not isinstance(ctx.dtype, T.StringType):
+        return None  # format applies to strings only (core.clj:1336,1344)
+    if isinstance(value, dict) and "$data" in value:
+        raise ColumnBackendUnsupported("$data format name needs the Python backend")
+    fmt = str(value)
+    ok = formats.format_ok(target, fmt)
+    if ok is None:
+        if fmt in formats.FUNCTIONAL_FORMATS:
+            raise ColumnBackendUnsupported(f"format {fmt!r} needs the Python backend")
+        return _const_fail(ctx, "format", f"Unknown format {fmt}")
+    ok = F.when(target.isNull(), F.lit(True)).otherwise(ok)
+    return simple_check(
+        ok, ctx.schema_path, ctx.instance_path, "format", f"expected format {fmt}", sev
+    )
+
+
+# ---------------------------------------------------------------------------
+# object keywords
+
+
+def _field_or_none(target: Column, dtype, key: str):
+    """(column, dtype) for an object member; None if statically absent."""
+    if isinstance(dtype, T.StructType):
+        if key not in dtype.fieldNames():
+            return None
+        return target.getField(key), dtype[key].dataType
+    if isinstance(dtype, T.MapType):
+        return F.element_at(target, F.lit(key)), dtype.valueType
+    # unknown dtype: assume struct-style access
+    return target.getField(key), None
+
+
+@register_keyword("properties")
+def _compile_properties(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    comps = []
+    for key, subschema in value.items():
+        # draft-3 per-property {required: true} hoisting (core.clj:375-380)
+        sub = subschema
+        if isinstance(sub, dict) and sub.get("required") is True:
+            sub = {k: v for k, v in sub.items() if k != "required"}
+            fd = _field_or_none(target, ctx.dtype, key)
+            present = F.lit(False) if fd is None else fd[0].isNotNull()
+            comps.append(
+                simple_check(
+                    present,
+                    ctx.schema_path + (key, "required"),
+                    ctx.instance_path,
+                    "required",
+                    f"Property {key} is required",
+                    ctx.severity("required"),
+                )
+            )
+        fd = _field_or_none(target, ctx.dtype, key)
+        if fd is None:
+            continue  # statically absent key never violates (presence-guarded)
+        col, dt = fd
+        child_ctx = replace(
+            ctx,
+            schema_path=ctx.schema_path + (key,),
+            instance_path=ctx.instance_path + (key,),
+            dtype=dt,
+        )
+        child = compile_schema(sub, col, child_ctx)
+        # applied only when present AND non-nil (core.clj:367-389)
+        comps.append(_null_pass(col, child))
+    if not comps:
+        return None
+    out = merge(comps)
+    # non-objects pass; a null object passes
+    return _null_pass(target, out)
+
+
+@register_keyword("required")
+def _compile_required(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    if value is True or value is False:
+        return None  # draft-3 boolean form is hoisted by `properties`
+    sev = ctx.severity("required")
+    data = _maybe_data(value, ctx)
+    if data is not None:
+        raise ColumnBackendUnsupported("$data required list needs the Python backend")
+    comps = []
+    for key in value:
+        fd = _field_or_none(target, ctx.dtype, key)
+        # nil counts as missing (has-property?, core.clj:852-854)
+        present = F.lit(False) if fd is None else F.coalesce(fd[0].isNotNull(), F.lit(False))
+        comps.append(
+            simple_check(
+                present,
+                ctx.schema_path,
+                ctx.instance_path,
+                "required",
+                f"Property {key} is required",
+                sev,
+            )
+        )
+    out = merge(comps)
+    return _null_pass(target, out)
+
+
+@register_keyword("dependencies")
+def _compile_dependencies(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    sev = ctx.severity("dependencies")
+    comps = []
+    for key, dep in value.items():
+        fd = _field_or_none(target, ctx.dtype, key)
+        if fd is None:
+            continue
+        present = fd[0].isNotNull()
+        if isinstance(dep, str):
+            dep = [dep]
+        if isinstance(dep, list):
+            for d in dep:
+                dfd = _field_or_none(target, ctx.dtype, d)
+                dep_ok = F.lit(False) if dfd is None else dfd[0].isNotNull()
+                comps.append(
+                    simple_check(
+                        ~present | dep_ok,
+                        ctx.schema_path + (key,),
+                        ctx.instance_path,
+                        "dependencies",
+                        f"Property {d} is required when {key} is present",
+                        sev,
+                    )
+                )
+        else:
+            child = compile_schema(dep, target, replace(ctx, schema_path=ctx.schema_path + (key,)))
+            comps.append(
+                Compiled(
+                    ok=~present | child.ok,
+                    violations=F.when(present, child.violations).otherwise(_empty()),
+                )
+            )
+    if not comps:
+        return None
+    return _null_pass(target, merge(comps))
+
+
+@register_keyword("exclusiveProperties")
+def _compile_exclusive_properties(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    """Custom keyword: groups of mutually exclusive keys (core.clj:532-552,
+    tests /root/reference/test/json_schema/custom_extensions_test.clj:44-68)."""
+    sev = ctx.severity("exclusiveProperties")
+    comps = []
+    for group in value:
+        props = group.get("properties", [])
+        required = group.get("required", False)
+        cnt = None
+        for p in props:
+            fd = _field_or_none(target, ctx.dtype, p)
+            present = F.lit(0) if fd is None else fd[0].isNotNull().cast("int")
+            cnt = present if cnt is None else cnt + present
+        if cnt is None:
+            continue
+        names = ", ".join(props)
+        if required:
+            comps.append(
+                simple_check(
+                    cnt >= F.lit(1), ctx.schema_path, ctx.instance_path, "exclusiveProperties",
+                    f"One of properties {names} is required", sev,
+                )
+            )
+        comps.append(
+            simple_check(
+                cnt <= F.lit(1), ctx.schema_path, ctx.instance_path, "exclusiveProperties",
+                f"Properties {names} are mutually exclusive", sev,
+            )
+        )
+    return _null_pass(target, merge(comps))
+
+
+@register_keyword("discriminator")
+def _compile_discriminator(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    """Dispatch on a property's value to #/definitions/<value>
+    (core.clj:519-530) — the closed definition set is known at compile time,
+    so this compiles to a CASE WHEN chain over inlined child check trees."""
+    sev = ctx.severity("discriminator")
+    defs = (ctx.root_schema or schema).get("definitions", {})
+    fd = _field_or_none(target, ctx.dtype, value)
+    if fd is None:
+        return Compiled.passed()
+    tag_col, _ = fd
+    ok = F.lit(True)
+    viols = _empty()
+    # unresolvable tag → error
+    known = list(defs.keys())
+    unresolved = violation(
+        ctx.schema_path, ctx.instance_path, "discriminator",
+        F.concat(F.lit("Could not resolve #/definitions/"), tag_col), sev,
+    )
+    ok_expr = F.lit(False)
+    viol_expr = unresolved
+    for name in reversed(known):
+        child = compile_schema(
+            defs[name], target, replace(ctx, schema_path=ctx.schema_path + ("definitions", name))
+        )
+        ok_expr = F.when(tag_col == F.lit(name), child.ok).otherwise(ok_expr)
+        viol_expr = F.when(tag_col == F.lit(name), child.violations).otherwise(viol_expr)
+    # absent tag → pass (core.clj:523 if-let)
+    ok = F.when(tag_col.isNull(), F.lit(True)).otherwise(ok_expr)
+    viols = F.when(tag_col.isNull(), _empty()).otherwise(viol_expr)
+    return _null_pass(target, Compiled(ok=ok, violations=viols))
+
+
+# ---------------------------------------------------------------------------
+# array keywords
+
+
+def _array_elem_dtype(ctx: Ctx):
+    return ctx.dtype.elementType if isinstance(ctx.dtype, T.ArrayType) else None
+
+
+@register_keyword("items")
+def _compile_items(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    if ctx.dtype is not None and not isinstance(ctx.dtype, T.ArrayType):
+        return None
+    sev = ctx.severity("items")
+    elem_dt = _array_elem_dtype(ctx)
+    if isinstance(value, list):
+        # tuple form + additionalItems (core.clj:1444-1479)
+        comps = []
+        for i, sub in enumerate(value):
+            elem = F.element_at(target, i + 1)
+            child_ctx = replace(
+                ctx,
+                schema_path=ctx.schema_path + (str(i),),
+                instance_path=ctx.instance_path + (i,),
+                dtype=elem_dt,
+            )
+            child = compile_schema(sub, elem, child_ctx)
+            # position beyond array length → pass
+            guarded = Compiled(
+                ok=F.when(F.size(target) <= F.lit(i), F.lit(True)).otherwise(child.ok),
+                violations=F.when(F.size(target) <= F.lit(i), _empty()).otherwise(child.violations),
+            )
+            comps.append(guarded)
+        ai = schema.get("additionalItems")
+        n = len(value)
+        if ai is False:
+            comps.append(
+                simple_check(
+                    F.size(target) <= F.lit(n),
+                    ctx.schema_path[:-1] + ("additionalItems",),
+                    ctx.instance_path,
+                    "additionalItems",
+                    "no additional items allowed",
+                    ctx.severity("additionalItems"),
+                )
+            )
+        elif isinstance(ai, dict):
+            def per_extra(x, i):
+                c = compile_schema(
+                    ai,
+                    x,
+                    replace(
+                        ctx,
+                        schema_path=ctx.schema_path[:-1] + ("additionalItems",),
+                        instance_path=ctx.instance_path + (i + F.lit(n),),
+                        dtype=elem_dt,
+                    ),
+                )
+                return F.struct(c.ok.alias("ok"), c.violations.alias("v"))
+
+            extras = F.slice(target, n + 1, F.greatest(F.size(target) - F.lit(n), F.lit(0)))
+            checked = F.transform(extras, per_extra)
+            comps.append(
+                Compiled(
+                    ok=F.forall(checked, lambda s: s["ok"]),
+                    violations=F.flatten(F.transform(checked, lambda s: s["v"])),
+                )
+            )
+        return _null_pass(target, merge(comps))
+
+    def per_elem(x, i):
+        c = compile_schema(
+            value,
+            x,
+            replace(ctx, instance_path=ctx.instance_path + (i,), dtype=elem_dt),
+        )
+        return F.struct(c.ok.alias("ok"), c.violations.alias("v"))
+
+    checked = F.transform(target, per_elem)
+    out = Compiled(
+        ok=F.forall(checked, lambda s: s["ok"]),
+        violations=F.flatten(F.transform(checked, lambda s: s["v"])),
+    )
+    return _null_pass(target, out)
+
+
+@register_keyword("uniqueItems")
+def _compile_unique_items(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    if ctx.dtype is not None and not isinstance(ctx.dtype, T.ArrayType):
+        return None
+    data = _maybe_data(value, ctx)
+    flag_col = None
+    if data is not None:
+        flag_col = data[0]
+    elif value is not True:
+        return None
+    sev = ctx.severity("uniqueItems")
+    # structural equality on nested types matches Clojure value equality
+    ok = F.size(F.array_distinct(target)) == F.size(target)
+    if flag_col is not None:
+        ok = F.when(flag_col.isNull() | ~flag_col.cast("boolean"), F.lit(True)).otherwise(ok)
+    ok = F.when(target.isNull(), F.lit(True)).otherwise(ok)
+    return simple_check(
+        ok, ctx.schema_path, ctx.instance_path, "uniqueItems", "expected unique items", sev
+    )
+
+
+@register_keyword("contains")
+def _compile_contains(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    if ctx.dtype is not None and not isinstance(ctx.dtype, T.ArrayType):
+        return None  # non-arrays pass (test/v5/contains.json:23-27)
+    sev = ctx.severity("contains")
+    elem_dt = _array_elem_dtype(ctx)
+
+    def pred(x):
+        return compile_schema(value, x, replace(ctx, dtype=elem_dt)).ok
+
+    ok = F.when(target.isNull(), F.lit(True)).otherwise(F.exists(target, pred))
+    return simple_check(
+        ok, ctx.schema_path, ctx.instance_path, "contains",
+        "expected some element to match the contains schema", sev,
+    )
+
+
+@register_keyword("subset")
+def _compile_subset(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    """Custom keyword: the value array must be a subset of a reference array,
+    usually via $data (core.clj:1411-1419, tests
+    custom_extensions_test.clj:218-278)."""
+    if ctx.dtype is not None and not isinstance(ctx.dtype, T.ArrayType):
+        return None
+    sev = ctx.severity("subset")
+    data = _maybe_data(value, ctx)
+    if data is not None:
+        ref_col = data[0]
+        ok = F.when(target.isNull() | ref_col.isNull(), F.lit(True)).otherwise(
+            F.size(F.array_except(target, ref_col)) == F.lit(0)
+        )
+    else:
+        ref_col = F.array(*[_scalar_lit(v) for v in value])
+        ok = F.when(target.isNull(), F.lit(True)).otherwise(
+            F.size(F.array_except(target, ref_col)) == F.lit(0)
+        )
+    return simple_check(
+        ok, ctx.schema_path, ctx.instance_path, "subset", "expected a subset of the reference array", sev
+    )
+
+
+# ---------------------------------------------------------------------------
+# combinators (core.clj:648-804)
+
+
+def _subschemas(options, target, ctx: Ctx, kw: str):
+    return [
+        compile_schema(o, target, replace(ctx, schema_path=ctx.schema_path + (str(i),)))
+        for i, o in enumerate(options)
+    ]
+
+
+@register_keyword("allOf")
+def _compile_all_of(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    return merge(_subschemas(value, target, ctx, "allOf"))
+
+
+@register_keyword("extends")
+def _compile_extends(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    opts = value if isinstance(value, list) else [value]
+    return merge(_subschemas(opts, target, ctx, "extends"))
+
+
+@register_keyword("anyOf")
+def _compile_any_of(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    sev = ctx.severity("anyOf")
+    oks = [_probe_ok(o, target, ctx) for o in value]
+    ok = oks[0]
+    for o in oks[1:]:
+        ok = ok | o
+    return simple_check(
+        ok, ctx.schema_path, ctx.instance_path, "anyOf", "Non alternatives are valid", sev
+    )
+
+
+@register_keyword("oneOf")
+def _compile_one_of(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    sev = ctx.severity("oneOf")
+    oks = [_probe_ok(o, target, ctx) for o in value]
+    cnt = None
+    for o in oks:
+        term = o.cast("int")
+        cnt = term if cnt is None else cnt + term
+    ok = cnt == F.lit(1)
+    msg = F.when(cnt > F.lit(1), F.lit("expected one of, but more then one are valid")).otherwise(
+        F.lit("expected one of, but no one is valid")
+    )
+    return simple_check(ok, ctx.schema_path, ctx.instance_path, "oneOf", msg, sev)
+
+
+@register_keyword("not")
+def _compile_not(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    sev = ctx.severity("not")
+    ok = ~_probe_ok(value, target, ctx)
+    return simple_check(
+        ok, ctx.schema_path, ctx.instance_path, "not", f"Expected not {json.dumps(value)}", sev
+    )
+
+
+@register_keyword("disallow")
+def _compile_disallow(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    sev = ctx.severity("disallow")
+    opts = value if isinstance(value, list) else [value]
+    oks = []
+    for o in opts:
+        o = {"type": o} if isinstance(o, str) else o
+        oks.append(_probe_ok(o, target, ctx))
+    any_ok = oks[0]
+    for o in oks[1:]:
+        any_ok = any_ok | o
+    return simple_check(
+        ~any_ok, ctx.schema_path, ctx.instance_path, "disallow",
+        f"Disallowed by {json.dumps(value)}", sev,
+    )
+
+
+@register_keyword("if")
+def _compile_if(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    cond = _probe_ok(value, target, ctx)
+    th = compile_schema(schema.get("then", True), target, replace(ctx, schema_path=ctx.schema_path[:-1] + ("then",)))
+    el = compile_schema(schema.get("else", True), target, replace(ctx, schema_path=ctx.schema_path[:-1] + ("else",)))
+    return Compiled(
+        ok=F.when(cond, th.ok).otherwise(el.ok),
+        violations=F.when(cond, th.violations).otherwise(el.violations),
+    )
+
+
+@register_keyword("switch")
+def _compile_switch(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    """v5 switch: ordered {if, then, continue} clauses (core.clj:671-722).
+    `continue: true` clauses become independent guarded check groups; the
+    non-continue tail folds into one CASE WHEN chain."""
+    sev = ctx.severity("switch")
+    comps: list[Compiled] = []
+
+    def clause_then(cl, kw_path) -> Compiled:
+        th = cl.get("then")
+        if th is False:
+            msg = (
+                f"expected not matches {json.dumps(cl.get('if'))}"
+                if "if" in cl
+                else "switch failed - nothing matched"
+            )
+            return simple_check(F.lit(False), kw_path, ctx.instance_path, "switch", msg, sev)
+        if th is True or th is None:
+            return Compiled.passed()
+        return compile_schema(th, target, replace(ctx, schema_path=kw_path))
+
+    # split off leading continue-clauses: they always evaluate
+    rest = list(value)
+    idx = 0
+    while rest:
+        cl = rest[0]
+        if cl.get("continue") and "if" in cl:
+            cond = _probe_ok(cl["if"], target, ctx)
+            th = clause_then(cl, ctx.schema_path + (str(idx),))
+            comps.append(
+                Compiled(
+                    ok=F.when(cond, th.ok).otherwise(F.lit(True)),
+                    violations=F.when(cond, th.violations).otherwise(_empty()),
+                )
+            )
+            rest = rest[1:]
+            idx += 1
+        else:
+            break
+
+    # fold the remaining clauses into first-match-wins CASE WHEN
+    ok_expr = F.lit(True)
+    viol_expr = _empty()
+    for j, cl in reversed(list(enumerate(rest))):
+        kw_path = ctx.schema_path + (str(idx + j),)
+        th = clause_then(cl, kw_path)
+        if "if" in cl:
+            cond = _probe_ok(cl["if"], target, ctx)
+            ok_expr = F.when(cond, th.ok).otherwise(ok_expr)
+            viol_expr = F.when(cond, th.violations).otherwise(viol_expr)
+        else:
+            ok_expr = th.ok
+            viol_expr = th.violations
+    comps.append(Compiled(ok=ok_expr, violations=viol_expr))
+    return merge(comps)
+
+
+@register_keyword("$ref")
+def _compile_ref(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    """Internal $ref inlined from the driver-side registry (reference
+    registry atom, core.clj:174-180,972-987).  Recursion is bounded by
+    ctx.depth; deeper documents need the Python backend."""
+    root = ctx.root_schema or {}
+    sub = _resolve_schema_pointer(value, root)
+    if sub is None:
+        return _const_fail(ctx, "$ref", f"Could not resolve {value}")
+    if ctx.depth <= 0:
+        raise ColumnBackendUnsupported(f"$ref {value!r} exceeds unroll depth")
+    return compile_schema(sub, target, replace(ctx, depth=ctx.depth - 1))
+
+
+def _resolve_schema_pointer(ref: str, root: dict):
+    if ref == "#":
+        return root
+    if not ref.startswith("#/"):
+        return None
+    node: Any = root
+    for seg in ref[2:].split("/"):
+        seg = seg.replace("~1", "/").replace("~0", "~").replace("%25", "%")
+        if isinstance(node, dict) and seg in node:
+            node = node[seg]
+        elif isinstance(node, list) and seg.isdigit() and int(seg) < len(node):
+            node = node[int(seg)]
+        else:
+            return None
+    return node
+
+
+@register_keyword("deferred")
+def _compile_deferred(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    """`deferred` emits a side-channel annotation instead of validating
+    (core.clj:1421-1425).  On the Column path we route it as a zero-severity
+    violation row tagged severity='deferred' so it lands in the same sink."""
+    return Compiled(
+        ok=F.lit(True),
+        violations=violation(
+            ctx.schema_path,
+            ctx.instance_path,
+            "deferred",
+            F.lit(json.dumps(value)),
+            "deferred",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry points
+
+
+def compile_schema(schema, target: Column, ctx: Ctx) -> Compiled:
+    """Compile a (sub)schema against a target Column.  Booleans are constant
+    validators (core.clj:149-154); maps fold per-keyword compilers."""
+    if schema is True or schema == {}:
+        return Compiled.passed()
+    if schema is False:
+        return simple_check(
+            F.lit(False), ctx.schema_path, ctx.instance_path, "schema",
+            "schema is 'false', which means it's always fails", ctx.severity("schema"),
+        )
+    if not isinstance(schema, dict):
+        return simple_check(
+            F.lit(False), ctx.schema_path, ctx.instance_path, "schema",
+            f"Invalid schema {schema}", ctx.severity("schema"),
+        )
+    comps = []
+    for k, v in schema.items():
+        if k in NOOP_KEYWORDS:
+            continue
+        fn = KEYWORD_COMPILERS.get(k)
+        if fn is None:
+            continue  # unknown keyword: dropped, as in core.clj:1185-1191
+        c = fn(v, schema, target, ctx.at_keyword(k))
+        if c is not None:
+            comps.append(c)
+    return merge(comps)
+
+
+def compile_for_table(schema: dict, table_schema: T.StructType, config: Optional[dict] = None,
+                      extra_root: Optional[dict] = None) -> Compiled:
+    """Compile a schema against a whole table row.
+
+    The row presents as the instance object: columns are its keys.  Returns
+    a :class:`Compiled` whose expressions reference the table's columns
+    directly — Catalyst prunes unused ones.
+    """
+    row = F.struct(*[F.col(f.name).alias(f.name) for f in table_schema.fields])
+    ctx = Ctx(
+        schema_path=(),
+        instance_path=(),
+        config=config or {},
+        root_schema=extra_root or schema,
+        dtype=table_schema,
+        root_col=row,
+        root_dtype=table_schema,
+    )
+    return compile_schema(schema, row, ctx)

@@ -1,0 +1,137 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md §1).
+
+Shape fixed by the input hint: ``(image_id string, bytes binary, w int,
+h int, fmt string, caption string, phash bigint)`` plus ``part_id int``,
+the per-partition verdict/manifest unit.
+
+Generation is a pure function of (seed, row index) built entirely from
+Catalyst expressions over ``spark.range(n)`` — fully distributed, no
+driver-side loop, bit-reproducible at any parallelism level (required for
+the two-cluster-size scaling evidence).
+
+Violation injection (~0.5% per column, disjoint residues mod 200) gives
+known-golden expected counts for the flagship validation schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# deliberately small word list: captions are seeded word sequences
+_WORDS = [
+    "amber", "basalt", "cedar", "delta", "ember", "fjord", "garnet", "harbor",
+    "indigo", "juniper", "krill", "lumen", "maple", "nectar", "onyx", "prism",
+    "quartz", "raven", "sable", "tundra",
+]
+
+MAGIC = {
+    "png": "89504e470d0a1a0a",
+    "jpeg": "ffd8ffe000104a46",
+    "webp_riff": "52494646",  # RIFF....WEBP
+    "webp_tag": "57454250",
+}
+
+
+def images_df(
+    spark: SparkSession,
+    n_rows: int,
+    n_parts: int = 64,
+    seed: int = 42,
+    inject_violations: bool = True,
+    drift: bool = False,
+) -> DataFrame:
+    """Build the synthetic images table.
+
+    With ``drift=True``, partitions 32-63 draw ``w`` from a shifted
+    distribution (w+1024 for ~30% of rows) — the drift-detection fixture
+    (FIXTURES.md §5).
+    """
+    i = F.col("id")
+    h = F.xxhash64(F.lit(seed), i)
+    hex16 = F.format_string("%016x", h)
+
+    image_id = F.concat(F.lit("img-"), hex16)
+    if inject_violations:
+        # 0.5%: malformed ids (uppercase → pattern violation)
+        image_id = F.when(i % 200 == 7, F.upper(image_id)).otherwise(image_id)
+        # exact duplicate ids at known indices: row i takes row i-1's id
+        dup_id = F.concat(F.lit("img-"), F.format_string("%016x", F.xxhash64(F.lit(seed), i - 1)))
+        image_id = F.when((i % 5000 == 4999) & (i > 0), dup_id).otherwise(image_id)
+
+    w = (F.pmod(i * F.lit(2654435761), F.lit(4096)) + 1).cast("int")
+    hgt = (F.pmod(i * F.lit(40503), F.lit(4096)) + 1).cast("int")
+    if inject_violations:
+        w = F.when(i % 200 == 23, F.lit(0)).when(i % 200 == 57, F.lit(70000)).otherwise(w)
+        hgt = F.when(i % 200 == 91, F.lit(0)).when(i % 200 == 123, F.lit(70000)).otherwise(hgt)
+
+    part_id = F.pmod(i, F.lit(n_parts)).cast("int")
+    if drift:
+        # drifted partitions: +1024 on 30% of rows
+        w = F.when((part_id >= n_parts // 2) & (F.pmod(h, F.lit(10)) < 3), w + 1024).otherwise(w)
+
+    fmt = F.element_at(F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp")), (i % 3 + 1).cast("int"))
+    if inject_violations:
+        fmt = F.when(i % 200 == 141, F.lit("bmp")).when(i % 200 == 173, F.lit("")).otherwise(fmt)
+
+    # bytes: correct magic numbers + deterministic hash payload.  Real
+    # (decodable) PNG pixel payloads are produced by the multimodal module's
+    # Arrow UDF encoder; here the binary column carries magic + payload so
+    # magic-number format checks are meaningful at any scale.
+    payload = F.unhex(F.format_string("%016x%016x%016x", h, F.xxhash64(i, w), F.xxhash64(i, hgt)))
+    magic = (
+        F.when(fmt == "png", F.unhex(F.lit(MAGIC["png"])))
+        .when(fmt == "jpeg", F.unhex(F.lit(MAGIC["jpeg"])))
+        .when(
+            fmt == "webp",
+            F.concat(F.unhex(F.lit(MAGIC["webp_riff"])), F.unhex(F.lit("2a000000")), F.unhex(F.lit(MAGIC["webp_tag"]))),
+        )
+        .otherwise(F.unhex(F.lit("00000000")))
+    )
+    img_bytes = F.concat(magic, payload)
+    if inject_violations:
+        # truncated/garbage bytes → magic-number conformance failures
+        img_bytes = F.when(i % 200 == 39, F.unhex(F.lit("deadbeef"))).otherwise(img_bytes)
+
+    words = F.array(*[F.lit(wd) for wd in _WORDS])
+    n_words = (F.pmod(h, F.lit(8)) + 1).cast("int")
+    caption = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda k: F.element_at(words, (F.pmod(F.xxhash64(i, k), F.lit(len(_WORDS))) + 1).cast("int")),
+        ),
+        " ",
+    )
+    # supplementary-plane char every 1000th row: codepoint-length parity probe
+    caption = F.when(i % 1000 == 0, F.concat(caption, F.lit(" \U0001F600"))).otherwise(caption)
+    if inject_violations:
+        caption = F.when(i % 200 == 63, F.lit(None).cast("string")).when(i % 200 == 87, F.lit("")).otherwise(caption)
+
+    phash = F.xxhash64(F.floor(i / 997))
+
+    return spark.range(n_rows).select(
+        image_id.alias("image_id"),
+        img_bytes.alias("bytes"),
+        w.alias("w"),
+        hgt.alias("h"),
+        fmt.alias("fmt"),
+        caption.alias("caption"),
+        phash.alias("phash"),
+        part_id.alias("part_id"),
+    )
+
+
+# The flagship schema validated against `images` (FIXTURES.md §1) — the
+# minimum end-to-end slice of SURVEY.md §7 step 2.
+FLAGSHIP_SCHEMA = {
+    "type": "object",
+    "required": ["image_id", "bytes", "w", "h", "fmt"],
+    "properties": {
+        "image_id": {"type": "string", "pattern": "^img-[0-9a-f]{16}$"},
+        "w": {"type": "integer", "minimum": 1, "maximum": 65535},
+        "h": {"type": "integer", "minimum": 1, "maximum": 65535},
+        "fmt": {"type": "string", "enum": ["jpeg", "png", "webp"]},
+        "caption": {"type": "string", "minLength": 1, "maxLength": 512},
+        "phash": {"type": "integer"},
+    },
+}

@@ -1,0 +1,307 @@
+"""Column-backend scalar keyword semantics.
+
+Each case pins a reference behavior (file:line cited in the compiler
+docstrings): blank-string quirk, required-vs-nil, find-vs-match regexes,
+numeric bounds with exclusivity, enum/const, multipleOf exactness.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark import with_validation, violation_rows
+
+
+def _validate(spark, rows, schema_sql, json_schema, config=None):
+    df = spark.createDataFrame(rows, schema_sql)
+    out = with_validation(df, json_schema, config=config)
+    return out
+
+
+def _valid_map(spark, rows, schema_sql, json_schema, key="k"):
+    out = _validate(spark, rows, schema_sql, json_schema)
+    return {r[key]: r["valid"] for r in out.collect()}
+
+
+def test_type_string_blank_quirk(spark):
+    # core.clj:183-191 — blank strings are NOT valid strings
+    schema = {"properties": {"s": {"type": "string"}}}
+    vm = _valid_map(
+        spark,
+        [("a", "hello"), ("b", ""), ("c", "   "), ("d", None)],
+        "k string, s string",
+        schema,
+        )
+    assert vm == {"a": True, "b": False, "c": False, "d": True}  # null skips property
+
+
+def test_type_integer_not_double(spark):
+    # core.clj:238-244 — 1.0 is not an integer
+    schema = {"properties": {"x": {"type": "integer"}}}
+    vm = _valid_map(spark, [("a", 1.0)], "k string, x double", schema)
+    assert vm == {"a": False}
+    vm = _valid_map(spark, [("a", 1)], "k string, x long", schema)
+    assert vm == {"a": True}
+
+
+def test_minimum_maximum_exclusive(spark):
+    schema = {"properties": {"x": {"minimum": 2, "maximum": 5}}}
+    vm = _valid_map(spark, [("a", 1), ("b", 2), ("c", 5), ("d", 6)], "k string, x long", schema)
+    assert vm == {"a": False, "b": True, "c": True, "d": False}
+    schema = {"properties": {"x": {"minimum": 2, "exclusiveMinimum": True}}}
+    vm = _valid_map(spark, [("a", 2), ("b", 3)], "k string, x long", schema)
+    assert vm == {"a": False, "b": True}
+    # draft-6 numeric form
+    schema = {"properties": {"x": {"exclusiveMinimum": 2}}}
+    vm = _valid_map(spark, [("a", 2), ("b", 3)], "k string, x long", schema)
+    assert vm == {"a": False, "b": True}
+
+
+def test_bounds_pass_non_applicable(spark):
+    # comparator ladder: non-numbers pass numeric bounds (core.clj:93-124)
+    schema = {"properties": {"x": {"minimum": 2}}}
+    vm = _valid_map(spark, [("a", "str")], "k string, x string", schema)
+    assert vm == {"a": True}
+
+
+def test_pattern_find_semantics(spark):
+    # core.clj:1354-1377 — re-find, not full match
+    schema = {"properties": {"s": {"pattern": "b.b"}}}
+    vm = _valid_map(spark, [("a", "xxbobxx"), ("b", "nope")], "k string, s string", schema)
+    assert vm == {"a": True, "b": False}
+
+
+def test_enum_and_const(spark):
+    schema = {"properties": {"f": {"enum": ["jpeg", "png"]}, "n": {"const": 3}}}
+    vm = _valid_map(
+        spark,
+        [("a", "jpeg", 3), ("b", "bmp", 3), ("c", "png", 4)],
+        "k string, f string, n long",
+        schema,
+    )
+    assert vm == {"a": True, "b": False, "c": False}
+
+
+def test_multiple_of(spark):
+    schema = {"properties": {"x": {"multipleOf": 3}}}
+    vm = _valid_map(spark, [("a", 9), ("b", 10), ("c", 0)], "k string, x long", schema)
+    assert vm == {"a": True, "b": False, "c": True}  # 0 always passes (core.clj:429)
+    schema = {"properties": {"x": {"multipleOf": 0.5}}}
+    vm = _valid_map(spark, [("a", 1.5), ("b", 1.3)], "k string, x double", schema)
+    assert vm == {"a": True, "b": False}
+
+
+def test_length_codepoints(spark):
+    # codepoint length parity: 😀 is ONE codepoint (core.clj:1060-1062)
+    schema = {"properties": {"s": {"minLength": 2, "maxLength": 3}}}
+    vm = _valid_map(
+        spark,
+        [("a", "ab"), ("b", "a"), ("c", "abcd"), ("d", "😀😀")],
+        "k string, s string",
+        schema,
+    )
+    assert vm == {"a": True, "b": False, "c": False, "d": True}
+
+
+def test_required_nil_is_missing(spark):
+    # has-property? treats nil as missing (core.clj:852-854, issue-4)
+    schema = {"required": ["s"]}
+    vm = _valid_map(spark, [("a", "x"), ("b", None)], "k string, s string", schema)
+    assert vm == {"a": True, "b": False}
+
+
+def test_warnings_routing(spark):
+    # {:config {<keyword> :warnings}} reroutes errors → warnings
+    # (core.clj:42-45, custom_extensions_test.clj:91-128)
+    schema = {"properties": {"x": {"minimum": 10}}}
+    out = _validate(spark, [("a", 1)], "k string, x long", schema, config={"minimum": "warnings"})
+    rows = out.collect()
+    assert rows[0]["valid"] is True  # warnings don't fail the document
+    assert [v["severity"] for v in rows[0]["violations"]] == ["warning"]
+
+
+def test_violation_paths(spark):
+    schema = {"properties": {"x": {"minimum": 10}}, "required": ["s"]}
+    out = _validate(spark, [("a", 1, None)], "k string, x long, s string", schema)
+    v = violation_rows(out, ["k"]).collect()
+    got = {(tuple(r["keyword_path"]), tuple(r["instance_path"]), r["keyword"]) for r in v}
+    assert (("properties", "x", "minimum"), ("x",), "minimum") in got
+    assert (("required",), (), "required") in got
+
+
+def test_combinators(spark):
+    schema = {
+        "properties": {
+            "x": {"anyOf": [{"minimum": 10}, {"maximum": 2}]},
+            "y": {"oneOf": [{"minimum": 5}, {"multipleOf": 2}]},
+            "z": {"not": {"minimum": 5}},
+        }
+    }
+    vm = _valid_map(
+        spark,
+        [("a", 1, 6, 1), ("b", 5, 4, 7), ("c", 11, 10, 1)],
+        "k string, x long, y long, z long",
+        schema,
+    )
+    # a: x=1 anyOf ok (<=2); y=6: >=5 and mult2 → both → oneOf fail... wait 6>=5 and 6%2=0 → 2 valid → fail
+    assert vm["a"] is False
+    # b: x=5 fails anyOf; y=4: only mult2 → ok; z=7 fails not
+    assert vm["b"] is False
+    # c: x=11 ok; y=10: both → fail? 10>=5 and 10%2==0 → 2 → fail
+    assert vm["c"] is False
+    vm = _valid_map(spark, [("d", 11, 7, 1)], "k string, x long, y long, z long", schema)
+    assert vm["d"] is True  # y=7: only >=5 matches → exactly one
+
+
+def test_if_then_else(spark):
+    schema = {
+        "if": {"properties": {"f": {"const": "png"}}},
+        "then": {"properties": {"x": {"minimum": 10}}},
+        "else": {"properties": {"x": {"maximum": 5}}},
+    }
+    vm = _valid_map(
+        spark,
+        [("a", "png", 11), ("b", "png", 1), ("c", "jpeg", 1), ("d", "jpeg", 11)],
+        "k string, f string, x long",
+        schema,
+    )
+    assert vm == {"a": True, "b": False, "c": True, "d": False}
+
+
+def test_dependencies(spark):
+    schema = {"dependencies": {"a": ["b"]}}
+    vm = _valid_map(
+        spark,
+        [("r1", 1, 2), ("r2", 1, None), ("r3", None, None)],
+        "k string, a long, b long",
+        schema,
+    )
+    assert vm == {"r1": True, "r2": False, "r3": True}
+
+
+def test_exclusive_properties(spark):
+    # custom keyword (core.clj:532-552)
+    schema = {"exclusiveProperties": [{"properties": ["a", "b"], "required": True}]}
+    vm = _valid_map(
+        spark,
+        [("r1", 1, None), ("r2", 1, 2), ("r3", None, None)],
+        "k string, a long, b long",
+        schema,
+    )
+    assert vm == {"r1": True, "r2": False, "r3": False}
+
+
+def test_items_and_array_keywords(spark):
+    schema = {
+        "properties": {
+            "xs": {
+                "type": "array",
+                "items": {"minimum": 0},
+                "minItems": 1,
+                "maxItems": 4,
+                "uniqueItems": True,
+            }
+        }
+    }
+    vm = _valid_map(
+        spark,
+        [("a", [1, 2]), ("b", [-1]), ("c", []), ("d", [1, 1]), ("e", [1, 2, 3, 4, 5])],
+        "k string, xs array<long>",
+        schema,
+    )
+    assert vm == {"a": True, "b": False, "c": False, "d": False, "e": False}
+
+
+def test_items_index_in_path(spark):
+    schema = {"properties": {"xs": {"items": {"minimum": 0}}}}
+    out = _validate(spark, [("a", [1, -5, 2, -7])], "k string, xs array<long>", schema)
+    v = violation_rows(out, ["k"]).collect()
+    paths = sorted(tuple(r["instance_path"]) for r in v)
+    assert paths == [("xs", "1"), ("xs", "3")]
+
+
+def test_contains(spark):
+    schema = {"properties": {"xs": {"contains": {"minimum": 10}}}}
+    vm = _valid_map(spark, [("a", [1, 20]), ("b", [1, 2])], "k string, xs array<long>", schema)
+    assert vm == {"a": True, "b": False}
+
+
+def test_tuple_items_additional(spark):
+    schema = {
+        "properties": {
+            "xs": {"items": [{"minimum": 0}, {"maximum": 5}], "additionalItems": False}
+        }
+    }
+    vm = _valid_map(
+        spark,
+        [("a", [1, 2]), ("b", [-1, 2]), ("c", [1, 9]), ("d", [1, 2, 3]), ("e", [1])],
+        "k string, xs array<long>",
+        schema,
+    )
+    assert vm == {"a": True, "b": False, "c": False, "d": False, "e": True}
+
+
+def test_data_pointer_sibling(spark):
+    # v5 $data: bound read from a sibling value (core.clj:65-91)
+    schema = {"properties": {"lo": {"maximum": {"$data": "1/hi"}}}}
+    vm = _valid_map(
+        spark,
+        [("a", 1, 5), ("b", 9, 5), ("c", 1, None)],
+        "k string, lo long, hi long",
+        schema,
+    )
+    assert vm == {"a": True, "b": False, "c": True}  # nil bound passes
+
+
+def test_discriminator(spark):
+    # custom keyword: dispatch to #/definitions/<value> (core.clj:519-530)
+    schema = {
+        "discriminator": "rt",
+        "definitions": {
+            "User": {"properties": {"x": {"minimum": 10}}},
+            "Role": {"properties": {"x": {"maximum": 5}}},
+        },
+    }
+    vm = _valid_map(
+        spark,
+        [("a", "User", 11), ("b", "User", 1), ("c", "Role", 1), ("d", "Ghost", 1)],
+        "k string, rt string, x long",
+        schema,
+    )
+    assert vm == {"a": True, "b": False, "c": True, "d": False}
+
+
+def test_ref_definitions(spark):
+    schema = {
+        "properties": {"x": {"$ref": "#/definitions/pos"}},
+        "definitions": {"pos": {"minimum": 0}},
+    }
+    vm = _valid_map(spark, [("a", 5), ("b", -5)], "k string, x long", schema)
+    assert vm == {"a": True, "b": False}
+
+
+def test_type_formats(spark):
+    schema = {
+        "properties": {
+            "d": {"type": "date"},
+            "u": {"type": "uuid"},
+            "e": {"type": "email"},
+        }
+    }
+    vm = _valid_map(
+        spark,
+        [
+            ("a", "2024-01-01", "123e4567-e89b-12d3-a456-426614174000", "x@y.com"),
+            ("b", "not-a-date", "nope", "bad"),
+        ],
+        "k string, d string, u string, e string",
+        schema,
+    )
+    assert vm == {"a": True, "b": False}
+
+
+def test_false_schema(spark):
+    vm = _valid_map(spark, [("a", 1)], "k string, x long", {"properties": {"x": False}})
+    assert vm == {"a": False}
+    vm = _valid_map(spark, [("a", 1)], "k string, x long", {"properties": {"x": True}})
+    assert vm == {"a": True}
