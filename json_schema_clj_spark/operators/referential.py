@@ -1,0 +1,55 @@
+"""Referential-integrity checks — the table-level analog of external
+`$ref` (/root/reference/src/json_schema/core.clj:941-954): where the
+reference resolves one document's reference against a fetched schema, a
+table run validates every foreign key against a dimension table.
+
+Join strategy matters at 10^12 rows: a small dimension (formats, licenses)
+is broadcast — zero shuffle of the fact table; a large reference table
+falls back to sort-merge with AQE skew splitting.  `broadcast='auto'`
+defers to Spark's own threshold-based choice; True/False force it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dangling(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    broadcast: bool | str = True,
+) -> DataFrame:
+    """Rows of `fact` whose key has no match in `dim` (null keys pass,
+    mirroring the presence-guard of property validation)."""
+    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    if broadcast is True:
+        dim_keys = F.broadcast(dim_keys)
+    return fact.where(F.col(fact_key).isNotNull()).join(dim_keys, on=fact_key, how="left_anti")
+
+
+def referential_violations(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    dim_name: str,
+    id_cols: list[str],
+    broadcast: bool | str = True,
+    severity: str = "error",
+) -> DataFrame:
+    """Violation rows tagged keyword_path ['$ref', <dim_name>] — the shape
+    FIXTURES.md §2 expects for dangling license/format references."""
+    bad = dangling(fact, fact_key, dim, dim_key, broadcast=broadcast)
+    return bad.select(
+        *id_cols,
+        F.array(F.lit("$ref"), F.lit(dim_name)).alias("keyword_path"),
+        F.array(F.lit(fact_key)).alias("instance_path"),
+        F.lit("$ref").alias("keyword"),
+        F.concat(
+            F.lit(f"Could not resolve $ref = {dim_name}/"), F.col(fact_key).cast("string")
+        ).alias("message"),
+        F.lit(severity).alias("severity"),
+    )

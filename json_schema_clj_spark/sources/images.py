@@ -59,8 +59,11 @@ def images_df(
         dup_id = F.concat(F.lit("img-"), F.format_string("%016x", F.xxhash64(F.lit(seed), i - 1)))
         image_id = F.when((i % 5000 == 4999) & (i > 0), dup_id).otherwise(image_id)
 
-    w = (F.pmod(i * F.lit(2654435761), F.lit(4096)) + 1).cast("int")
-    hgt = (F.pmod(i * F.lit(40503), F.lit(4096)) + 1).cast("int")
+    # hash-based uniform draws: the multiplicative-lattice form aliases with
+    # part_id = i mod 64 (each partition would occupy a different residue
+    # lattice → false drift signals); xxhash64 is uniform per partition
+    w = (F.pmod(F.xxhash64(F.lit(seed + 1), i), F.lit(4096)) + 1).cast("int")
+    hgt = (F.pmod(F.xxhash64(F.lit(seed + 2), i), F.lit(4096)) + 1).cast("int")
     if inject_violations:
         w = F.when(i % 200 == 23, F.lit(0)).when(i % 200 == 57, F.lit(70000)).otherwise(w)
         hgt = F.when(i % 200 == 91, F.lit(0)).when(i % 200 == 123, F.lit(70000)).otherwise(hgt)

@@ -1,0 +1,82 @@
+"""Table-level operators: stats, uniqueness (salted), referential, drift —
+golden expectations derived from the seeded images generator."""
+
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark.operators.drift import detect_drift
+from json_schema_clj_spark.operators.referential import dangling, referential_violations
+from json_schema_clj_spark.operators.stats import column_profile
+from json_schema_clj_spark.operators.uniqueness import duplicates, uniqueness_violations
+from json_schema_clj_spark.sources.images import images_df
+
+N = 10_000
+
+
+def test_column_profile(spark):
+    df = images_df(spark, N)
+    prof = {r["column"]: r for r in column_profile(df, exact=True).collect()}
+    assert prof["caption"]["n_null"] == N // 200  # injected nulls
+    assert prof["w"]["null_rate"] == 0.0
+    assert int(prof["w"]["min_value"]) == 0  # injected violation value
+    assert int(prof["w"]["max_value"]) == 70000
+    assert prof["fmt"]["n_distinct"] == 5  # jpeg png webp bmp ''
+    assert prof["image_id"]["n_rows"] == N
+
+
+def test_uniqueness_duplicates(spark):
+    df = images_df(spark, N)
+    # exact duplicate image_id pairs injected at i%5000==4999 (i>0): rows
+    # 4999 and 9999 take the id of their predecessor → 2 duplicated ids
+    dups = duplicates(df, ["image_id"]).collect()
+    assert len(dups) == 2
+    assert all(r["n"] == 2 for r in dups)
+    # salted and unsalted agree
+    dups2 = duplicates(df, ["image_id"], salted=False).collect()
+    assert sorted(r["image_id"] for r in dups) == sorted(r["image_id"] for r in dups2)
+    # phash is massively duplicated by construction (hot buckets)
+    ph = duplicates(df, ["phash"]).agg(F.sum("n")).collect()[0][0]
+    assert ph == N  # every phash value is shared by ~997 rows
+
+
+def test_uniqueness_violation_rows(spark):
+    df = images_df(spark, N)
+    v = uniqueness_violations(df, ["image_id"], id_cols=["image_id", "part_id"]).collect()
+    assert len(v) == 4  # 2 dup keys × 2 rows each
+    assert all(list(r["keyword_path"]) == ["uniqueItems", "image_id"] for r in v)
+
+
+def test_referential(spark):
+    df = images_df(spark, N)
+    dim = spark.createDataFrame(
+        [("jpeg", "image/jpeg"), ("png", "image/png"), ("webp", "image/webp")],
+        "fmt string, mime string",
+    )
+    bad = dangling(df, "fmt", dim, "fmt")
+    # injected: i%200==141 → 'bmp', i%200==173 → '' — both dangling
+    assert bad.count() == 2 * (N // 200)
+    v = referential_violations(df, "fmt", dim, "fmt", "dim_fmt", id_cols=["image_id"])
+    row = v.first()
+    assert list(row["keyword_path"]) == ["$ref", "dim_fmt"]
+    assert row["message"].startswith("Could not resolve $ref = dim_fmt/")
+
+
+def test_referential_broadcast_plan(spark):
+    df = images_df(spark, N)
+    dim = spark.createDataFrame([("jpeg",), ("png",), ("webp",)], "fmt string")
+    plan = dangling(df, "fmt", dim, "fmt")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # small dim must broadcast, no shuffle
+
+
+def test_drift_detection(spark):
+    # drifted generator shifts w by +1024 on 30% of rows in partitions 32-63
+    df = images_df(spark, 40_000, drift=True, inject_violations=False)
+    scores = detect_drift(
+        df, "w", "part_id",
+        baseline_filter=F.col("part_id") < 32,
+        lo=0.0, hi=5200.0, buckets=64,
+        ks_threshold=0.08, psi_threshold=0.15,
+    )
+    flags = {r["group"]: r["drifted"] for r in scores.collect()}
+    assert len(flags) == 64
+    drifted = {g for g, d in flags.items() if d}
+    assert drifted == {g for g in flags if int(g) >= 32}, sorted(drifted)
