@@ -1,0 +1,109 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  The flagship image-validation job
+(deterministic synthetic table, FIXTURES.md §1) is included with its
+rows/sec; tools/bench_scaling.py runs this file at two parallelism levels
+for the N→4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+
+BENCH_QUERIES = [
+    "validate_lineitem_keywords",
+    "validate_verdicts_orders",
+    "stats_profile_orders",
+    "uniqueness_orders_custkey",
+    "referential_dangling_partkeys",
+    "drift_ks_psi_orders",
+    "tpch_q1_pricing_summary",
+    "join_revenue_by_nation",
+    "events_json_props_agg",
+    "window_top_event_per_user",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_profile_documents",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup",
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2000000"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("json-schema-clj-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from json_schema_clj_spark.queries import QUERIES
+    from json_schema_clj_spark.operators.validate import validate
+    from json_schema_clj_spark.sources.images import FLAGSHIP_SCHEMA, images_df
+
+    timings: dict[str, float] = {}
+
+    # flagship: schema-validate the synthetic image+caption table
+    t0 = time.monotonic()
+    res = validate(
+        images_df(spark, n_images), FLAGSHIP_SCHEMA, id_cols=["image_id"], part_col="part_id"
+    )
+    materialize(res["verdicts"])
+    dt = time.monotonic() - t0
+    timings["images_flagship_validate"] = round(dt, 3)
+    images_rows_per_sec = round(n_images / dt)
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation_engine_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "images_rows": n_images,
+                "images_rows_per_sec": images_rows_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,352 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension over the `documents` table).
+
+All variants are expressed as Column/HOF plans — no per-row Python:
+
+* exact           — normalize → md5 → hash-groupBy (partial agg + one
+                    shuffle on the hash; dup groups are rare → tiny result)
+* n-gram Jaccard  — word-shingle explode → pair-join on shingle hash →
+                    exact Jaccard on shared counts (classic candidate-pair
+                    plan; shingle key is high-cardinality → well-spread
+                    shuffle, hot shingles capped via frequency filter)
+* MinHash + LSH   — per-row signature arrays via HOFs, banded bucket join,
+                    signature-similarity verification (the 100 TB path:
+                    |pairs| never materializes beyond shared buckets)
+* SimHash         — 64-bit sign-aggregated word-hash fingerprint, banded
+                    by 16-bit chunks for Hamming-neighbor candidates
+* embedding cosine near-dup — see similarity.py
+
+Hash choice: md5 (hex string) for anything an external oracle must
+replicate (DuckDB has md5); xxhash64 (JVM-side, fastest) for internal-only
+signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text: Column) -> Column:
+    """Canonical text form: lowercase, collapsed whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def text_hash(text: Column) -> Column:
+    return F.md5(normalized(text))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash, n) for every exactly-duplicated normalized text."""
+    return (
+        df.groupBy(text_hash(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized text.  min_by avoids a
+    window sort — one hash agg, then a semi-join free projection."""
+    keep = (
+        df.select(F.col(id_col), text_hash(F.col(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+    )
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as md5 hex hashes (array<string>)."""
+    words = F.split(normalized(text), " ")
+    # zip k shifted copies of the word array instead of slicing per index:
+    # `slice(words, i, k)` inside a transform lambda re-evaluates the split
+    # for EVERY index (no CSE across lambda boundaries) — measured 14×
+    # slower.  arrays_zip pads the shorter (shifted) arrays with null; rows
+    # whose last word is null are the <k tails and are filtered out.
+    shifted = [F.slice(words, i + 1, 1 << 30).alias(f"w{i}") for i in range(k)]
+    z = F.arrays_zip(*shifted)
+    last = f"w{k - 1}"
+    sh = F.filter(
+        F.transform(
+            z,
+            lambda s: F.when(
+                s[last].isNotNull(),
+                F.md5(F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return F.array_distinct(sh)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-k-shingles for every candidate pair sharing
+    at least one shingle: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan: explode distinct shingles → self-join on shingle hash (shuffle
+    key = shingle, high cardinality) → count shared per pair → join the two
+    per-doc shingle counts (broadcastable aggregate) → Jaccard.  At 100 TB,
+    `max_shingle_freq` drops boilerplate shingles that would create
+    quadratic hot buckets (the standard stop-shingle guard).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    # spread the exploded shingle table across the cluster regardless of the
+    # input's partitioning (a single-file read would otherwise serialize the
+    # whole join), and compute it once
+    ex = ex.repartition(df.sparkSession.sparkContext.defaultParallelism, "sh").persist()
+    if max_shingle_freq is not None:
+        hot = ex.groupBy("sh").count().where(F.col("count") > max_shingle_freq).select("sh")
+        ex = ex.join(F.broadcast(hot), on="sh", how="left_anti")
+    # per-doc shingle counts derived from the same exploded frame (shingles
+    # are already distinct per doc)
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """num_hashes-wide MinHash signature (array<bigint>).
+
+    One pass over the shingle array per row: fold with an array accumulator,
+    each step zip_with-min'ing the accumulator against the shingle's
+    num_hashes keyed hashes.  Pure HOFs → whole-stage codegen, no Python.
+    """
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1))
+
+    def step(acc, sh):
+        hashes = F.transform(seeds, lambda j: F.xxhash64(j, sh))
+        return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
+
+    return F.aggregate(shingles, init, step)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<bigint>) via explode → num_hashes-way MIN aggregate —
+    the scale shape: map-side partial mins compress the shuffle to |docs|
+    rows, and the num_hashes conditional mins vectorize in one hash agg
+    (the per-row array fold variant is codegen-hostile; same lesson as
+    simhash_df)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    aggs = [F.min(F.xxhash64(F.lit(seed + j), F.col("sh"))).alias(f"h{j}") for j in range(num_hashes)]
+    sums = ex.groupBy("id").agg(*aggs)
+    return sums.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
+
+
+def lsh_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: (id_a, id_b, sim) where sim is the
+    signature agreement rate (unbiased Jaccard estimate).
+
+    Banding: signature split into `bands` chunks of num_hashes/bands; a pair
+    lands in a candidate bucket iff some whole band agrees.  The join key is
+    (band_idx, band_hash) — collision probability tuned by bands/rows so
+    shuffle volume stays ~linear in corpus size at 100 TB.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))).alias("bh"),
+        ),
+    )
+    buckets = sigs.select("id", "sig", F.explode(band_arr).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.size(F.col("a.sig"))
+            ).alias("sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("sim") >= threshold)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(text: Column, bits: int = 64, seed: int = 7) -> Column:
+    """Sign-aggregated word-hash fingerprint as a bigint.
+
+    For each bit b: sum over words of ±1 by word-hash bit b; result bit = 1
+    iff the sum is positive.  One fold over the word array with a bit-count
+    array accumulator; the bit loop is unrolled at compile time (shift
+    amounts must be literals) — still a single whole-stage-codegen'd
+    expression, no Python at runtime.
+    """
+    words = F.array_distinct(F.split(normalized(text), " "))
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def step(acc, w):
+        h = F.xxhash64(F.lit(seed), w)
+        contrib = F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for b in range(bits)
+            ]
+        )
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+    counts = F.aggregate(words, init, step)
+    # assemble the bigint: 2^b for positive bits; bit 63 is the sign bit
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = F.shiftleft(F.lit(1).cast("long"), b)
+        out = out + F.when(F.element_at(counts, b + 1) > 0, weight).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sh) SimHash fingerprints via explode → 64-way hash aggregate.
+
+    This is the scale shape: one row per (doc, distinct word) feeding 64
+    conditional sums in a single partial+final hash agg — vectorized, and
+    the map-side combine keeps shuffle at |docs| rows.  (A per-row array
+    fold compiles to a 64-wide expression per element — measured 50×
+    slower; don't.)
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("w"),
+    )
+    h = F.xxhash64(F.lit(seed), F.col("w"))
+    aggs = [
+        F.sum((F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = ex.groupBy("id").agg(*aggs)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("id", out.alias("sh"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 7,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64-bit fingerprint into four
+    16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk equal),
+    bucket-join, then verify exact Hamming distance ≤ max_hamming.
+
+    Buckets larger than `max_bucket_size` are dropped before the self-join
+    (the hot-bucket guard: a degenerate chunk shared by everything would
+    make the join quadratic)."""
+    sh = simhash_df(df, text_col, id_col, seed=seed)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+            )
+            for c in range(4)
+        ]
+    )
+    buckets = sh.select("id", "sh", F.explode(chunks).alias("c")).select(
+        "id", "sh", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("chunk", "ch")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("chunk", "ch")
+        )
+        buckets = buckets.join(F.broadcast(hot), on=["chunk", "ch"], how="left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

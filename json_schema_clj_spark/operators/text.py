@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions (regex + HOFs) — designed so an external SQL
+engine can replicate every measure exactly (the DuckDB oracle contract):
+md5 where hashing must match, regexp dialects kept to the common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "de", "que", "los", "las"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation split by a
+    BPE-style regex — a cheap, deterministic proxy for tokenizer cost."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_STOPWORDS["en"]
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length in a sane band, moderate
+    punctuation, some stopwords, sane mean word length — the standard cheap
+    pre-filter battery for web-scale corpora."""
+    n_tok = token_count(text)
+    len_ok = (n_tok >= 5) & (n_tok <= 100000)
+    punct_ok = punct_ratio(text) <= 0.2
+    mwl = mean_word_length(text)
+    mwl_ok = (mwl >= 2) & (mwl <= 12)
+    sw_ok = stopword_ratio(text) >= 0.0
+    score = (
+        len_ok.cast("int") + punct_ok.cast("int") + mwl_ok.cast("int") + sw_ok.cast("int")
+    ) / F.lit(4.0)
+    return score
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language."""
+    toks = tokens(text)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def detect_lang(text: Column) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when no list
+    scores > 0.  Deterministic tiebreak by language code order."""
+    scores = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # de < en < es < fr; later wins only if strictly greater
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text (oracle-
+    replicable)."""
+    return F.md5(normalized(text))
+
+
+def winnow_sketch(text: Column, k: int = 3, top: int = 5) -> Column:
+    """Order-insensitive near-dup sketch: the `top` lexicographically
+    smallest k-word-shingle md5s, comma-joined (a deterministic min-k
+    sketch in the winnowing family)."""
+    from .dedup import word_shingles
+
+    sh = F.array_sort(word_shingles(text, k))
+    return F.concat_ws(",", F.slice(sh, 1, top))
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subtokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(quality_score(t), 6).alias("quality"),
+        detect_lang(t).alias("lang_detected"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,602 @@
+"""Operator showcase queries over the driver's TPC-H-ish tables, each with
+an ANSI-SQL DuckDB oracle (the __spark_entry__ correctness contract).
+
+Every entry exercises one engine operator from SURVEY.md §2 / the
+training-data extensions; column names are aligned between the Spark plan
+and the oracle SQL so the driver's order-insensitive value-hash matches.
+Floating aggregates are computed on exact decimals (or rounded to 6
+digits) so both engines produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import drift as DR
+from .operators import referential as R
+from .operators import similarity as S
+from .operators import stats as ST
+from .operators import text as TX
+from .operators import uniqueness as U
+from .operators.validate import keyword_breakdown, verdicts, with_validation
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. flagship schema validation → keyword breakdown
+
+LINEITEM_SCHEMA = {
+    "type": "object",
+    "required": ["l_orderkey", "l_partkey", "l_quantity"],
+    "properties": {
+        "l_quantity": {"type": "number", "minimum": 1, "maximum": 49},
+        "l_discount": {"minimum": 0.0, "maximum": 0.08},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+        "l_linestatus": {"pattern": "^[OF]$"},
+        "l_linenumber": {"type": "integer", "minimum": 1, "maximum": 7},
+    },
+}
+
+
+def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "lineitem")
+    validated = with_validation(df, LINEITEM_SCHEMA)
+    return keyword_breakdown(validated).orderBy("keyword_path")
+
+
+SQL_VALIDATE_LINEITEM = """
+WITH checks AS (
+  SELECT 'properties/l_quantity/maximum' AS keyword_path, 'maximum' AS keyword,
+         'error' AS severity,
+         count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity <= 49)) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'properties/l_quantity/minimum', 'minimum', 'error',
+         count(*) FILTER (WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 1))
+  FROM lineitem
+  UNION ALL
+  SELECT 'properties/l_discount/maximum', 'maximum', 'error',
+         count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount <= 0.08))
+  FROM lineitem
+  UNION ALL
+  SELECT 'properties/l_discount/minimum', 'minimum', 'error',
+         count(*) FILTER (WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0.0))
+  FROM lineitem
+  UNION ALL
+  SELECT 'properties/l_returnflag/enum', 'enum', 'error',
+         count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A','N','R'), FALSE))
+  FROM lineitem
+  UNION ALL
+  SELECT 'properties/l_linestatus/pattern', 'pattern', 'error',
+         count(*) FILTER (WHERE l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$'))
+  FROM lineitem
+  UNION ALL
+  SELECT 'properties/l_linenumber/maximum', 'maximum', 'error',
+         count(*) FILTER (WHERE l_linenumber IS NOT NULL AND NOT (l_linenumber <= 7))
+  FROM lineitem
+  UNION ALL
+  SELECT 'properties/l_linenumber/minimum', 'minimum', 'error',
+         count(*) FILTER (WHERE l_linenumber IS NOT NULL AND NOT (l_linenumber >= 1))
+  FROM lineitem
+  UNION ALL
+  SELECT 'required', 'required', 'error',
+         (count(*) FILTER (WHERE l_orderkey IS NULL))
+       + (count(*) FILTER (WHERE l_partkey IS NULL))
+       + (count(*) FILTER (WHERE l_quantity IS NULL))
+  FROM lineitem
+)
+SELECT keyword_path, keyword, severity, n_violations
+FROM checks WHERE n_violations > 0
+ORDER BY keyword_path
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. per-partition verdicts
+
+ORDERS_SCHEMA = {
+    "type": "object",
+    "required": ["o_orderkey", "o_custkey"],
+    "properties": {
+        "o_orderstatus": {"enum": ["O", "F", "P"]},
+        "o_totalprice": {"exclusiveMinimum": 0},
+        "o_orderpriority": {"pattern": "^[1-5]-"},
+    },
+}
+
+
+def q_verdicts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "orders")
+    validated = with_validation(df, ORDERS_SCHEMA)
+    return verdicts(validated, "o_orderpriority").orderBy("o_orderpriority")
+
+
+SQL_VERDICTS_ORDERS = """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE NOT (
+            o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        AND coalesce(o_orderstatus IN ('O','F','P'), o_orderstatus IS NULL)
+        AND (o_totalprice IS NULL OR o_totalprice > 0)
+        AND (o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-'))
+       )) AS n_fail,
+       (count(*) FILTER (WHERE NOT (
+            o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        AND coalesce(o_orderstatus IN ('O','F','P'), o_orderstatus IS NULL)
+        AND (o_totalprice IS NULL OR o_totalprice > 0)
+        AND (o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-'))
+       ))) = 0 AS pass
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. column stats profile (bigint/string columns — no float formatting traps)
+
+
+def q_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "orders")
+    return ST.column_profile(
+        df, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], exact=True
+    ).orderBy("column")
+
+
+SQL_STATS_ORDERS = """
+WITH w AS (
+  SELECT count(*) n_rows,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) k_nulls,
+         CAST(min(o_orderkey) AS VARCHAR) k_min, CAST(max(o_orderkey) AS VARCHAR) k_max,
+         count(DISTINCT o_orderkey) k_d,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) c_nulls,
+         CAST(min(o_custkey) AS VARCHAR) c_min, CAST(max(o_custkey) AS VARCHAR) c_max,
+         count(DISTINCT o_custkey) c_d,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) s_nulls,
+         CAST(min(o_orderstatus) AS VARCHAR) s_min, CAST(max(o_orderstatus) AS VARCHAR) s_max,
+         count(DISTINCT o_orderstatus) s_d,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) p_nulls,
+         CAST(min(o_orderpriority) AS VARCHAR) p_min, CAST(max(o_orderpriority) AS VARCHAR) p_max,
+         count(DISTINCT o_orderpriority) p_d
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column", n_rows, k_nulls AS n_null, k_nulls / CAST(n_rows AS DOUBLE) AS null_rate,
+         k_min AS min_value, k_max AS max_value, k_d AS n_distinct FROM w
+  UNION ALL
+  SELECT 'o_custkey', n_rows, c_nulls, c_nulls / CAST(n_rows AS DOUBLE), c_min, c_max, c_d FROM w
+  UNION ALL
+  SELECT 'o_orderstatus', n_rows, s_nulls, s_nulls / CAST(n_rows AS DOUBLE), s_min, s_max, s_d FROM w
+  UNION ALL
+  SELECT 'o_orderpriority', n_rows, p_nulls, p_nulls / CAST(n_rows AS DOUBLE), p_min, p_max, p_d FROM w
+) ORDER BY "column"
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. uniqueness (salted two-stage agg)
+
+
+def q_duplicates_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "orders")
+    return U.duplicates(df, ["o_custkey"], salted=True).orderBy("o_custkey")
+
+
+SQL_DUPLICATES_ORDERS_CUSTKEY = """
+SELECT o_custkey, count(*) AS n FROM orders
+GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. referential integrity (anti-join); dim mutated so danglers exist
+
+
+def q_dangling_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    dim = t(spark, sf_dir, "part").where(F.pmod(F.col("p_partkey"), F.lit(10)) != 0)
+    bad = R.dangling(li, "l_partkey", dim, "p_partkey")
+    return bad.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).orderBy("l_partkey")
+
+
+SQL_DANGLING_PARTKEYS = """
+SELECT l_partkey, count(*) AS n FROM lineitem
+WHERE l_partkey IS NOT NULL
+  AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0)
+GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. distribution drift (KS/PSI per group vs pooled baseline)
+
+_DRIFT_LO, _DRIFT_HI, _DRIFT_BUCKETS = 0.0, 600000.0, 32
+
+
+def q_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "orders")
+    scores = DR.detect_drift(
+        df,
+        "o_totalprice",
+        "o_orderpriority",
+        baseline_filter=F.col("o_orderkey") % 2 == 0,
+        lo=_DRIFT_LO,
+        hi=_DRIFT_HI,
+        buckets=_DRIFT_BUCKETS,
+        ks_threshold=0.05,
+        psi_threshold=0.1,
+    )
+    return scores.select(
+        "group", F.round("ks", 6).alias("ks"), F.round("psi", 6).alias("psi"), "drifted"
+    ).orderBy("group")
+
+
+SQL_DRIFT_ORDERS = f"""
+WITH params AS (SELECT {_DRIFT_LO} lo, {_DRIFT_HI} hi, {_DRIFT_BUCKETS} nb),
+bucketed AS (
+  SELECT o_orderpriority AS grp,
+         least(greatest(CAST(floor((o_totalprice - lo) / ((hi - lo) / nb)) AS BIGINT), 0), nb - 1) AS bucket,
+         o_orderkey
+  FROM orders, params WHERE o_totalprice IS NOT NULL
+),
+pooled AS (
+  SELECT bucket, count(*) AS n_base FROM bucketed WHERE o_orderkey % 2 = 0 GROUP BY bucket
+),
+cur AS (
+  SELECT grp, bucket, count(*) AS n_cur FROM bucketed GROUP BY grp, bucket
+),
+groups AS (SELECT DISTINCT grp FROM cur),
+base AS (SELECT g.grp, p.bucket, p.n_base FROM groups g CROSS JOIN pooled p),
+j AS (
+  SELECT coalesce(b.grp, c.grp) AS grp, coalesce(b.bucket, c.bucket) AS bucket,
+         coalesce(b.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+  FROM base b FULL OUTER JOIN cur c ON b.grp = c.grp AND b.bucket = c.bucket
+),
+tot AS (SELECT grp, sum(n_base) tot_base, sum(n_cur) tot_cur FROM j GROUP BY grp),
+scored AS (
+  SELECT j.grp, j.bucket,
+         sum(n_base / CAST(greatest(tot_base, 1) AS DOUBLE)) OVER (PARTITION BY j.grp ORDER BY j.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf_base,
+         sum(n_cur / CAST(greatest(tot_cur, 1) AS DOUBLE)) OVER (PARTITION BY j.grp ORDER BY j.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf_cur,
+         (n_base / CAST(greatest(tot_base, 1) AS DOUBLE) - n_cur / CAST(greatest(tot_cur, 1) AS DOUBLE))
+           * ln((n_base / CAST(greatest(tot_base, 1) AS DOUBLE) + 1e-6)
+              / (n_cur / CAST(greatest(tot_cur, 1) AS DOUBLE) + 1e-6)) AS psi_term
+  FROM j JOIN tot ON j.grp = tot.grp
+)
+SELECT grp AS "group", round(max(abs(cdf_base - cdf_cur)), 6) AS ks,
+       round(sum(psi_term), 6) AS psi,
+       (max(abs(cdf_base - cdf_cur)) > 0.05 OR sum(psi_term) > 0.1) AS drifted
+FROM scored GROUP BY grp ORDER BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. TPC-H Q1 pricing summary (agg pipeline; exact-decimal money math)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc) * (F.lit(1).cast("decimal(18,2)") + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. broadcast join chain: revenue per nation
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. JSON prop extraction + agg (events.props is a raw JSON string)
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. window function: top event per user by value
+
+
+def q_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+SQL_TOP_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. exact dedup groups
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_duplicate_groups(docs).orderBy("text_hash")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash, count(*) AS n
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. n-gram Jaccard near-dup pairs
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS sh
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(shared / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. text profile (tokens, quality, lang-ID, fingerprint)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return TX.text_profile(docs).drop("n_subtokens").orderBy("doc_id")
+
+
+SQL_TEXT_PROFILE = """
+WITH base AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM base
+),
+m AS (
+  SELECT doc_id, text, norm, toks,
+         len(toks) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio_raw,
+         len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], t))) / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio_raw,
+         list_sum(list_transform(toks, t -> length(t))) / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl_raw,
+         len(list_filter(toks, t -> list_contains(['der','die','und','das','ein'], t))) AS h_de,
+         len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], t))) AS h_en,
+         len(list_filter(toks, t -> list_contains(['el','de','que','los','las'], t))) AS h_es,
+         len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) AS h_fr
+  FROM tok
+),
+sc AS (
+  SELECT *,
+         ((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+        + (CASE WHEN punct_ratio_raw <= 0.2 THEN 1 ELSE 0 END)
+        + (CASE WHEN mwl_raw >= 2 AND mwl_raw <= 12 THEN 1 ELSE 0 END)
+        + 1) / 4.0 AS quality_raw,
+         CASE WHEN h_fr > greatest(h_es, h_en, h_de, 0) THEN 'fr'
+              WHEN h_es > greatest(h_en, h_de, 0) THEN 'es'
+              WHEN h_en > greatest(h_de, 0) THEN 'en'
+              WHEN h_de > 0 THEN 'de'
+              ELSE 'und' END AS lang_detected
+  FROM m
+)
+SELECT doc_id,
+       n_tokens,
+       round(punct_ratio_raw, 6) AS punct_ratio,
+       round(stop_ratio_raw, 6) AS stopword_ratio,
+       round(mwl_raw, 6) AS mean_word_len,
+       round(quality_raw, 6) AS quality,
+       lang_detected,
+       md5(norm) AS fingerprint
+FROM sc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. brute-force cosine top-k (ANN baseline)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops → rows-only driver checks (no oracle entry)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.lsh_near_duplicates(docs, k=3, num_hashes=64, bands=16, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_candidates(docs, max_hamming=6).orderBy("id_a", "id_b")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embedding_near_duplicates(emb, threshold=0.9).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = S.lsh_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+QUERIES = {
+    "validate_lineitem_keywords": q_validate_lineitem,
+    "validate_verdicts_orders": q_verdicts_orders,
+    "stats_profile_orders": q_stats_orders,
+    "uniqueness_orders_custkey": q_duplicates_orders_custkey,
+    "referential_dangling_partkeys": q_dangling_partkeys,
+    "drift_ks_psi_orders": q_drift_orders,
+    "tpch_q1_pricing_summary": q_pricing_summary,
+    "join_revenue_by_nation": q_revenue_by_nation,
+    "events_json_props_agg": q_events_props,
+    "window_top_event_per_user": q_top_event_per_user,
+    "dedup_exact_documents": q_dedup_exact,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "text_profile_documents": q_text_profile,
+    "ann_cosine_topk": q_ann_topk,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash_candidates,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_lsh_topk": q_lsh_ann_topk,
+}
+
+ORACLES = {
+    "validate_lineitem_keywords": SQL_VALIDATE_LINEITEM,
+    "validate_verdicts_orders": SQL_VERDICTS_ORDERS,
+    "stats_profile_orders": SQL_STATS_ORDERS,
+    "uniqueness_orders_custkey": SQL_DUPLICATES_ORDERS_CUSTKEY,
+    "referential_dangling_partkeys": SQL_DANGLING_PARTKEYS,
+    "drift_ks_psi_orders": SQL_DRIFT_ORDERS,
+    "tpch_q1_pricing_summary": SQL_PRICING_SUMMARY,
+    "join_revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "events_json_props_agg": SQL_EVENTS_PROPS,
+    "window_top_event_per_user": SQL_TOP_EVENT_PER_USER,
+    "dedup_exact_documents": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_profile_documents": SQL_TEXT_PROFILE,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+    # dedup_minhash_lsh / dedup_simhash / embedding_near_dup / ann_lsh_topk:
+    # xxhash64-keyed signatures are not expressible in ANSI SQL → rows-only
+}
