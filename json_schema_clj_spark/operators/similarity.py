@@ -64,38 +64,52 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 11) -> Column:
+def mean_vector(df: DataFrame, vec_col: str, dim: int) -> list[float]:
+    """Global mean vector (one tiny agg, collected — 64 doubles)."""
+    row = df.agg(
+        *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    return [row[f"m{i}"] or 0.0 for i in range(dim)]
+
+
+def hyperplane_signature(
+    vec: Column,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 11,
+    center: list[float] | None = None,
+) -> Column:
     """Deterministic random-hyperplane LSH signature as a bigint bucket.
 
     Plane p's weights are hash-derived ±1 per dimension (a seeded Rademacher
     projection — no stored plane matrix, any executor recomputes it).  One
-    fold over the vector accumulates all plane sums simultaneously; the
-    plane loop is compile-time unrolled (shift amounts must be literals).
+    zip_with per plane computes that plane's projection; per-row array-fold
+    accumulators are codegen-hostile (measured 100×+ slower) — n_planes
+    independent folds over the vector stay flat and vectorize.
+
+    `center`: subtract this vector before projecting.  Clustered corpora
+    (the normal case) otherwise collapse into a handful of buckets because
+    every origin-through hyperplane assigns whole clusters the same side —
+    centering spreads buckets by within-cluster variation.
     """
-    # pair each element with its dimension index
-    pairs = F.zip_with(
-        vec,
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda x, d: F.struct(x.cast("double").alias("x"), d.alias("d")),
-    )
-    init = F.array(*[F.lit(0.0) for _ in range(n_planes)])
-
-    def step(acc, pr):
-        return F.array(
-            *[
-                F.element_at(acc, p + 1)
-                + pr["x"]
-                * (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), pr["d"]), F.lit(2)) * 2 - 1).cast("double")
-                for p in range(n_planes)
-            ]
-        )
-
-    sums = F.aggregate(pairs, init, step)
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    if center is not None:
+        cvec = F.array(*[F.lit(float(c)) for c in center])
+        vec = F.zip_with(vec, cvec, lambda x, c: x.cast("double") - c)
     out = F.lit(0).cast("long")
     for p in range(n_planes):
-        out = out + F.when(
-            F.element_at(sums, p + 1) > 0, F.shiftleft(F.lit(1).cast("long"), p)
-        ).otherwise(F.lit(0).cast("long"))
+        signs = F.transform(
+            dims,
+            lambda d, _p=p: (F.pmod(F.xxhash64(F.lit(seed), F.lit(_p), d), F.lit(2)) * 2 - 1).cast("double"),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
     return out
 
 
@@ -115,9 +129,10 @@ def lsh_topk(
     rerank within candidates only."""
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
+    center = mean_vector(corpus, vec_col, dim)
 
     def with_bands(df: DataFrame, idc: str, vc: str, out_id: str, out_vec: str) -> DataFrame:
-        sig = hyperplane_signature(F.col(vc), dim, n_planes, seed)
+        sig = hyperplane_signature(F.col(vc), dim, n_planes, seed, center=center)
         bandarr = F.array(
             *[
                 F.struct(
@@ -153,32 +168,60 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 12,
-    bands: int = 4,
+    n_planes: int = 16,
+    bands: int = 2,
     seed: int = 11,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold),
-    candidate generation via shared signature bands."""
+    candidate generation via shared signature bands.
+
+    Cost discipline: vectors are L2-normalized ONCE before the join (cosine
+    of candidates = plain dot), the signature frame is persisted so the
+    self-join doesn't recompute it, and duplicate candidate pairs are
+    collapsed BEFORE the dot product — the expensive work runs once per
+    surviving pair.  8-bit bands keep random collisions ~1/256 per band so
+    candidate volume tracks true near-dup clusters, not corpus size².
+    """
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
-    sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+    sig = hyperplane_signature(
+        F.col(vec_col), dim, n_planes, seed, center=mean_vector(df, vec_col, dim)
+    )
+    # persist materializes norms + signatures once — the CSE barrier for the
+    # self-join (lambda-bound expressions re-evaluate otherwise)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        sig.alias("sig"),
+    ).persist()
     bandarr = F.array(
         *[
             F.struct(
                 F.lit(bidx).alias("band"),
-                F.shiftright(sig, bidx * bits_per_band).bitwiseAND(F.lit(mask)).alias("bh"),
+                F.shiftright(F.col("sig"), bidx * bits_per_band).bitwiseAND(F.lit(mask)).alias("bh"),
             )
             for bidx in range(bands)
         ]
     )
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(bandarr).alias("b")).select(
-        "id", "v", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    b = base.select("id", "v", "nrm", F.explode(bandarr).alias("b")).select(
+        "id", "v", "nrm", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    # hot-bucket guard: a degenerate bucket makes the self-join quadratic
+    hot = b.groupBy("band", "bh").count().where(F.col("count") > 1000).select("band", "bh")
+    b = b.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
     l, r = b.alias("l"), b.alias("r")
-    return (
+    cand = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                cosine(F.col("l.v"), F.col("r.v")).alias("cos"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+            (F.col("l.nrm") * F.col("r.nrm")).alias("nn"),
+        )
         .dropDuplicates(["id_a", "id_b"])
-        .where(F.col("cos") >= threshold)
     )
+    return cand.select(
+        "id_a", "id_b", (dot(F.col("va"), F.col("vb")) / F.col("nn")).alias("cos")
+    ).where(F.col("cos") >= threshold)

@@ -46,7 +46,7 @@ LINEITEM_SCHEMA = {
 def q_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "lineitem")
     validated = with_validation(df, LINEITEM_SCHEMA)
-    return keyword_breakdown(validated).orderBy("keyword_path")
+    return keyword_breakdown(validated, prefilter=~F.col("valid")).orderBy("keyword_path")
 
 
 SQL_VALIDATE_LINEITEM = """
