@@ -1,0 +1,80 @@
+"""Multimodal plumbing: PNG codec round-trip, Arrow-batched decode/
+feature/resize UDFs, PSNR invariant, magic-number conformance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark.operators import multimodal as M
+from json_schema_clj_spark.sources.images import images_df
+
+
+def _pixels(w, h, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_exact():
+    px = _pixels(17, 9)
+    data = M.encode_png(px)
+    assert data[:8] == M.PNG_MAGIC
+    back = M.decode_png(data)
+    assert np.array_equal(px, back)  # lossless ⇒ allclose trivially
+    assert M.psnr(px, back) == float("inf")
+
+
+def test_psnr_threshold():
+    px = _pixels(32, 32)
+    noisy = px.astype(np.int16) + np.random.default_rng(1).integers(-2, 3, px.shape)
+    noisy = noisy.clip(0, 255).astype(np.uint8)
+    assert M.psnr(px, noisy) >= 40.0  # small noise stays above the bar
+
+
+def test_decode_stub_and_fake():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8\xffrest", "jpeg", 4, 4, allow_fake=False)
+    fake = M.decode_image(b"\xff\xd8\xffrest", "jpeg", 4, 6, allow_fake=True)
+    assert fake.shape == (6, 4, 3)
+    # deterministic: same bytes → same pixels
+    assert np.array_equal(fake, M.decode_image(b"\xff\xd8\xffrest", "jpeg", 4, 6, allow_fake=True))
+
+
+def test_image_features_spark(spark):
+    # real PNGs through the distributed path
+    rows = [("a", M.encode_png(_pixels(8, 8, 1)), "png", 8, 8),
+            ("b", M.encode_png(_pixels(4, 4, 2)), "png", 4, 4),
+            ("c", b"\xde\xad\xbe\xef", "png", 4, 4)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string, w int, h int")
+    out = {r["image_id"]: r for r in M.image_features(df, allow_fake=False).collect()}
+    assert out["a"]["decoded"] and out["a"]["dec_w"] == 8
+    assert abs(out["a"]["brightness"] - float(_pixels(8, 8, 1).mean())) < 1e-9
+    assert not out["c"]["decoded"] and out["c"]["error"]
+
+
+def test_resize_spark(spark):
+    rows = [("a", M.encode_png(_pixels(16, 12, 5)), "png", 16, 12)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string, w int, h int")
+    out = M.resize_images(df, 8, 6, allow_fake=False).collect()[0]
+    assert (out["w"], out["h"]) == (8, 6)
+    px = M.decode_png(bytes(out["bytes"]))
+    assert px.shape == (6, 8, 3)
+
+
+def test_psnr_vs_reference_spark(spark):
+    px1, px2 = _pixels(8, 8, 7), _pixels(8, 8, 7)
+    rows = [("a", M.encode_png(px1), "png", 8, 8)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string, w int, h int")
+    ref = spark.createDataFrame([("a", M.encode_png(px2), "png", 8, 8)],
+                                "image_id string, bytes binary, fmt string, w int, h int")
+    out = M.psnr_vs_reference(df, ref, allow_fake=False).collect()[0]
+    assert out["psnr_db"] is None  # identical → lossless inf, reported as null
+
+
+def test_magic_number_violations(spark):
+    df = images_df(spark, 10_000)
+    v = M.magic_number_violations(df, ["image_id"])
+    # injected: i%200==39 truncated bytes; i%200==141 'bmp' (unknown fmt);
+    # i%200==173 '' fmt
+    assert v.count() == 3 * (10_000 // 200)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
