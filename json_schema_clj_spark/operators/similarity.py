@@ -97,11 +97,19 @@ def hyperplane_signature(
         cvec = F.array(*[F.lit(float(c)) for c in center])
         vec = F.zip_with(vec, cvec, lambda x, c: x.cast("double") - c)
     out = F.lit(0).cast("long")
+
+    # capture p via factory, NOT a lambda default arg: PySpark infers HOF
+    # lambda arity from the parameter count, so `lambda d, _p=p:` becomes
+    # the (x, i) form and _p silently receives the element-index column —
+    # every plane then hashes identically and all signatures collapse to
+    # {0, mask}
+    def make_signs(_p):
+        return lambda d: (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(_p), d), F.lit(2)) * 2 - 1
+        ).cast("double")
+
     for p in range(n_planes):
-        signs = F.transform(
-            dims,
-            lambda d, _p=p: (F.pmod(F.xxhash64(F.lit(seed), F.lit(_p), d), F.lit(2)) * 2 - 1).cast("double"),
-        )
+        signs = F.transform(dims, make_signs(p))
         proj = F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),

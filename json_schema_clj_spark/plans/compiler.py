@@ -733,6 +733,265 @@ def _compile_discriminator(value, schema, target: Column, ctx: Ctx) -> Compiled:
     return _null_pass(target, Compiled(ok=ok, violations=viols))
 
 
+@register_keyword("patternProperties")
+def _compile_pattern_properties(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    """For each key matching a regex, the value validates (core.clj:590-611).
+    MapType targets get HOF plans; StructType targets resolve the matching
+    keys at compile time (closed world)."""
+    if isinstance(ctx.dtype, T.StructType):
+        import re as _re
+
+        comps = []
+        for pat, sub in value.items():
+            rx = _re.compile(pat)
+            for fname in ctx.dtype.fieldNames():
+                if rx.search(fname):
+                    col = target.getField(fname)
+                    child = compile_schema(
+                        sub,
+                        col,
+                        replace(
+                            ctx,
+                            schema_path=ctx.schema_path + (pat,),
+                            instance_path=ctx.instance_path + (fname,),
+                            dtype=ctx.dtype[fname].dataType,
+                        ),
+                    )
+                    comps.append(_null_pass(col, child))
+        if not comps:
+            return None
+        return _null_pass(target, merge(comps))
+    if isinstance(ctx.dtype, T.MapType):
+        comps = []
+
+        # NB: capture via factory, NOT lambda default args — PySpark infers
+        # HOF lambda arity from the parameter count, so default args turn a
+        # 1-arg lambda into the (x, i) form and the capture receives the
+        # element INDEX column
+        def make_per_entry(_pat, _sub):
+            def per_entry(e):
+                child = compile_schema(
+                    _sub,
+                    e["value"],
+                    replace(
+                        ctx,
+                        schema_path=ctx.schema_path + (_pat,),
+                        instance_path=ctx.instance_path + (e["key"],),
+                        dtype=ctx.dtype.valueType,
+                    ),
+                )
+                hit = e["key"].rlike(_pat)
+                return F.struct(
+                    F.when(hit, child.ok).otherwise(F.lit(True)).alias("ok"),
+                    F.when(hit, child.violations).otherwise(_empty()).alias("v"),
+                )
+
+            return per_entry
+
+        for pat, sub in value.items():
+            checked = F.transform(F.map_entries(target), make_per_entry(pat, sub))
+            comps.append(
+                Compiled(
+                    ok=F.forall(checked, lambda s: s["ok"]),
+                    violations=F.flatten(F.transform(checked, lambda s: s["v"])),
+                )
+            )
+        return _null_pass(target, merge(comps))
+    raise ColumnBackendUnsupported("patternProperties needs a struct or map target")
+
+
+@register_keyword("additionalProperties")
+def _compile_additional_properties(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    """Keys beyond properties/patternProperties/patternGroups must not exist
+    (false) or must validate (schema) — core.clj:806-849."""
+    props = set((schema.get("properties") or {}).keys())
+    pats = list(schema.get("patternProperties") or {}) + list(schema.get("patternGroups") or {})
+    sev = ctx.severity("additionalProperties")
+    if isinstance(ctx.dtype, T.StructType):
+        import re as _re
+
+        extras = [
+            f for f in ctx.dtype.fieldNames()
+            if f not in props and not any(_re.compile(p).search(f) for p in pats)
+        ]
+        comps = []
+        for fname in extras:
+            col = target.getField(fname)
+            if value is False:
+                # a present (non-null) extra field is an error; struct columns
+                # conflate absent/null exactly like the reference's maps
+                comps.append(
+                    simple_check(
+                        col.isNull(),
+                        ctx.schema_path,
+                        ctx.instance_path + (fname,),
+                        "additionalProperties",
+                        "extra property",
+                        sev,
+                    )
+                )
+            elif isinstance(value, dict):
+                child = compile_schema(
+                    value,
+                    col,
+                    replace(ctx, instance_path=ctx.instance_path + (fname,),
+                            dtype=ctx.dtype[fname].dataType),
+                )
+                comps.append(_null_pass(col, child))
+        if not comps:
+            return None
+        return _null_pass(target, merge(comps))
+    if isinstance(ctx.dtype, T.MapType):
+        def is_extra(k):
+            cond = F.lit(True)
+            for p in props:
+                cond = cond & (k != F.lit(p))
+            for p in pats:
+                cond = cond & ~k.rlike(p)
+            return cond
+
+        if value is False:
+            extras = F.filter(F.map_keys(target), is_extra)
+
+            def viol_for(k):
+                return F.struct(
+                    F.array(*[F.lit(s) for s in ctx.schema_path]).alias("keyword_path"),
+                    F.array(*([F.lit(str(s)) if not isinstance(s, Column) else s.cast("string")
+                               for s in ctx.instance_path] + [k])).alias("instance_path"),
+                    F.lit("additionalProperties").alias("keyword"),
+                    F.lit("extra property").alias("message"),
+                    F.lit(sev).alias("severity"),
+                )
+
+            return _null_pass(
+                target,
+                Compiled(ok=F.size(extras) == 0, violations=F.transform(extras, viol_for)),
+            )
+        if isinstance(value, dict):
+            def per_entry(e):
+                child = compile_schema(
+                    value,
+                    e["value"],
+                    replace(ctx, instance_path=ctx.instance_path + (e["key"],),
+                            dtype=ctx.dtype.valueType),
+                )
+                hit = is_extra(e["key"])
+                return F.struct(
+                    F.when(hit, child.ok).otherwise(F.lit(True)).alias("ok"),
+                    F.when(hit, child.violations).otherwise(_empty()).alias("v"),
+                )
+
+            checked = F.transform(F.map_entries(target), per_entry)
+            return _null_pass(
+                target,
+                Compiled(
+                    ok=F.forall(checked, lambda s: s["ok"]),
+                    violations=F.flatten(F.transform(checked, lambda s: s["v"])),
+                ),
+            )
+        return None
+    raise ColumnBackendUnsupported("additionalProperties needs a struct or map target")
+
+
+@register_keyword("propertyNames")
+def _compile_property_names(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    """Every key name validates as a string (core.clj:1393-1409)."""
+    sev = ctx.severity("propertyNames")
+    if isinstance(ctx.dtype, T.StructType):
+        comps = []
+        for fname in ctx.dtype.fieldNames():
+            child = compile_schema(value, F.lit(fname), replace(ctx, dtype=T.StringType()))
+            comps.append(
+                simple_check(
+                    child.ok, ctx.schema_path, ctx.instance_path, "propertyNames",
+                    f"Invalid property name - {fname}", sev,
+                )
+            )
+        return merge(comps)
+    if isinstance(ctx.dtype, T.MapType):
+        def name_ok(k):
+            return compile_schema(value, k, replace(ctx, dtype=T.StringType())).ok
+
+        bad = F.filter(F.map_keys(target), lambda k: ~name_ok(k))
+        ok = F.size(bad) == 0
+        msg = F.concat(F.lit("Invalid property name - "), F.array_join(bad, ", "))
+        c = simple_check(ok, ctx.schema_path, ctx.instance_path, "propertyNames", msg, sev)
+        return _null_pass(target, c)
+    raise ColumnBackendUnsupported("propertyNames needs a struct or map target")
+
+
+def _props_count_comparator(keyword: str, op: str):
+    def fn(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+        sev = ctx.severity(keyword)
+        if isinstance(ctx.dtype, T.StructType):
+            cnt = None
+            for fname in ctx.dtype.fieldNames():
+                term = target.getField(fname).isNotNull().cast("int")
+                cnt = term if cnt is None else cnt + term
+            if cnt is None:
+                cnt = F.lit(0)
+        elif isinstance(ctx.dtype, T.MapType):
+            cnt = F.size(F.map_keys(target))
+        else:
+            return None  # non-objects pass
+        data = _maybe_data(value, ctx)
+        if data is not None:
+            bound, _ = data
+            cmpc = (cnt <= bound) if op == "le" else (cnt >= bound)
+            ok = F.when(bound.isNull() | target.isNull(), F.lit(True)).otherwise(cmpc)
+        else:
+            if not _is_number_py(value):
+                return None
+            cmpc = (cnt <= F.lit(value)) if op == "le" else (cnt >= F.lit(value))
+            ok = F.when(target.isNull(), F.lit(True)).otherwise(cmpc)
+        msg = F.concat(F.lit(f"expected number of properties "), cnt.cast("string"),
+                       F.lit(f" {_op_sym(op)} {value if data is None else '$data'}"))
+        return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword, msg, sev)
+
+    return fn
+
+
+KEYWORD_COMPILERS["maxProperties"] = _props_count_comparator("maxProperties", "le")
+KEYWORD_COMPILERS["minProperties"] = _props_count_comparator("minProperties", "ge")
+
+
+@register_keyword("patternRequired")
+def _compile_pattern_required(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    """Each regex must be matched by some key (core.clj:889-909)."""
+    sev = ctx.severity("patternRequired")
+    comps = []
+    if isinstance(ctx.dtype, T.StructType):
+        import re as _re
+
+        for pat in value:
+            rx = _re.compile(pat)
+            matching = [f for f in ctx.dtype.fieldNames() if rx.search(f)]
+            ok = F.lit(False)
+            for fname in matching:
+                ok = ok | target.getField(fname).isNotNull()
+            comps.append(
+                simple_check(
+                    ok, ctx.schema_path, ctx.instance_path, "patternRequired",
+                    f"no properites, which matches {pat}", sev,
+                )
+            )
+        return _null_pass(target, merge(comps))
+    if isinstance(ctx.dtype, T.MapType):
+        def make_matcher(_p):
+            return lambda k: k.rlike(_p)
+
+        for pat in value:
+            ok = F.exists(F.map_keys(target), make_matcher(pat))
+            comps.append(
+                simple_check(
+                    ok, ctx.schema_path, ctx.instance_path, "patternRequired",
+                    f"no properites, which matches {pat}", sev,
+                )
+            )
+        return _null_pass(target, merge(comps))
+    return None
+
+
 # ---------------------------------------------------------------------------
 # array keywords
 

@@ -1,0 +1,79 @@
+"""Dedup + similarity operator semantics: exact dedup, minhash≈jaccard,
+LSH candidate soundness, simhash, ANN recall vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark.operators import dedup as D
+from json_schema_clj_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # add exact duplicates with known ids
+    dups = base.where(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 100000)
+    return base.unionByName(dups)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_duplicate_groups(docs):
+    groups = D.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 5
+    assert all(g["n"] == 2 for g in groups)
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = D.exact_dedup(docs)
+    assert out.count() == docs.count() - 5
+    # originals (min ids) survive
+    assert out.where(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    # exact duplicates must have identical signatures (sim 1.0)
+    pairs = D.lsh_near_duplicates(docs, threshold=0.9)
+    found = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs.collect()}
+    for i in range(5):
+        assert found.get((i, i + 100000)) == 1.0, (i, found)
+
+
+def test_lsh_subset_of_true_jaccard(docs):
+    # every LSH pair at sim>=0.8 must be a true high-Jaccard pair
+    lsh = {(r["id_a"], r["id_b"]) for r in D.lsh_near_duplicates(docs, threshold=0.8).collect()}
+    true = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh <= true or len(lsh - true) <= max(1, len(lsh) // 10)  # MinHash is an estimator
+
+
+def test_simhash_exact_dups_zero_hamming(docs):
+    cands = D.simhash_candidates(docs, max_hamming=0)
+    found = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in found
+
+
+def test_ann_lsh_recall(emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(emb, queries, k=10)
+    approx = S.lsh_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # candidate-band ANN: partial recall by design
+
+
+def test_brute_force_topk_correct(emb):
+    out = S.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=5).collect()
+    assert len(out) == 5
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["neighbor_id"] != 0 for r in out)
