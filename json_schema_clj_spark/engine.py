@@ -1,0 +1,134 @@
+"""Engine facade — the API a json-schema.clj user lands on.
+
+Reference surface (README.md:17-21, core.clj:1484-1502):
+
+    (json-schema.core/validate schema value)     → {:errors [...] ...}
+    (def v (json-schema.core/compile schema))    → reusable validator
+
+This engine keeps those two (driver-side, via the Python backend) and adds
+the distributed surface:
+
+    validate(schema, value)             one document, {"errors": ...}
+    compile(schema)                     reusable one-doc validator
+    validate_table(df, schema, ...)     typed DataFrame → Column backend
+    validate_json_column(df, schema)    JSON-string column → hybrid:
+                                        Column backend over from_json when
+                                        the schema is Column-compilable,
+                                        else the Arrow-batched Python
+                                        backend
+    register_keyword(...)               extension surface on BOTH backends
+                                        (the schema-key multimethod analog,
+                                        core.clj:132-134)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.validate import validate as validate_table  # noqa: F401
+from .operators.validate import with_validation
+from .plans import compiler as _col_compiler
+from .plans.compiler import ColumnBackendUnsupported
+from .pyvalidator import validator as _py_validator
+from .pyvalidator.udf import validate_json_df
+from .pyvalidator.validator import compile_schema as compile  # noqa: A001
+from .pyvalidator.validator import validate  # noqa: F401
+
+
+def spark_schema_for(schema: dict) -> Optional[T.DataType]:
+    """Best-effort Spark type for a JSON-Schema object (enough for
+    from_json on closed-shape schemas); None when the shape is open/dynamic
+    (unknown types, no properties, additional/pattern properties)."""
+    t = schema.get("type")
+    if t == "object" or (t is None and "properties" in schema):
+        if "patternProperties" in schema or isinstance(schema.get("additionalProperties"), dict):
+            return None
+        props = schema.get("properties")
+        if not props:
+            return None
+        fields = []
+        for k, sub in props.items():
+            if not isinstance(sub, dict):
+                return None
+            ft = spark_schema_for(sub)
+            if ft is None:
+                return None
+            fields.append(T.StructField(k, ft))
+        return T.StructType(fields)
+    if t == "array":
+        items = schema.get("items")
+        et = spark_schema_for(items) if isinstance(items, dict) else None
+        return T.ArrayType(et) if et is not None else None
+    if t == "string" or t in ("date", "datetime", "time", "uri", "oid", "uuid", "email"):
+        return T.StringType()
+    if t == "integer":
+        return T.LongType()
+    if t == "number":
+        return T.DoubleType()
+    if t == "boolean":
+        return T.BooleanType()
+    return None
+
+
+def validate_json_column(
+    df: DataFrame,
+    schema: dict,
+    json_col: str = "data_json",
+    config: Optional[dict] = None,
+    loader=None,
+    force_backend: Optional[str] = None,
+) -> DataFrame:
+    """Validate a raw-JSON string column; returns df + `valid boolean` +
+    `violations array<violation>`.
+
+    Hybrid dispatch: if the schema describes a closed shape that maps to a
+    Spark type AND compiles on the Column backend, parse with from_json and
+    run pure Catalyst (fast path).  Otherwise fall back to the Arrow-
+    batched Python backend (full conformance: recursion, $ref graphs,
+    dynamic shapes).
+    """
+    if force_backend != "python":
+        st = spark_schema_for(schema)
+        if st is not None and isinstance(st, T.StructType):
+            try:
+                parsed = df.withColumn("_doc", F.from_json(F.col(json_col), st))
+                from .plans.ir import Ctx
+
+                ctx = Ctx(
+                    config=config or {},
+                    root_schema=schema,
+                    dtype=st,
+                    root_col=F.col("_doc"),
+                    root_dtype=st,
+                )
+                compiled = _col_compiler.compile_schema(schema, F.col("_doc"), ctx)
+                out = parsed.withColumn("violations", compiled.violations).withColumn(
+                    "valid", compiled.ok if not config else (
+                        F.size(F.filter(F.col("violations"), lambda v: v["severity"] == F.lit("error"))) == 0
+                    )
+                )
+                return out.drop("_doc")
+            except ColumnBackendUnsupported:
+                pass
+        if force_backend == "column":
+            raise ColumnBackendUnsupported("schema is not Column-compilable")
+    res = validate_json_df(df, schema, json_col=json_col, config=config, loader=loader)
+    return (
+        res.withColumn("valid", F.col("validation.valid"))
+        .withColumn("violations", F.col("validation.violations"))
+        .drop("validation")
+    )
+
+
+def register_keyword(name: str, column_compiler: Optional[Callable] = None,
+                     python_compiler: Optional[Callable] = None):
+    """Open keyword registration on both backends — the analog of adding a
+    schema-key defmethod (core.clj:134)."""
+    if column_compiler is not None:
+        _col_compiler.KEYWORD_COMPILERS[name] = column_compiler
+    if python_compiler is not None:
+        _py_validator.KEYWORDS[name] = python_compiler
