@@ -552,6 +552,38 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_images_flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship image-table validation → per-partition verdicts (rows-only:
+    the synthetic generator uses xxhash64, not expressible in ANSI SQL).
+    Row count scales with sf via a fixed multiplier."""
+    from .operators.validate import validate as _validate
+    from .sources.images import FLAGSHIP_SCHEMA, images_df
+
+    n = 100_000
+    res = _validate(images_df(spark, n), FLAGSHIP_SCHEMA, id_cols=["image_id"], part_col="part_id")
+    return res["verdicts"].orderBy("part_id")
+
+
+def q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft-suite conformance through the distributed Arrow-batched path:
+    (draft, n_tests, n_pass) per draft — rows-only (fixtures, not tables)."""
+    import glob
+    import os
+
+    from .sources.suite import load_cases, run_suite_spark, suite_df
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cases = []
+    for d in ("draft3", "draft4", "draft6", "draft7"):
+        cases += load_cases(sorted(glob.glob(f"{here}/tests/fixtures/{d}/*.json")), draft=d)
+    out = run_suite_spark(suite_df(spark, cases))
+    return (
+        out.groupBy("draft")
+        .agg(F.count(F.lit(1)).alias("n_tests"), F.sum(F.col("pass").cast("long")).alias("n_pass"))
+        .orderBy("draft")
+    )
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -580,6 +612,8 @@ QUERIES = {
     "dedup_simhash": q_simhash_candidates,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_lsh_ann_topk,
+    "images_flagship_verdicts": q_images_flagship_verdicts,
+    "suite_conformance": q_suite_conformance,
 }
 
 ORACLES = {
