@@ -23,7 +23,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return repr(v)  # exact — mirror a bit-exact driver hash
     if isinstance(v, bool):
         return str(bool(v))
     return str(v)
