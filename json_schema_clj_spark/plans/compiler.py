@@ -475,8 +475,12 @@ def _compile_multiple_of(keyword: str):
                 return _const_fail(ctx, keyword, f"could not find multiple of $data {value['$data']}")
             dec = target.cast(T.DecimalType(38, 10))
             bdec = bound_col.cast(T.DecimalType(38, 10))
+            # non-negative-ratio quirk: is-divider? matches the PRINTED ratio
+            # against ^\d+(\.0)?$ (core.clj:419-421), so a negative quotient
+            # is never a valid multiple
+            sign_ok = (target >= 0) == (bound_col >= F.lit(0))
             ok = F.when(bound_col.isNull() | target.isNull(), F.lit(True)).otherwise(
-                (target == F.lit(0)) | (dec % bdec == F.lit(0))
+                (target == F.lit(0)) | (sign_ok & (dec % bdec == F.lit(0)))
             )
             return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword,
                                 F.concat(F.lit("expected "), target.cast("string"),
@@ -486,12 +490,15 @@ def _compile_multiple_of(keyword: str):
         # exact decimal remainder — reference tests the printed exact
         # rational (is-divider?, core.clj:419-421); DecimalType(38,10)
         # remainder is exact for the bounds the suite exercises
+        # non-negative-ratio quirk (is-divider?, core.clj:419-421): the
+        # printed quotient must match ^\d+(\.0)?$, so negative multiples fail
+        sign_ok = (target >= 0) if value >= 0 else (target <= 0)
         if _is_integral(ctx.dtype) and isinstance(value, int):
-            ok = (target == F.lit(0)) | (F.pmod(target, F.lit(value)) == F.lit(0))
+            ok = (target == F.lit(0)) | (sign_ok & (F.pmod(target, F.lit(value)) == F.lit(0)))
         else:
             dec = target.cast(T.DecimalType(38, 10))
             bdec = F.lit(Decimal(str(value))).cast(T.DecimalType(38, 10))
-            ok = (target == F.lit(0)) | (dec % bdec == F.lit(0))
+            ok = (target == F.lit(0)) | (sign_ok & (dec % bdec == F.lit(0)))
         ok = F.when(target.isNull(), F.lit(True)).otherwise(ok)
         verb = "multiple of" if keyword == "multipleOf" else "divisible by"
         msg = F.concat(F.lit("expected "), target.cast("string"), F.lit(f" is {verb} {value}"))

@@ -1,0 +1,134 @@
+"""Differential fuzz: for seeded random (schema, rows) pairs, the Column
+backend (typed table), the Column backend (from_json path), and the Python
+backend (Arrow UDF + driver-side) must agree on every row's validity.
+
+Null-valued keys are dropped from the JSON docs: Spark structs conflate
+absent/null (exactly the reference's has-property? view), so that is the
+common semantic surface.
+"""
+
+import json
+import random
+
+from pyspark.sql import types as T
+
+from json_schema_clj_spark import engine
+
+COLS = {
+    "name": T.StringType(),
+    "age": T.LongType(),
+    "score": T.DoubleType(),
+    "flag": T.BooleanType(),
+    "tags": T.ArrayType(T.StringType()),
+}
+
+TABLE_SCHEMA = T.StructType([T.StructField(k, v) for k, v in COLS.items()])
+
+
+def rand_subschema(rng: random.Random, col: str):
+    t = COLS[col]
+    opts = []
+    if isinstance(t, T.StringType):
+        opts = [
+            {"type": "string"},
+            {"minLength": rng.randint(0, 4)},
+            {"maxLength": rng.randint(1, 6)},
+            {"pattern": rng.choice(["^a", "b$", "c.d", "[xyz]"])},
+            {"enum": rng.sample(["a", "bb", "ccc", "ab", "zz"], k=rng.randint(1, 3))},
+            {"const": rng.choice(["a", "bb"])},
+        ]
+    elif isinstance(t, T.LongType):
+        opts = [
+            {"type": "integer"},
+            {"minimum": rng.randint(-5, 5)},
+            {"maximum": rng.randint(-5, 5)},
+            {"minimum": rng.randint(-5, 5), "exclusiveMinimum": True},
+            {"exclusiveMaximum": rng.randint(-5, 5)},
+            {"multipleOf": rng.randint(1, 4)},
+            {"enum": rng.sample([0, 1, 2, 3, -1], k=rng.randint(1, 3))},
+        ]
+    elif isinstance(t, T.DoubleType):
+        opts = [
+            {"type": "number"},
+            {"minimum": rng.randint(-3, 3) + 0.5},
+            {"maximum": rng.randint(-3, 3) + 0.5},
+        ]
+    elif isinstance(t, T.BooleanType):
+        opts = [{"type": "boolean"}, {"const": rng.choice([True, False])}]
+    elif isinstance(t, T.ArrayType):
+        opts = [
+            {"type": "array"},
+            {"minItems": rng.randint(0, 2)},
+            {"maxItems": rng.randint(1, 3)},
+            {"uniqueItems": True},
+            {"items": {"minLength": rng.randint(0, 3)}},
+            {"contains": {"const": "x"}},
+        ]
+    sub = {}
+    for _ in range(rng.randint(1, 2)):
+        sub.update(rng.choice(opts))
+    if rng.random() < 0.2:
+        sub = {"anyOf": [sub, rng.choice(opts)]}
+    elif rng.random() < 0.15:
+        sub = {"not": sub}
+    return sub
+
+
+def rand_schema(rng: random.Random):
+    cols = rng.sample(list(COLS), k=rng.randint(1, 4))
+    schema = {"type": "object", "properties": {c: rand_subschema(rng, c) for c in cols}}
+    req = [c for c in cols if rng.random() < 0.3]
+    if req:
+        schema["required"] = req
+    if rng.random() < 0.3:
+        a, b = rng.sample(list(COLS), k=2)
+        schema["dependencies"] = {a: [b]}
+    return schema
+
+
+def rand_row(rng: random.Random):
+    def maybe(v):
+        return None if rng.random() < 0.25 else v
+
+    return (
+        maybe(rng.choice(["a", "bb", "ccc", "", "  ", "xcd", "zz"])),
+        maybe(rng.randint(-6, 6)),
+        maybe(rng.choice([-2.5, 0.0, 1.5, 3.5])),
+        maybe(rng.choice([True, False])),
+        maybe(rng.choice([[], ["x"], ["a", "a"], ["x", "y", "z", "w"]])),
+    )
+
+
+def row_to_doc(row):
+    d = dict(zip(COLS, row))
+    return {k: v for k, v in d.items() if v is not None}
+
+
+def test_differential_backends(spark):
+    rng = random.Random(20260816)
+    n_schemas, n_rows = 20, 40
+    for si in range(n_schemas):
+        schema = rand_schema(rng)
+        rows = [rand_row(rng) for _ in range(n_rows)]
+        docs = [row_to_doc(r) for r in rows]
+
+        # 1. driver-side Python backend (ground truth)
+        v = engine.compile(schema)
+        py_valid = [not v(d)["errors"] for d in docs]
+
+        # 2. Column backend over the typed table
+        df = spark.createDataFrame(rows, TABLE_SCHEMA)
+        col_out = engine.with_validation(df, schema)
+        col_valid = [r["valid"] for r in col_out.collect()]
+
+        # 3. Arrow-batched Python backend over JSON strings
+        jdf = spark.createDataFrame([(json.dumps(d),) for d in docs], "data_json string")
+        udf_out = engine.validate_json_column(jdf, schema, force_backend="python")
+        udf_valid = [r["valid"] for r in udf_out.collect()]
+
+        for i, (a, b, c) in enumerate(zip(py_valid, col_valid, udf_valid)):
+            assert a == b == c, (
+                f"schema#{si} row#{i} disagree: py={a} col={b} udf={c}\n"
+                f"schema={json.dumps(schema)}\ndoc={json.dumps(docs[i])}\n"
+                f"errors={v(docs[i])['errors']}"
+            )
