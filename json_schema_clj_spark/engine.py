@@ -85,13 +85,15 @@ def validate_json_column(
     """Validate a raw-JSON string column; returns df + `valid boolean` +
     `violations array<violation>`.
 
-    Hybrid dispatch: if the schema describes a closed shape that maps to a
-    Spark type AND compiles on the Column backend, parse with from_json and
-    run pure Catalyst (fast path).  Otherwise fall back to the Arrow-
-    batched Python backend (full conformance: recursion, $ref graphs,
-    dynamic shapes).
+    Backend dispatch: the default is the Arrow-batched Python backend —
+    the only fully-conformant choice for untrusted JSON, because from_json
+    COERCES OR NULLS type-mismatched fields (PERMISSIVE mode), which would
+    silently pass `type` checks the reference fails.  Pass
+    `force_backend="column"` for trusted-shape data (e.g. re-serialized
+    typed rows): the schema is parsed with from_json and validated as pure
+    Catalyst predicates — the fast path, ~10-100× cheaper.
     """
-    if force_backend != "python":
+    if force_backend == "column":
         st = spark_schema_for(schema)
         if st is not None and isinstance(st, T.StructType):
             try:
@@ -114,8 +116,7 @@ def validate_json_column(
                 return out.drop("_doc")
             except ColumnBackendUnsupported:
                 pass
-        if force_backend == "column":
-            raise ColumnBackendUnsupported("schema is not Column-compilable")
+        raise ColumnBackendUnsupported("schema is not Column-compilable")
     res = validate_json_df(df, schema, json_col=json_col, config=config, loader=loader)
     return (
         res.withColumn("valid", F.col("validation.valid"))

@@ -45,17 +45,17 @@ def test_one_doc_api():
 
 def test_backend_dispatch(spark):
     df = _df(spark, DOCS)
-    col_out = engine.validate_json_column(df, CLOSED)  # column backend expected
+    col_out = engine.validate_json_column(df, CLOSED, force_backend="column")
     plan = col_out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    py_out = engine.validate_json_column(df, DYNAMIC)  # python backend
+    py_out = engine.validate_json_column(df, DYNAMIC)  # python backend (default)
     plan = py_out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
 
 
 def test_backend_parity(spark):
     df = _df(spark, DOCS)
-    col_valid = [r["valid"] for r in engine.validate_json_column(df, CLOSED).collect()]
+    col_valid = [r["valid"] for r in engine.validate_json_column(df, CLOSED, force_backend="column").collect()]
     py_valid = [
         r["valid"]
         for r in engine.validate_json_column(df, CLOSED, force_backend="python").collect()
@@ -96,3 +96,11 @@ def test_full_table_scan_pruning(spark, tmp_path):
     # bytes/caption/phash not referenced → pruned from the scan
     assert "bytes" not in plan.split("ReadSchema:")[-1]
     assert "caption" not in plan.split("ReadSchema:")[-1]
+
+def test_default_backend_catches_type_mismatch(spark):
+    """WHY python is the default for raw JSON: from_json nulls/coerces
+    type-mismatched fields, which would silently pass `type` checks."""
+    docs = [{"name": 5}]  # integer where a string is required
+    df = _df(spark, docs)
+    out = engine.validate_json_column(df, CLOSED).collect()
+    assert out[0]["valid"] is False  # reference: "expected type of string"
