@@ -85,14 +85,39 @@ def validate_json_column(
     """Validate a raw-JSON string column; returns df + `valid boolean` +
     `violations array<violation>`.
 
-    Backend dispatch: the default is the Arrow-batched Python backend —
-    the only fully-conformant choice for untrusted JSON, because from_json
-    COERCES OR NULLS type-mismatched fields (PERMISSIVE mode), which would
-    silently pass `type` checks the reference fails.  Pass
-    `force_backend="column"` for trusted-shape data (e.g. re-serialized
-    typed rows): the schema is parsed with from_json and validated as pure
-    Catalyst predicates — the fast path, ~10-100× cheaper.
+    Backend dispatch (default "auto"):
+
+    1. **variant** — parse_json → VariantType keeps every value's runtime
+       JSON type, so `schema_of_variant` gives exact type dispatch and the
+       whole check tree stays pure Catalyst.  Used whenever the schema
+       compiles on the variant backend (no $data, bounded $ref, scalar
+       enum/const members).
+    2. **python** — the Arrow-batched interpreter, full conformance for
+       everything else.
+
+    `force_backend="column"` opts into the from_json struct fast path for
+    TRUSTED-SHAPE data only: from_json (PERMISSIVE) coerces or nulls
+    type-mismatched fields, which would silently pass `type` checks the
+    reference fails.  `force_backend="variant"|"python"` pin a backend.
     """
+    if force_backend in (None, "variant"):
+        from .plans.ir import VIOLATION_TYPE  # noqa: F401
+        from .plans.variant_compiler import compile_for_json
+
+        try:
+            compiled = compile_for_json(schema, F.col(json_col), config=config)
+            out = df.withColumn("violations", compiled.violations)
+            if not config:
+                out = out.withColumn("valid", compiled.ok)
+            else:
+                out = out.withColumn(
+                    "valid",
+                    F.size(F.filter(F.col("violations"), lambda v: v["severity"] == F.lit("error"))) == 0,
+                )
+            return out
+        except ColumnBackendUnsupported:
+            if force_backend == "variant":
+                raise
     if force_backend == "column":
         st = spark_schema_for(schema)
         if st is not None and isinstance(st, T.StructType):

@@ -1,0 +1,108 @@
+"""Variant-backend conformance: the full authored draft suite + the
+reference's v5/custom fixtures run as pure Catalyst over parse_json.
+
+All compilable schemas are folded into ONE Spark job: every (schema_idx,
+doc) row evaluates `CASE schema_idx WHEN i THEN ok_i END` — the compile-
+once-run-everywhere shape.  Schemas the variant backend declines ($data,
+deep recursion, non-scalar enum members) must raise
+ColumnBackendUnsupported and are counted as clean fallbacks, never wrong
+verdicts.
+"""
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark.plans.compiler import ColumnBackendUnsupported
+from json_schema_clj_spark.plans.ir import Ctx
+from json_schema_clj_spark.plans.variant_compiler import compile_variant
+from json_schema_clj_spark.sources.suite import load_cases
+from json_schema_clj_spark import engine
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF = "/root/reference"
+
+
+def _all_cases():
+    paths = []
+    for d in ("draft3", "draft4", "draft6", "draft7"):
+        paths += sorted(glob.glob(f"{HERE}/fixtures/{d}/*.json"))
+    cases = load_cases(paths)
+    cases += load_cases(sorted(glob.glob(f"{REF}/test/v5/*.json")))
+    cases += load_cases([f"{REF}/test/custom-scenarios/nested_ref.json"])
+    return cases
+
+
+def test_variant_backend_conformance(spark):
+    cases = _all_cases()
+    by_schema: dict[str, list] = {}
+    for c in cases:
+        by_schema.setdefault(c["schema_json"], []).append(c)
+
+    compiled_ok = {}
+    fallbacks = 0
+    rows = []
+    for idx, (sj, cs) in enumerate(by_schema.items()):
+        schema = json.loads(sj)
+        try:
+            ctx = Ctx(root_schema=schema)
+            compiled_ok[idx] = compile_variant(schema, F.parse_json(F.col("data_json")), ctx).ok
+        except ColumnBackendUnsupported:
+            fallbacks += 1
+            continue
+        except Exception as e:
+            raise AssertionError(f"variant compile crashed on {sj[:200]}: {e}")
+        for c in cs:
+            rows.append((idx, c["data_json"], c["valid"], c["group_desc"], c["test_desc"]))
+
+    assert compiled_ok, "variant backend compiled nothing"
+    df = spark.createDataFrame(
+        rows, "schema_idx int, data_json string, expected boolean, g string, t string"
+    )
+    got = F.lit(None).cast("boolean")
+    for idx, ok in compiled_ok.items():
+        got = F.when(F.col("schema_idx") == idx, ok).otherwise(got)
+    out = df.withColumn("got", got)
+    bad = out.where(F.col("got") != F.col("expected")).collect()
+    msg = "\n".join(f"[{r['g']} / {r['t']}] expected={r['expected']} data={r['data_json'][:80]}"
+                    for r in bad[:15])
+    total = len(rows)
+    assert not bad, f"{len(bad)}/{total} variant verdicts wrong ({fallbacks} schemas fell back):\n{msg}"
+    # coverage floor: the variant backend should handle the large majority
+    assert fallbacks <= len(by_schema) * 0.25, (fallbacks, len(by_schema))
+
+
+def test_variant_violation_paths(spark):
+    """Dynamic instance paths (map keys, array indices) come out right."""
+    schema = {"properties": {"xs": {"items": {"type": "integer"}},
+                             "m": {"patternProperties": {"^f": {"minimum": 0}}}}}
+    doc = {"xs": [1, "bad", 3], "m": {"foo": -1, "bar": -9}}
+    df = spark.createDataFrame([(json.dumps(doc),)], "data_json string")
+    out = engine.validate_json_column(df, schema, force_backend="variant")
+    row = out.collect()[0]
+    assert row["valid"] is False
+    paths = sorted(tuple(v["instance_path"]) for v in row["violations"])
+    assert paths == [("m", "foo"), ("xs", "1")]
+
+
+def test_variant_numeric_identity(spark):
+    """1 vs 1.0 distinction falls out of the variant type system."""
+    docs = ["1", "1.0", '"1"']
+    df = spark.createDataFrame([(d,) for d in docs], "data_json string")
+    out = engine.validate_json_column(df, {"type": "integer"}, force_backend="variant")
+    assert [r["valid"] for r in out.collect()] == [True, False, False]
+    out = engine.validate_json_column(df, {"enum": [1]}, force_backend="variant")
+    assert [r["valid"] for r in out.collect()] == [True, False, False]
+
+
+def test_variant_is_default_fast_path(spark):
+    """Auto dispatch uses the variant backend (no Python nodes) for a
+    compilable schema, and it catches type mismatches (unlike from_json)."""
+    schema = {"type": "object", "properties": {"name": {"type": "string"}}}
+    df = spark.createDataFrame([('{"name": 5}',), ('{"name": "x"}',)], "data_json string")
+    out = engine.validate_json_column(df, schema)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert [r["valid"] for r in out.collect()] == [False, True]
