@@ -574,7 +574,7 @@ def q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cases = []
-    for d in ("draft3", "draft4", "draft6", "draft7"):
+    for d in ("draft3", "draft4", "draft6", "draft7", "v5"):
         cases += load_cases(sorted(glob.glob(f"{here}/tests/fixtures/{d}/*.json")), draft=d)
     out = run_suite_spark(suite_df(spark, cases))
     return (

@@ -39,6 +39,9 @@ SKIP = {
                "ref overrides any sibling keywords", "an array of schemas for items",
                "allOf with base schema",
                "some languages do not distinguish between different types of numeric value"],
+    # v5 proposal keywords + $data — the reference runs its whole v5 dir with
+    # no skip-list (/root/reference/test/json_schema/v5_test.clj:8,20)
+    "v5": [],
 }
 
 
@@ -47,7 +50,7 @@ def _cases(draft):
     return load_cases(paths, draft=draft, skip=SKIP[draft])
 
 
-@pytest.mark.parametrize("draft", ["draft3", "draft4", "draft6", "draft7"])
+@pytest.mark.parametrize("draft", ["draft3", "draft4", "draft6", "draft7", "v5"])
 def test_draft_conformance_python(draft):
     cases = _cases(draft)
     assert cases
