@@ -1,0 +1,95 @@
+"""Physical-plan audits: the properties that make the engine survive a
+100 TB scale-up must be visible in the optimized/executed plan, not just
+implied by the DataFrame code.
+
+Checked here, over the driver's real parquet tables (sf0.001):
+  * column pruning  — a validation over 6 lineitem columns must not read
+    the other 10 (vectorized scan ReadSchema),
+  * predicate pushdown — row filters reach the parquet scan (PushedFilters),
+  * join strategy   — dimension lookups broadcast (no shuffle of the fact
+    table), the anti-join for referential checks included,
+  * partial aggregation — verdict/stats aggs run map-side before the
+    exchange (HashAggregate appears below the shuffle),
+  * JVM-only hot path — no Python eval nodes in any table-validation plan.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark.queries import (
+    LINEITEM_SCHEMA,
+    q_dangling_partkeys,
+    q_revenue_by_nation,
+    q_validate_lineitem,
+    q_verdicts_orders,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_validation_prunes_unreferenced_columns(spark):
+    plan = executed(q_validate_lineitem(spark, SF_DIR))
+    # scan line carries ReadSchema: struct<...>; the 10 untouched lineitem
+    # columns must be absent from it
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    schema_str = " ".join(read_schema)
+    for needed in ("l_quantity", "l_discount", "l_returnflag", "l_linenumber"):
+        assert needed in schema_str, schema_str
+    for pruned in ("l_comment", "l_shipdate", "l_extendedprice", "l_suppkey"):
+        assert pruned not in schema_str, f"{pruned} not pruned: {schema_str}"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    from json_schema_clj_spark.operators.validate import with_validation
+
+    out = with_validation(
+        li.where(F.col("l_orderkey") < 1000), LINEITEM_SCHEMA
+    ).select("l_orderkey", "valid")
+    plan = executed(out)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "LessThan(l_orderkey,1000)" in pushed[0], plan
+
+
+def test_referential_anti_join_broadcasts_dimension(spark):
+    plan = executed(q_dangling_partkeys(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the fact table must reach the join straight from its scan — a sort-merge
+    # plan would shuffle + sort the full fact table on the join key
+    assert "SortMergeJoin" not in plan, plan
+    # fact-side scan reads the join key only (1 of 16 lineitem columns)
+    li_scan = [ln for ln in plan.splitlines() if "lineitem.parquet" in ln]
+    assert li_scan and "ReadSchema: struct<l_partkey:bigint>" in li_scan[0], li_scan
+
+
+def test_dim_join_chain_broadcasts_both_dims(spark):
+    plan = executed(q_revenue_by_nation(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_verdict_agg_is_partial_then_final(spark):
+    plan = executed(q_verdicts_orders(spark, SF_DIR))
+    # two HashAggregate levels around one exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_validation_plans_have_no_python_nodes(spark):
+    for q in (q_validate_lineitem, q_verdicts_orders, q_dangling_partkeys):
+        plan = executed(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
