@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "join_revenue_by_nation",
     "events_json_props_agg",
+    "validate_events_json_variant",
     "window_top_event_per_user",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",

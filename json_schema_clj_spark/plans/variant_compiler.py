@@ -1002,7 +1002,24 @@ def compile_variant(schema, v: Column, ctx: Ctx) -> Compiled:
 
 
 def compile_for_json(schema: dict, json_col: Column, config: Optional[dict] = None) -> Compiled:
-    """Compile a schema against a raw-JSON string column via parse_json."""
-    v = F.parse_json(json_col)
+    """Compile a schema against a raw-JSON string column.
+
+    Uses ``try_parse_json`` so one malformed record yields a per-row
+    `$parse` violation instead of failing the whole job (``parse_json``
+    raises MALFORMED_RECORD_IN_PARSING executor-side — at 10^12 rows a
+    single bad record must not abort the run).  A malformed row fails
+    with exactly the parse violation; the schema's checks are suppressed
+    for it (the reference never validates a document that didn't parse)."""
+    v = F.try_parse_json(json_col)
     ctx = Ctx(config=config or {}, root_schema=schema)
-    return compile_variant(schema, v, ctx)
+    inner = compile_variant(schema, v, ctx)
+    malformed = json_col.isNotNull() & v.isNull()
+    parse_check = simple_check(
+        ~malformed, (), (), "$parse", "malformed JSON", "error"
+    )
+    # coalesce: a null ok (3-valued logic on a null doc) always carries a
+    # violation in simple_check, so the row verdict is definitively False
+    return Compiled(
+        ok=F.when(malformed, F.lit(False)).otherwise(F.coalesce(inner.ok, F.lit(False))),
+        violations=F.when(malformed, parse_check.violations).otherwise(inner.violations),
+    )

@@ -368,6 +368,45 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# 9b. raw-JSON validation through the VariantType backend (dynamic JSON as
+# pure Catalyst — parse_json + schema_of_variant dispatch, no Python)
+
+EVENTS_PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 5, "multipleOf": 3}},
+}
+
+
+def q_validate_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .engine import validate_json_column
+
+    ev = t(spark, sf_dir, "events")
+    out = validate_json_column(
+        ev, EVENTS_PROPS_SCHEMA, json_col="props", force_backend="variant"
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VALIDATE_EVENTS_JSON = """
+SELECT event_type, count(*) AS n,
+       count(*) FILTER (WHERE NOT (
+            json_extract(props, '$.k') IS NOT NULL
+        AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 5
+        AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+       )) AS n_invalid
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # 10. window function: top event per user by value
 
 
@@ -603,6 +642,7 @@ QUERIES = {
     "tpch_q1_pricing_summary": q_pricing_summary,
     "join_revenue_by_nation": q_revenue_by_nation,
     "events_json_props_agg": q_events_props,
+    "validate_events_json_variant": q_validate_events_json,
     "window_top_event_per_user": q_top_event_per_user,
     "dedup_exact_documents": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -626,6 +666,7 @@ ORACLES = {
     "tpch_q1_pricing_summary": SQL_PRICING_SUMMARY,
     "join_revenue_by_nation": SQL_REVENUE_BY_NATION,
     "events_json_props_agg": SQL_EVENTS_PROPS,
+    "validate_events_json_variant": SQL_VALIDATE_EVENTS_JSON,
     "window_top_event_per_user": SQL_TOP_EVENT_PER_USER,
     "dedup_exact_documents": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,

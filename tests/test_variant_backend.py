@@ -106,3 +106,19 @@ def test_variant_is_default_fast_path(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert [r["valid"] for r in out.collect()] == [False, True]
+
+
+def test_variant_malformed_json_is_row_violation_not_job_failure(spark):
+    """One malformed record must produce a $parse violation row, never an
+    executor-side MALFORMED_RECORD_IN_PARSING abort (try_parse_json path);
+    a null document is invalid with a definite False verdict, not NULL."""
+    schema = {"type": "object", "required": ["k"]}
+    df = spark.createDataFrame(
+        [("a", '{"k": 1}'), ("b", "{oops"), ("c", None)], "id string, data_json string"
+    )
+    out = engine.validate_json_column(df, schema, force_backend="variant")
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["valid"] is True
+    assert rows["b"]["valid"] is False
+    assert [v["keyword"] for v in rows["b"]["violations"]] == ["$parse"]
+    assert rows["c"]["valid"] is False  # not NULL — 3VL coalesced
