@@ -447,6 +447,25 @@ FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
 """
 
 
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup profile (single row, non-trivial at every SF —
+    the duplicate-groups query is legitimately empty at small SF)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(D.text_hash(F.col("text"))).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(D.text_hash(F.col("text")))).alias("n_dup_excess"),
+    )
+
+
+SQL_DEDUP_STATS = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_distinct,
+       count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_dup_excess
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # 12. n-gram Jaccard near-dup pairs
 
@@ -645,6 +664,7 @@ QUERIES = {
     "validate_events_json_variant": q_validate_events_json,
     "window_top_event_per_user": q_top_event_per_user,
     "dedup_exact_documents": q_dedup_exact,
+    "dedup_exact_stats": q_dedup_stats,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "text_profile_documents": q_text_profile,
     "ann_cosine_topk": q_ann_topk,
@@ -669,6 +689,7 @@ ORACLES = {
     "validate_events_json_variant": SQL_VALIDATE_EVENTS_JSON,
     "window_top_event_per_user": SQL_TOP_EVENT_PER_USER,
     "dedup_exact_documents": SQL_DEDUP_EXACT,
+    "dedup_exact_stats": SQL_DEDUP_STATS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_profile_documents": SQL_TEXT_PROFILE,
     "ann_cosine_topk": SQL_ANN_TOPK,
