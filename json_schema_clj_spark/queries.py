@@ -604,10 +604,27 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    return S.embedding_near_duplicates(emb, threshold=0.9).select(
-        "id_a", "id_b", F.round("cos", 6).alias("cos")
-    ).orderBy("id_a", "id_b")
+    """LSH-bucketed cosine near-dup over the corpus unioned with an
+    id-shifted copy of itself.  The synthetic embeddings have no natural
+    near-dup pairs (max pairwise cosine ≈ 0.60), so the copy plants exactly
+    one cos=1.0 pair per vector — LSH recall on identical vectors is total
+    (identical signatures), making the approximate operator exactly
+    oracle-checkable: the output must be precisely the planted pairs."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clone = emb.select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding")
+    return (
+        S.embedding_near_duplicates(emb.unionByName(clone), threshold=0.95)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# planted-pair construction makes the approximate LSH output exact: every
+# vector pairs with its planted copy at cos 1.0, nothing else reaches 0.95
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0 AS cos
+FROM embeddings ORDER BY id_a, id_b
+"""
 
 
 def q_images_flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +710,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_profile_documents": SQL_TEXT_PROFILE,
     "ann_cosine_topk": SQL_ANN_TOPK,
-    # dedup_minhash_lsh / dedup_simhash / embedding_near_dup / ann_lsh_topk:
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk:
     # xxhash64-keyed signatures are not expressible in ANSI SQL → rows-only
 }
