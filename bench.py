@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embedding_near_dup",
+    "dedup_exact_stats",
+    "images_uniqueness_skewed",
 ]
 
 

@@ -639,6 +639,29 @@ def q_images_flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["verdicts"].orderBy("part_id")
 
 
+def q_images_uniqueness_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage uniqueness on the deliberately skewed phash column
+    (every key ~997 rows — the hot-bucket shape of near-duplicate clusters
+    at 10^12 scale) plus exact-duplicate image_id detection (planted every
+    5000th row).  Rows-only: the synthetic generator is xxhash64-keyed."""
+    from .sources.images import images_df
+
+    df = images_df(spark, 100_000)
+    phash_dups = U.duplicates(df, ["phash"], salted=True).agg(
+        F.count(F.lit(1)).alias("n_dup_keys"),
+        F.sum("n").alias("n_rows_in_dups"),
+        F.max("n").alias("hottest_key_rows"),
+    ).withColumn("key", F.lit("phash"))
+    id_dups = U.duplicates(df, ["image_id"], salted=True).agg(
+        F.count(F.lit(1)).alias("n_dup_keys"),
+        F.sum("n").alias("n_rows_in_dups"),
+        F.max("n").alias("hottest_key_rows"),
+    ).withColumn("key", F.lit("image_id"))
+    return phash_dups.unionByName(id_dups).select(
+        "key", "n_dup_keys", "n_rows_in_dups", "hottest_key_rows"
+    ).orderBy("key")
+
+
 def q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Draft-suite conformance through the distributed Arrow-batched path:
     (draft, n_tests, n_pass) per draft — rows-only (fixtures, not tables)."""
@@ -690,6 +713,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_lsh_ann_topk,
     "images_flagship_verdicts": q_images_flagship_verdicts,
+    "images_uniqueness_skewed": q_images_uniqueness_skewed,
     "suite_conformance": q_suite_conformance,
 }
 
