@@ -136,6 +136,86 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# 2b. $data cross-field bound (v5): one column's maximum read from another
+# column of the same row — compiled to a plain col<=col Catalyst predicate
+
+DATA_CROSSFIELD_SCHEMA = {
+    "type": "object",
+    "properties": {"l_discount": {"maximum": {"$data": "1/l_tax"}}},
+}
+
+
+def q_validate_data_crossfield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    validated = with_validation(li, DATA_CROSSFIELD_SCHEMA)
+    return (
+        validated.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_over_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# comparator semantics (core.clj:93-124): nil bound passes, non-number value
+# passes — invalid iff both are numbers and discount > tax
+SQL_VALIDATE_DATA_CROSSFIELD = """
+SELECT l_returnflag, count(*) AS n,
+       count(*) FILTER (WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+                          AND NOT (l_discount <= l_tax)) AS n_over_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2c. errors→warnings rerouting (the reference's per-call :config,
+# core.clj:42-45): warning-severity violations are recorded but don't fail
+
+WARN_SCHEMA = {
+    "type": "object",
+    "properties": {"o_totalprice": {"minimum": 50000, "maximum": 300000}},
+}
+
+
+def q_validate_warnings_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "orders")
+    validated = with_validation(df, WARN_SCHEMA, config={"maximum": "warnings"})
+    breakdown = keyword_breakdown(validated).select(
+        "keyword_path", "keyword", "severity", "n_violations"
+    )
+    summary = validated.agg(
+        F.sum(F.col("valid").cast("long")).alias("n_violations")
+    ).select(
+        F.lit("$summary").alias("keyword_path"),
+        F.lit("rows_valid").alias("keyword"),
+        F.lit("info").alias("severity"),
+        "n_violations",
+    )
+    return breakdown.unionByName(summary).orderBy("keyword_path")
+
+
+SQL_VALIDATE_WARNINGS_ROUTING = """
+WITH rows AS (
+  SELECT 'properties/o_totalprice/maximum' AS keyword_path, 'maximum' AS keyword,
+         'warning' AS severity,
+         count(*) FILTER (WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 300000)) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'properties/o_totalprice/minimum', 'minimum', 'error',
+         count(*) FILTER (WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 50000))
+  FROM orders
+  UNION ALL
+  -- warnings do not fail the document: valid = no error-severity violations
+  SELECT '$summary', 'rows_valid', 'info',
+         count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice >= 50000)
+  FROM orders
+)
+SELECT * FROM rows WHERE n_violations > 0 ORDER BY keyword_path
+"""
+
+
+# ---------------------------------------------------------------------------
 # 3. column stats profile (bigint/string columns — no float formatting traps)
 
 
@@ -694,6 +774,8 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
+    "validate_data_crossfield": q_validate_data_crossfield,
+    "validate_warnings_routing": q_validate_warnings_routing,
     "stats_profile_orders": q_stats_orders,
     "uniqueness_orders_custkey": q_duplicates_orders_custkey,
     "referential_dangling_partkeys": q_dangling_partkeys,
@@ -720,6 +802,8 @@ QUERIES = {
 ORACLES = {
     "validate_lineitem_keywords": SQL_VALIDATE_LINEITEM,
     "validate_verdicts_orders": SQL_VERDICTS_ORDERS,
+    "validate_data_crossfield": SQL_VALIDATE_DATA_CROSSFIELD,
+    "validate_warnings_routing": SQL_VALIDATE_WARNINGS_ROUTING,
     "stats_profile_orders": SQL_STATS_ORDERS,
     "uniqueness_orders_custkey": SQL_DUPLICATES_ORDERS_CUSTKEY,
     "referential_dangling_partkeys": SQL_DANGLING_PARTKEYS,
