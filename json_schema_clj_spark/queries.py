@@ -216,6 +216,51 @@ SELECT * FROM rows WHERE n_violations > 0 ORDER BY keyword_path
 
 
 # ---------------------------------------------------------------------------
+# 2d. discriminator (custom keyword, core.clj:519-530): dispatch each row to
+# #/definitions/<lang> — per-language constraint sets in one CASE WHEN tree;
+# an unlisted tag ("zh") is an unresolvable-discriminator error
+
+DISCRIMINATOR_SCHEMA = {
+    "type": "object",
+    "discriminator": "lang",
+    "definitions": {
+        "en": {"properties": {"n_chars": {"minimum": 100}}},
+        "de": {"properties": {"n_chars": {"minimum": 150}}},
+        "es": {"properties": {"n_chars": {"maximum": 450}}},
+        "fr": {"properties": {"n_chars": {"minimum": 100, "maximum": 500}}},
+    },
+}
+
+
+def q_validate_discriminator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    validated = with_validation(docs, DISCRIMINATOR_SCHEMA)
+    return (
+        validated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_fail"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_VALIDATE_DISCRIMINATOR = """
+SELECT lang, count(*) AS n,
+       count(*) FILTER (WHERE NOT (
+         CASE lang
+           WHEN 'en' THEN n_chars IS NULL OR n_chars >= 100
+           WHEN 'de' THEN n_chars IS NULL OR n_chars >= 150
+           WHEN 'es' THEN n_chars IS NULL OR n_chars <= 450
+           WHEN 'fr' THEN n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 500)
+           ELSE FALSE  -- unresolvable discriminator tag
+         END
+       )) AS n_fail
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # 3. column stats profile (bigint/string columns — no float formatting traps)
 
 
@@ -776,6 +821,7 @@ QUERIES = {
     "validate_verdicts_orders": q_verdicts_orders,
     "validate_data_crossfield": q_validate_data_crossfield,
     "validate_warnings_routing": q_validate_warnings_routing,
+    "validate_discriminator_documents": q_validate_discriminator,
     "stats_profile_orders": q_stats_orders,
     "uniqueness_orders_custkey": q_duplicates_orders_custkey,
     "referential_dangling_partkeys": q_dangling_partkeys,
@@ -804,6 +850,7 @@ ORACLES = {
     "validate_verdicts_orders": SQL_VERDICTS_ORDERS,
     "validate_data_crossfield": SQL_VALIDATE_DATA_CROSSFIELD,
     "validate_warnings_routing": SQL_VALIDATE_WARNINGS_ROUTING,
+    "validate_discriminator_documents": SQL_VALIDATE_DISCRIMINATOR,
     "stats_profile_orders": SQL_STATS_ORDERS,
     "uniqueness_orders_custkey": SQL_DUPLICATES_ORDERS_CUSTKEY,
     "referential_dangling_partkeys": SQL_DANGLING_PARTKEYS,
