@@ -105,8 +105,16 @@ def validate_json_column(
         from .plans.variant_compiler import compile_for_json
 
         try:
-            compiled = compile_for_json(schema, F.col(json_col), config=config)
-            out = df.withColumn("violations", compiled.violations)
+            # parse ONCE in a dedicated projection: the non-cheap parse stays
+            # an attribute reference inside the check tree instead of being
+            # inlined (and re-parsed) at every keyword — ~5× at 20 checks
+            tmp = f"__parsed_{json_col}"
+            compiled = compile_for_json(
+                schema, F.col(json_col), config=config, parsed_col=F.col(tmp)
+            )
+            out = df.withColumn(tmp, F.try_parse_json(F.col(json_col))).withColumn(
+                "violations", compiled.violations
+            )
             if not config:
                 out = out.withColumn("valid", compiled.ok)
             else:
@@ -114,7 +122,7 @@ def validate_json_column(
                     "valid",
                     F.size(F.filter(F.col("violations"), lambda v: v["severity"] == F.lit("error"))) == 0,
                 )
-            return out
+            return out.drop(tmp)
         except ColumnBackendUnsupported:
             if force_backend == "variant":
                 raise

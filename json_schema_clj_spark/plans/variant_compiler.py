@@ -1001,7 +1001,12 @@ def compile_variant(schema, v: Column, ctx: Ctx) -> Compiled:
     return merge(comps)
 
 
-def compile_for_json(schema: dict, json_col: Column, config: Optional[dict] = None) -> Compiled:
+def compile_for_json(
+    schema: dict,
+    json_col: Column,
+    config: Optional[dict] = None,
+    parsed_col: Optional[Column] = None,
+) -> Compiled:
     """Compile a schema against a raw-JSON string column.
 
     Uses ``try_parse_json`` so one malformed record yields a per-row
@@ -1009,8 +1014,15 @@ def compile_for_json(schema: dict, json_col: Column, config: Optional[dict] = No
     raises MALFORMED_RECORD_IN_PARSING executor-side — at 10^12 rows a
     single bad record must not abort the run).  A malformed row fails
     with exactly the parse violation; the schema's checks are suppressed
-    for it (the reference never validates a document that didn't parse)."""
-    v = F.try_parse_json(json_col)
+    for it (the reference never validates a document that didn't parse).
+
+    ``parsed_col``: pass an attribute that already holds
+    ``try_parse_json(json_col)`` (materialized in its own projection).
+    Without it, Catalyst inlines the parse into EVERY check reference —
+    the check tree then re-parses the JSON string ~1× per keyword per row
+    (measured 5× slower end to end).  ``engine.validate_json_column``
+    always supplies it; direct callers of this function pay the re-parse."""
+    v = parsed_col if parsed_col is not None else F.try_parse_json(json_col)
     ctx = Ctx(config=config or {}, root_schema=schema)
     inner = compile_variant(schema, v, ctx)
     malformed = json_col.isNotNull() & v.isNull()
