@@ -194,7 +194,9 @@ def lsh_near_duplicates(
     shuffle volume stays ~linear in corpus size at 100 TB.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    # persist: the signature agg (shingle explode + 64-way min) feeds both
+    # sides of the bucket self-join — compute it once
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, seed).persist()
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -316,7 +318,9 @@ def simhash_candidates(
     Buckets larger than `max_bucket_size` are dropped before the self-join
     (the hot-bucket guard: a degenerate chunk shared by everything would
     make the join quadratic)."""
-    sh = simhash_df(df, text_col, id_col, seed=seed)
+    # persist: the fingerprint agg (explode + 64-way sum) feeds BOTH join
+    # sides and the hot-bucket scan — without it the whole pipeline runs 3×
+    sh = simhash_df(df, text_col, id_col, seed=seed).persist()
     chunks = F.array(
         *[
             F.struct(
