@@ -1,0 +1,188 @@
+"""Production entrypoint: the full validation workload via spark-submit.
+
+North rule (/root/repo/BASELINE.json:14): the engine is "submitted via
+spark-submit --py-files on a multi-executor cluster" and "resumable from
+checkpoint with per-partition lineage + metrics".  This script is that
+submission unit — it deliberately lives OUTSIDE the package so the package
+code must arrive through ``--py-files``:
+
+    python tools/build_pyfiles.py          # → dist/json_schema_clj_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/json_schema_clj_spark.zip \\
+        jobs/validate_submit.py \\
+        --input synth:1000000 --output /data/run1 --run-id run1
+
+Workload (the same one benchmarked in BENCH/BASELINE.md):
+
+1. resumable per-chunk schema validation — violation rows + per-partition
+   verdict metrics, one manifest commit per chunk (kill anywhere; re-run
+   skips committed partitions),
+2. salted uniqueness on image_id and phash,
+3. magic-number format conformance on (bytes, fmt),
+4. per-column stats profile,
+5. KS/PSI drift of each partition's width distribution vs the corpus.
+
+Outputs land under --output as parquet; a single JSON summary line goes to
+stdout (and --output/summary.json) for orchestrators to scrape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="parquet dir of an images-shaped table, or synth:<n_rows>")
+    p.add_argument("--output", required=True, help="output directory (parquet sinks)")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--schema", default=None,
+                   help="path to a JSON-Schema file (default: flagship image schema)")
+    p.add_argument("--manifest", default=None,
+                   help="manifest path (default: <output>/manifest)")
+    p.add_argument("--part-col", default="part_id")
+    p.add_argument("--chunk-size", type=int, default=16)
+    p.add_argument("--n-parts", type=int, default=64, help="synth input partitions")
+    p.add_argument("--skip-table-checks", action="store_true",
+                   help="only the resumable validation pass (used by the scaling bench)")
+    p.add_argument("--fail-after-chunks", type=int, default=0,
+                   help="TEST HOOK: crash after N committed chunks to exercise resume")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    # master/executor topology comes from spark-submit; only job-level conf here
+    spark = (
+        SparkSession.builder.appName(f"json-schema-clj-spark:{args.run_id}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+    # these imports must resolve from --py-files
+    from json_schema_clj_spark.manifest import run_resumable, snapshot_id_of
+    from json_schema_clj_spark.operators import drift as DR
+    from json_schema_clj_spark.operators import stats as ST
+    from json_schema_clj_spark.operators import uniqueness as U
+    from json_schema_clj_spark.operators.multimodal import magic_number_violations
+    from json_schema_clj_spark.operators.validate import (
+        verdicts,
+        violation_rows,
+        with_validation,
+    )
+    from json_schema_clj_spark.sources.images import FLAGSHIP_SCHEMA, images_df
+
+    if args.schema:
+        with open(args.schema) as f:
+            schema = json.load(f)
+    else:
+        schema = FLAGSHIP_SCHEMA
+
+    out = args.output.rstrip("/")
+    manifest_path = args.manifest or f"{out}/manifest"
+
+    if args.input.startswith("synth:"):
+        n = int(args.input.split(":", 1)[1])
+        input_path = f"{out}/input"
+        # materialize once so every (re-)run validates the same snapshot
+        if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+            images_df(spark, n, n_parts=args.n_parts).write.mode("overwrite").parquet(input_path)
+    else:
+        input_path = args.input
+
+    df = spark.read.parquet(input_path)
+    snapshot_id = snapshot_id_of(df)
+
+    t0 = time.monotonic()
+    n_committed_chunks = 0
+
+    def process_chunk(chunk, parts):
+        nonlocal n_committed_chunks
+        if args.fail_after_chunks and n_committed_chunks >= args.fail_after_chunks:
+            raise RuntimeError(f"TEST HOOK: injected crash after {n_committed_chunks} chunks")
+        validated = with_validation(chunk, schema)
+        violation_rows(validated, ["image_id"], prefilter=~F.col("valid")).withColumn(
+            "run_id", F.lit(args.run_id)
+        ).write.mode("append").parquet(f"{out}/violations")
+        n_committed_chunks += 1
+        return verdicts(validated, args.part_col).select(
+            F.col(args.part_col).cast("long").alias("part"), "n_rows", "n_fail"
+        )
+
+    result = run_resumable(
+        spark,
+        df,
+        part_col=args.part_col,
+        process_chunk=process_chunk,
+        manifest_path=manifest_path,
+        run_id=args.run_id,
+        snapshot_id=snapshot_id,
+        chunk_size=args.chunk_size,
+    )
+
+    summary = {
+        "run_id": args.run_id,
+        "snapshot_id": result["snapshot_id"],
+        "parts_processed": len(result["processed"]),
+        "parts_skipped": len(result["skipped"]),
+    }
+
+    if not args.skip_table_checks:
+        U.duplicates(df, ["image_id"]).write.mode("overwrite").parquet(f"{out}/dup_image_id")
+        U.duplicates(df, ["phash"]).write.mode("overwrite").parquet(f"{out}/dup_phash")
+        magic_number_violations(df, ["image_id"]).write.mode("overwrite").parquet(
+            f"{out}/bad_magic"
+        )
+        ST.column_profile(df, ["w", "h", "fmt", "caption"]).write.mode("overwrite").parquet(
+            f"{out}/stats"
+        )
+        # drift: first half of partitions is the baseline population
+        half = df.agg((F.max(args.part_col) / 2).cast("int")).first()[0] or 0
+        base = DR.histogram_sketch(
+            df.where(F.col(args.part_col) <= half), "w", args.part_col, 0, 4200
+        ).withColumn("group", F.lit(0))
+        base = base.groupBy("group", "bucket").agg(F.sum("n").alias("n"))
+        cur = DR.histogram_sketch(df, "w", args.part_col, 0, 4200)
+        DR.drift_scores(
+            base.crossJoin(cur.select("group").distinct().withColumnRenamed("group", "g"))
+            .select(F.col("g").alias("group"), "bucket", "n"),
+            cur,
+        ).write.mode("overwrite").parquet(f"{out}/drift")
+
+        m = spark.read.parquet(manifest_path)
+        agg = (
+            m.where((F.col("run_id") == args.run_id) & (F.col("snapshot_id") == snapshot_id))
+            .agg(F.sum("n_rows").alias("rows"), F.sum("n_fail").alias("fails"))
+            .first()
+        )
+        summary.update(
+            {
+                "rows_validated": int(agg["rows"] or 0),
+                "rows_failed": int(agg["fails"] or 0),
+                "dup_image_ids": spark.read.parquet(f"{out}/dup_image_id").count(),
+                "dup_phash_keys": spark.read.parquet(f"{out}/dup_phash").count(),
+                "bad_magic_rows": spark.read.parquet(f"{out}/bad_magic").count(),
+            }
+        )
+
+    summary["wall_sec"] = round(time.monotonic() - t0, 3)
+    line = json.dumps(summary)
+    os.makedirs(out, exist_ok=True)
+    with open(f"{out}/summary.json", "w") as f:
+        f.write(line + "\n")
+    print(line)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""End-to-end `spark-submit --py-files` evidence (north rule,
+/root/repo/BASELINE.json:14: "submitted via spark-submit --py-files ...
+resumable from checkpoint").
+
+Runs the real /opt/spark/bin/spark-submit binary from a scratch cwd with
+ONLY the built zip on --py-files, so the test proves the packaged artifact
+is self-contained.  Three submissions over one output dir:
+
+1. crash-injected run (test hook kills the job after 1 committed chunk),
+2. resume run — must skip the committed partitions and finish,
+3. idempotent re-run — must skip everything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit binary not available"
+)
+
+
+def submit(zip_path, out_dir, cwd, *extra):
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)  # the zip must be the only source of the package
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "validate_submit.py"),
+            "--input", "synth:20000",
+            "--output", out_dir,
+            "--run-id", "submit-test",
+            "--n-parts", "8",
+            "--chunk-size", "2",
+            *extra,
+        ],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    return proc
+
+
+def test_spark_submit_pyfiles_resumable(tmp_path):
+    from tools.build_pyfiles import build
+
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    out_dir = str(tmp_path / "run")
+    cwd = str(tmp_path / "scratch")
+    os.makedirs(cwd)
+
+    # 1. crash after the first committed chunk (2 of 8 partitions)
+    p1 = submit(zip_path, out_dir, cwd, "--fail-after-chunks", "1",
+                "--skip-table-checks")
+    assert p1.returncode != 0
+    assert "TEST HOOK: injected crash" in (p1.stderr + p1.stdout)
+
+    # 2. resume: skips the 2 committed partitions, finishes the rest +
+    #    table-level checks
+    p2 = submit(zip_path, out_dir, cwd)
+    assert p2.returncode == 0, p2.stderr[-4000:]
+    summary = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert summary["parts_skipped"] == 2
+    assert summary["parts_processed"] == 6
+    assert summary["rows_validated"] == 20000
+    # seeded violation injection → failures exist and dup ids exist
+    assert summary["rows_failed"] > 0
+    assert summary["dup_image_ids"] > 0
+    assert summary["bad_magic_rows"] > 0
+
+    # 3. idempotent re-run: everything already committed
+    p3 = submit(zip_path, out_dir, cwd)
+    assert p3.returncode == 0, p3.stderr[-4000:]
+    summary3 = json.loads(p3.stdout.strip().splitlines()[-1])
+    assert summary3["parts_processed"] == 0
+    assert summary3["parts_skipped"] == 8
+    # verdict totals identical across resumed + rerun manifests
+    assert summary3["rows_validated"] == summary["rows_validated"]
+    assert summary3["rows_failed"] == summary["rows_failed"]
+
+    assert os.path.exists(os.path.join(out_dir, "summary.json"))
+    shutil.rmtree(cwd, ignore_errors=True)
