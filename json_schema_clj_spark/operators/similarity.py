@@ -12,8 +12,11 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -65,11 +68,24 @@ def brute_force_topk(
 
 
 def mean_vector(df: DataFrame, vec_col: str, dim: int) -> list[float]:
-    """Global mean vector (one tiny agg, collected — 64 doubles)."""
-    row = df.agg(
-        *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}") for i in range(dim)]
-    ).first()
-    return [row[f"m{i}"] or 0.0 for i in range(dim)]
+    """Global mean vector, collected (dim doubles).
+
+    posexplode → groupBy(pos) instead of dim-wide `avg(element_at)` columns:
+    the wide-agg variant Janino-compiles a dim-wide generated class (~2-4 s
+    of fixed driver latency per distinct width) while this shape reuses the
+    generic two-column hash agg.  At extreme corpus sizes pass a `.sample()`
+    of the frame — the center only steers LSH bucket spread, any consistent
+    estimate works (both sides must use the SAME center)."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    out = [0.0] * dim
+    for r in rows:
+        out[r["pos"]] = r["m"] or 0.0
+    return out
 
 
 def hyperplane_signature(
@@ -121,6 +137,62 @@ def hyperplane_signature(
     return out
 
 
+_SIGN_CACHE: dict = {}
+
+
+def _sign_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """The (dim, n_planes) ±1 Rademacher plane matrix, bit-identical to the
+    Column path's per-element `xxhash64(seed, p, d) mod 2` definition: the
+    matrix is tiny, so we evaluate that exact expression ONCE driver-side
+    (one 1-row job) and cache it — executors then get it as a closure
+    constant instead of re-hashing per row."""
+    key = (dim, n_planes, seed)
+    if key not in _SIGN_CACHE:
+        spark = SparkSession.getActiveSession()
+        dims = F.sequence(F.lit(0), F.lit(dim - 1))
+
+        def make_signs(_p):
+            return lambda d: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(_p), d), F.lit(2)) * 2 - 1
+            ).cast("double")
+
+        row = spark.range(1).select(
+            *[F.transform(dims, make_signs(p)).alias(f"p{p}") for p in range(n_planes)]
+        ).first()
+        _SIGN_CACHE[key] = np.array([row[f"p{p}"] for p in range(n_planes)], dtype=np.float64).T
+    return _SIGN_CACHE[key]
+
+
+def signature_udf(dim: int, n_planes: int, seed: int, center: list[float] | None):
+    """Arrow-batched signature: one BLAS matmul per batch — the 10^12-row
+    shape (the HOF-fold Column variant evaluates ~dim·n_planes interpreted
+    lambda calls per row AND costs 15-25 s of one-off Janino compilation
+    for its expression tree; the UDF plan is one node)."""
+    S_mat = _sign_matrix(dim, n_planes, seed)
+    c = np.asarray(center, dtype=np.float64) if center is not None else np.zeros(dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        proj = (M - c) @ S_mat
+        return pd.Series((proj > 0).astype(np.int64) @ weights)
+
+    return sig
+
+
+def with_signature(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    center: list[float] | None,
+) -> DataFrame:
+    return df.withColumn(out_col, signature_udf(dim, n_planes, seed, center)(F.col(vec_col)))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -140,19 +212,24 @@ def lsh_topk(
     center = mean_vector(corpus, vec_col, dim)
 
     def with_bands(df: DataFrame, idc: str, vc: str, out_id: str, out_vec: str) -> DataFrame:
-        sig = hyperplane_signature(F.col(vc), dim, n_planes, seed, center=center)
+        # signature materialized as a column FIRST; the band structs then
+        # reference it instead of inlining the projection tree `bands` times
+        sigged = with_signature(
+            df.select(F.col(idc).alias(out_id), F.col(vc).alias(out_vec)),
+            out_vec, "sig", dim, n_planes, seed, center,
+        )
         bandarr = F.array(
             *[
                 F.struct(
                     F.lit(bidx).alias("band"),
-                    F.shiftright(sig, bidx * bits_per_band).bitwiseAND(F.lit(mask)).alias("bh"),
+                    F.shiftright(F.col("sig"), bidx * bits_per_band).bitwiseAND(F.lit(mask)).alias("bh"),
                 )
                 for bidx in range(bands)
             ]
         )
-        return df.select(
-            F.col(idc).alias(out_id), F.col(vc).alias(out_vec), F.explode(bandarr).alias("b")
-        ).select(out_id, out_vec, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        return sigged.select(out_id, out_vec, F.explode(bandarr).alias("b")).select(
+            out_id, out_vec, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+        )
 
     qb = with_bands(queries, id_col, vec_col, "query_id", "qv")
     cb = with_bands(corpus, id_col, vec_col, "neighbor_id", "cv")
@@ -192,16 +269,15 @@ def embedding_near_duplicates(
     """
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
-    sig = hyperplane_signature(
-        F.col(vec_col), dim, n_planes, seed, center=mean_vector(df, vec_col, dim)
-    )
     # persist materializes norms + signatures once — the CSE barrier for the
     # self-join (lambda-bound expressions re-evaluate otherwise)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
-        sig.alias("sig"),
+    base = with_signature(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        ),
+        "v", "sig", dim, n_planes, seed, mean_vector(df, vec_col, dim),
     ).persist()
     bandarr = F.array(
         *[

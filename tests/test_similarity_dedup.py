@@ -77,3 +77,20 @@ def test_brute_force_topk_correct(emb):
     scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
     assert scores == sorted(scores, reverse=True)
     assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_signature_udf_matches_column_path(emb):
+    """The Arrow-batched signature (BLAS matmul over the driver-evaluated
+    sign matrix) must reproduce the Column HOF definition bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    center = S.mean_vector(emb, "embedding", 64)
+    col_sig = emb.select(
+        "vec_id",
+        S.hyperplane_signature(F.col("embedding"), 64, 12, 11, center=center).alias("s_col"),
+    )
+    udf_sig = S.with_signature(
+        emb.select("vec_id", "embedding"), "embedding", "s_udf", 64, 12, 11, center
+    ).select("vec_id", "s_udf")
+    j = col_sig.join(udf_sig, "vec_id")
+    assert j.where(F.col("s_col") != F.col("s_udf")).count() == 0
