@@ -23,8 +23,35 @@ signatures.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants):
+    derives independent hash families from one base hash, pure uint64 ops."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hash_words(words: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic uint64 hash of a string array: pandas' stable keyed
+    string hash, then splitmix64-mixed with the seed."""
+    base = pd.util.hash_array(words, categorize=False)
+    return _splitmix64(base ^ np.uint64(seed))
+
+
+def _normalized_pd(texts: pd.Series) -> pd.Series:
+    return (
+        texts.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    )
 
 
 def normalized(text: Column) -> Column:
@@ -161,18 +188,80 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<bigint>) via explode → num_hashes-way MIN aggregate —
-    the scale shape: map-side partial mins compress the shuffle to |docs|
-    rows, and the num_hashes conditional mins vectorize in one hash agg
-    (the per-row array fold variant is codegen-hostile; same lesson as
-    simhash_df)."""
+    """(id, sig array<bigint>) — MinHash is a pure per-document map, so it
+    runs as ONE Arrow-batched mapInPandas stage with NO shuffle: shingling,
+    hashing (stable keyed string hash + splitmix64-derived families) and the
+    num_hashes mins are all vectorized numpy.  At 10^12 rows this is scan →
+    map, nothing else.
+
+    (The explode → groupBy(id) → num_hashes-way MIN agg alternative —
+    minhash_signatures_grouped — shuffles one row per (doc, shingle): the
+    right shape only if signatures must be built in pure SQL.)"""
+    out_schema = "id long, sig array<long>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        salts = _splitmix64(np.arange(num_hashes, dtype=np.uint64) ^ np.uint64(seed * 2654435761))
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            words = _normalized_pd(pdf[text_col]).str.split(" ")
+            ex = words.reset_index(drop=True).explode()
+            doc = ex.index.to_numpy(dtype=np.int64)
+            w = ex.to_numpy(dtype=object)
+            # k-word shingles: concat k shifted copies within the same doc
+            sh = w.astype(object)
+            valid = np.ones(len(w), dtype=bool)
+            for j in range(1, k):
+                nxt = np.roll(w, -j)
+                same_doc = np.roll(doc, -j) == doc
+                valid &= same_doc
+                sh = np.where(same_doc, sh + " " + nxt.astype(object), sh)
+            doc, sh = doc[valid], sh[valid]
+            # distinct shingles per doc
+            dd = pd.DataFrame({"d": doc, "s": sh}).drop_duplicates()
+            h0 = _hash_words(dd["s"].to_numpy(dtype=object), seed)
+            d = dd["d"].to_numpy()
+            order = np.argsort(d, kind="stable")
+            d_sorted, h_sorted = d[order], h0[order]
+            if len(d_sorted) == 0:
+                yield pd.DataFrame({"id": ids[:0], "sig": []})
+                continue
+            starts = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+            present = d_sorted[starts]
+            # docs with < k words have no shingles and emit no signature
+            # (same as the grouped variant, where groupBy never sees them)
+            sig = np.empty((len(present), num_hashes), dtype=np.int64)
+            for j in range(num_hashes):
+                hj = _splitmix64(h_sorted ^ salts[j])
+                sig[:, j] = np.minimum.reduceat(hj, starts).astype(np.int64, copy=False)
+            yield pd.DataFrame({"id": ids[present], "sig": list(sig)})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def minhash_signatures_grouped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Pure-SQL alternative: explode → num_hashes-way MIN aggregate (map-side
+    partial mins compress the shuffle to |docs| rows)."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
     )
-    aggs = [F.min(F.xxhash64(F.lit(seed + j), F.col("sh"))).alias(f"h{j}") for j in range(num_hashes)]
+    # F.expr strings, not per-op Column building: constructing num_hashes
+    # agg Columns through Py4J costs ~3 ms per JVM round-trip (seconds of
+    # driver latency per plan); one SQL parse per agg is one round-trip.
+    # SQL int literals are int32 like F.lit(int) — hash parity holds.
+    aggs = [F.expr(f"min(xxhash64({seed + j}, sh)) AS h{j}") for j in range(num_hashes)]
     sums = ex.groupBy("id").agg(*aggs)
-    return sums.select("id", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"))
+    arr = "array(" + ", ".join(f"h{j}" for j in range(num_hashes)) + ")"
+    return sums.select("id", F.expr(arr).alias("sig"))
 
 
 def lsh_near_duplicates(
@@ -277,30 +366,75 @@ def simhash_df(
     bits: int = 64,
     seed: int = 7,
 ) -> DataFrame:
-    """(id, sh) SimHash fingerprints via explode → 64-way hash aggregate.
+    """(id, sh) SimHash fingerprints — a pure per-document map, so ONE
+    Arrow-batched mapInPandas stage with NO shuffle: tokenize, stable word
+    hash, unpack to a (words × 64) bit matrix, per-doc popcount, sign rule
+    2·popcount > n — all vectorized numpy.  Scan → map at any scale.
 
-    This is the scale shape: one row per (doc, distinct word) feeding 64
-    conditional sums in a single partial+final hash agg — vectorized, and
-    the map-side combine keeps shuffle at |docs| rows.  (A per-row array
-    fold compiles to a 64-wide expression per element — measured 50×
-    slower; don't.)
-    """
+    (simhash_df_grouped keeps the pure-SQL explode → 64-way agg shape.)"""
+    assert bits == 64, "packed fingerprint is 64-bit"
+    out_schema = "id long, sh long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            words = _normalized_pd(pdf[text_col]).str.split(" ")
+            ex = words.reset_index(drop=True).explode()
+            dd = pd.DataFrame(
+                {"d": ex.index.to_numpy(dtype=np.int64), "w": ex.to_numpy(dtype=object)}
+            ).drop_duplicates()
+            d = dd["d"].to_numpy()
+            h = _hash_words(dd["w"].to_numpy(dtype=object), seed)
+            # (n_words, 64) bit matrix, little-endian bit order → column b = bit b
+            bm = np.unpackbits(
+                h.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            order = np.argsort(d, kind="stable")
+            d_sorted, bm_sorted = d[order], bm[order]
+            starts = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+            counts = np.add.reduceat(bm_sorted.astype(np.int64), starts, axis=0)
+            n_words = np.diff(np.r_[starts, len(d_sorted)])
+            bits_on = (2 * counts) > n_words[:, None]
+            packed = (bits_on.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+            out = np.zeros(len(ids), dtype=np.int64)  # empty docs → sh = 0
+            out[d_sorted[starts]] = packed.view(np.int64)
+            yield pd.DataFrame({"id": ids, "sh": out})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def simhash_df_grouped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Pure-SQL alternative: one row per (doc, distinct word) feeding 64
+    conditional sums in a single partial+final hash agg; map-side combine
+    keeps the shuffle at |docs| rows."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("w"),
     )
-    h = F.xxhash64(F.lit(seed), F.col("w"))
+    # pre-project the word hash once; the bits aggs then read a plain
+    # attribute instead of re-hashing per agg expression
+    ex = ex.select("id", F.expr(f"xxhash64({seed}, w)").alias("h"))
+    # popcount form: bit b of the fingerprint is 1 iff Σ±1 > 0, i.e. iff
+    # 2·(count of set bits) > (word count).  Built via F.expr strings — see
+    # minhash_signatures on Py4J round-trip cost.
     aggs = [
-        F.sum((F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")).alias(f"b{b}")
-        for b in range(bits)
-    ]
+        F.expr(f"sum((h >> {b}) & 1) AS p{b}") for b in range(bits)
+    ] + [F.expr("count(*) AS n")]
     sums = ex.groupBy("id").agg(*aggs)
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select("id", out.alias("sh"))
+    packed = " + ".join(
+        f"(CASE WHEN 2 * p{b} > n THEN CAST({1 << b if b < 63 else -(1 << 63)} AS BIGINT) ELSE 0L END)"
+        for b in range(bits)
+    )
+    return sums.select("id", F.expr(packed).alias("sh"))
 
 
 def simhash_candidates(

@@ -724,8 +724,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=3: the classic 64-bit near-dup threshold, and the largest
+    # distance for which 4×16-bit banding has a pigeonhole recall guarantee
     docs = t(spark, sf_dir, "documents")
-    return D.simhash_candidates(docs, max_hamming=6).orderBy("id_a", "id_b")
+    return D.simhash_candidates(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
