@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as D
 from .operators import drift as DR
+from .operators import multimodal as M
 from .operators import referential as R
 from .operators import similarity as S
 from .operators import stats as ST
@@ -809,6 +810,38 @@ def q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_images_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row decoded-pixel invariant (north rule BASELINE.json:15): decode
+    REAL PNG bytes on both sides of an image_id join via Arrow-batched
+    mapInPandas, compute PSNR, classify.  The corpus is a pure function of
+    the seed with decode failures planted at ids {7, 47, ..., 187} (id %
+    40 == 7), so the outcome counts are exact constants: 5 planted failures,
+    195 lossless matches (PSNR = inf) — the oracle pins them."""
+    from .sources.images import png_images_df
+
+    cur = png_images_df(spark, 200, seed=5, corrupt_every=40)
+    ref = png_images_df(spark, 200, seed=5)
+    scored = M.psnr_vs_reference(cur, ref)
+    status = (
+        F.when(F.col("psnr_db").isNull(), F.lit("pass_lossless"))
+        .when(F.col("psnr_db") >= 40.0, F.lit("pass_psnr_ge_40db"))
+        .otherwise(F.lit("fail_decode_or_psnr"))
+    )
+    return (
+        scored.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+SQL_IMAGES_DECODE_PSNR = """
+SELECT 'fail_decode_or_psnr' AS status, 5 AS n
+UNION ALL
+SELECT 'pass_lossless', 195
+ORDER BY status
+"""
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -843,6 +876,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_lsh_ann_topk,
     "images_flagship_verdicts": q_images_flagship_verdicts,
+    "images_decode_psnr_invariant": q_images_decode_psnr,
     "images_uniqueness_skewed": q_images_uniqueness_skewed,
     "suite_conformance": q_suite_conformance,
 }
@@ -868,6 +902,7 @@ ORACLES = {
     "text_profile_documents": SQL_TEXT_PROFILE,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk:
     # xxhash64-keyed signatures are not expressible in ANSI SQL → rows-only
 }

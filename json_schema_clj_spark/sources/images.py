@@ -138,3 +138,38 @@ FLAGSHIP_SCHEMA = {
         "phash": {"type": "integer"},
     },
 }
+
+
+def png_images_df(spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every: int | None = None) -> DataFrame:
+    """Small corpus of REAL (decodable, pure-stdlib codec) PNG images — a
+    pure function of (seed, id) so any two generations are byte-identical.
+    `corrupt_every`: rows with id % corrupt_every == 7 get truncated bytes
+    (planted decode failures with exactly known ids).
+
+    Used by the decode→PSNR per-row-invariant driver query; pixel fabric is
+    the multimodal module's deterministic fake (no image libs in this
+    container), encoded through the real PNG writer.
+    """
+    from ..operators.multimodal import encode_png, fake_pixels
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                w, h = 24 + int(i) % 9, 16 + int(i) % 7
+                px = fake_pixels(f"{seed}:{i}".encode(), w, h)
+                data = encode_png(px)
+                if corrupt_every and i % corrupt_every == 7:
+                    data = data[: len(data) // 2]
+                rows.append((f"img-{i:08d}", data, w, h, "png", f"caption {i}", int(i)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
