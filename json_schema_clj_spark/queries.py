@@ -536,6 +536,91 @@ FROM events GROUP BY event_type ORDER BY event_type
 # 10. window function: top event per user by value
 
 
+def q_verdict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level verdict rollup (SURVEY.md §2.7 grouping-sets row): one
+    ROLLUP aggregation gives per-priority AND corpus-global pass/fail in a
+    single partial-aggregated pass — the two grouping levels a 100 TB
+    validation report reads."""
+    df = t(spark, sf_dir, "orders")
+    validated = with_validation(df, ORDERS_SCHEMA)
+    return (
+        validated.rollup("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("valid")).cast("long")).alias("n_fail"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("prio"),
+            "n_rows",
+            "n_fail",
+        )
+        .orderBy("prio")
+    )
+
+
+SQL_VERDICT_ROLLUP = """
+WITH v AS (
+  SELECT o_orderpriority,
+         (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+          AND coalesce(o_orderstatus IN ('O','F','P'), o_orderstatus IS NULL)
+          AND (o_totalprice IS NULL OR o_totalprice > 0)
+          AND (o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-'))) AS valid
+  FROM orders
+)
+SELECT coalesce(o_orderpriority, '(all)') AS prio,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE NOT valid) AS n_fail
+FROM v GROUP BY ROLLUP (o_orderpriority) ORDER BY prio
+"""
+
+
+def q_verdict_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op reconciliation (SURVEY.md §2.7 set-ops row): verdicts under
+    the production schema EXCEPT ALL verdicts under a stricter candidate
+    schema — exactly the per-group rows whose pass/fail profile a schema
+    tightening would change.  The distributed analog of diffing two
+    validator versions' outputs before rollout."""
+    df = t(spark, sf_dir, "orders")
+    loose = verdicts(with_validation(df, ORDERS_SCHEMA), "o_orderpriority")
+    strict_schema = {
+        "type": "object",
+        "required": ["o_orderkey", "o_custkey", "o_orderdate"],
+        "properties": {
+            "o_orderstatus": {"enum": ["O", "F"]},
+            "o_totalprice": {"exclusiveMinimum": 0, "maximum": 400000},
+            "o_orderpriority": {"pattern": "^[1-5]-"},
+        },
+    }
+    strict = verdicts(with_validation(df, strict_schema), "o_orderpriority")
+    cols = ["o_orderpriority", "n_rows", "n_fail", "pass"]
+    return loose.select(*cols).exceptAll(strict.select(*cols)).orderBy("o_orderpriority")
+
+
+SQL_VERDICT_RECONCILE = """
+WITH loose AS (
+  SELECT o_orderpriority, count(*) AS n_rows,
+         count(*) FILTER (WHERE NOT (
+            o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+            AND coalesce(o_orderstatus IN ('O','F','P'), o_orderstatus IS NULL)
+            AND (o_totalprice IS NULL OR o_totalprice > 0)
+            AND (o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-')))) AS n_fail
+  FROM orders GROUP BY o_orderpriority
+), strict AS (
+  SELECT o_orderpriority, count(*) AS n_rows,
+         count(*) FILTER (WHERE NOT (
+            o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            AND coalesce(o_orderstatus IN ('O','F'), o_orderstatus IS NULL)
+            AND (o_totalprice IS NULL OR (o_totalprice > 0 AND o_totalprice <= 400000))
+            AND (o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-')))) AS n_fail
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_rows, n_fail, n_fail = 0 AS pass FROM loose
+EXCEPT ALL
+SELECT o_orderpriority, n_rows, n_fail, n_fail = 0 AS pass FROM strict
+ORDER BY o_orderpriority
+"""
+
+
 def q_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -866,6 +951,8 @@ QUERIES = {
     "events_json_props_agg": q_events_props,
     "validate_events_json_variant": q_validate_events_json,
     "window_top_event_per_user": q_top_event_per_user,
+    "verdict_rollup_grouping": q_verdict_rollup,
+    "verdict_reconcile_except": q_verdict_reconcile,
     "dedup_exact_documents": q_dedup_exact,
     "dedup_exact_stats": q_dedup_stats,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -896,6 +983,8 @@ ORACLES = {
     "events_json_props_agg": SQL_EVENTS_PROPS,
     "validate_events_json_variant": SQL_VALIDATE_EVENTS_JSON,
     "window_top_event_per_user": SQL_TOP_EVENT_PER_USER,
+    "verdict_rollup_grouping": SQL_VERDICT_ROLLUP,
+    "verdict_reconcile_except": SQL_VERDICT_RECONCILE,
     "dedup_exact_documents": SQL_DEDUP_EXACT,
     "dedup_exact_stats": SQL_DEDUP_STATS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
