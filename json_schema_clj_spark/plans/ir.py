@@ -56,14 +56,25 @@ def _typed_empty_array() -> Column:
 
 @dataclass(frozen=True)
 class Compiled:
-    """Result of compiling one (sub)schema against one target Column."""
+    """Result of compiling one (sub)schema against one target Column.
+
+    ``unit``/``empty`` are assembly hints, not semantics: ``empty`` marks a
+    literally-empty violations array (compile-time prunable), ``unit`` a
+    single struct-or-null Column for one-violation checks.  `merge` uses
+    them to assemble sibling checks as ONE
+    ``filter(array(struct_or_null...), notnull)`` instead of
+    ``flatten(array(when-array...))`` — the nested form allocates an array
+    per check per failing row and measured ~4× slower on the violation
+    sink."""
 
     ok: Column
     violations: Column  # array<VIOLATION_TYPE>
+    unit: Optional[Column] = None  # struct-or-null form, when single-check
+    empty: bool = False  # violations is the literal empty array
 
     @staticmethod
     def passed() -> "Compiled":
-        return Compiled(ok=F.lit(True), violations=_typed_empty_array())
+        return Compiled(ok=F.lit(True), violations=_typed_empty_array(), empty=True)
 
 
 def path_col(segments: Sequence[PathSeg]) -> Column:
@@ -113,31 +124,61 @@ def simple_check(
     viol = F.when(ok, _typed_empty_array()).otherwise(
         violation(keyword_path, instance_path, keyword, message, severity)
     )
-    return Compiled(ok=ok, violations=viol)
+    unit = F.when(
+        ~ok,
+        F.struct(
+            F.array(*[F.lit(s) for s in keyword_path]).alias("keyword_path"),
+            path_col(instance_path).alias("instance_path"),
+            F.lit(keyword).alias("keyword"),
+            (message if isinstance(message, Column) else F.lit(message)).alias("message"),
+            F.lit(severity).alias("severity"),
+        ),
+    )
+    return Compiled(ok=ok, violations=viol, unit=unit)
 
 
 def merge(compiled: Sequence[Compiled]) -> Compiled:
     """AND-combine: all must pass; violations accumulate (reference keyword
-    reduction, core.clj:167-171 — no short-circuit, errors accumulate)."""
+    reduction, core.clj:167-171 — no short-circuit, errors accumulate).
+
+    Assembly: literally-empty children are pruned at compile time; runs of
+    single-violation checks collapse into one
+    ``filter(array(struct_or_null...), notnull)``; array-valued children
+    (nested items/HOF results) join via varargs ``concat``."""
     comps = [c for c in compiled if c is not None]
     if not comps:
         return Compiled.passed()
     ok = comps[0].ok
     for c in comps[1:]:
         ok = ok & c.ok
-    if len(comps) == 1:
-        viols = comps[0].violations
-    else:
-        viols = F.flatten(F.array(*[c.violations for c in comps]))
-    return Compiled(ok=ok, violations=viols)
+    nonempty = [c for c in comps if not c.empty]
+    if not nonempty:
+        return Compiled(ok=ok, violations=_typed_empty_array(), empty=True)
+    units = [c.unit for c in nonempty if c.unit is not None]
+    arrays = [c.violations for c in nonempty if c.unit is None]
+    parts = []
+    if units:
+        parts.append(F.filter(F.array(*units), lambda x: x.isNotNull()))
+    parts.extend(arrays)
+    viols = parts[0] if len(parts) == 1 else F.concat(*parts)
+    # a single surviving unit stays unit-shaped for further merging upstream
+    unit = units[0] if (len(nonempty) == 1 and units and not arrays) else None
+    return Compiled(ok=ok, violations=viols, unit=unit)
 
 
 def guard_null(target: Column, inner: Compiled) -> Compiled:
     """Property-level null guard: subschemas only apply when the value is
     present AND non-nil (reference `properties`, core.clj:367-389)."""
+    if inner.empty:
+        return Compiled(
+            ok=F.when(target.isNull(), F.lit(True)).otherwise(inner.ok),
+            violations=_typed_empty_array(),
+            empty=True,
+        )
     return Compiled(
         ok=F.when(target.isNull(), F.lit(True)).otherwise(inner.ok),
         violations=F.when(target.isNull(), _typed_empty_array()).otherwise(inner.violations),
+        unit=F.when(target.isNotNull(), inner.unit) if inner.unit is not None else None,
     )
 
 

@@ -76,3 +76,48 @@ def run_foreach_batch(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def violation_streaks(
+    stream_df: DataFrame,
+    schema: dict,
+    key_col: str,
+    streak_threshold: int = 3,
+    config: Optional[dict] = None,
+):
+    """Custom stateful streaming operator via applyInPandasWithState: per
+    key, carry a running streak of consecutive micro-batch appearances that
+    contained at least one invalid row; emit (key, streak, n_fail_total)
+    whenever the streak reaches `streak_threshold` (a flapping-source
+    detector — state survives restarts through the stream checkpoint).
+
+    The reference has no streaming surface (SURVEY.md §2.7); this is the
+    `applyInPandasWithState` extension point the engine offers for custom
+    stateful checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    v = validated_stream(stream_df, schema, config=config)
+    grouped = v.select(F.col(key_col).alias("k"), "valid").groupBy("k")
+
+    out_schema = "k string, streak long, n_fail_total long"
+    state_schema = "streak long, n_fail_total long"
+
+    def update(key, pdfs, state: GroupState):
+        n_fail = 0
+        for pdf in pdfs:
+            n_fail += int((~pdf["valid"]).sum())
+        streak, total = state.get if state.exists else (0, 0)
+        if n_fail > 0:
+            streak += 1
+            total += n_fail
+        else:
+            streak = 0
+        state.update((streak, total))
+        if streak >= streak_threshold:
+            yield pd.DataFrame({"k": [key[0]], "streak": [streak], "n_fail_total": [total]})
+
+    return grouped.applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
