@@ -45,10 +45,14 @@ sys.path.insert(0, sys.argv[5])
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
 cpus, path, n, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+# spark.local.dir on tmpfs: in local mode every thread shares the ONE
+# virtio disk, which anti-scales shuffle writes; a real cluster gives each
+# executor its own local disks, which tmpfs models fairly here
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.sql.shuffle.partitions", str(cpus))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", "48g")
+    .config("spark.local.dir", "/dev/shm/spark-local")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from json_schema_clj_spark.sources.images import FLAGSHIP_SCHEMA
@@ -60,7 +64,14 @@ def workload(df):
     res = validate(df, FLAGSHIP_SCHEMA, id_cols=["image_id"], part_col="part_id")
     res["verdicts"].write.format("noop").mode("overwrite").save()
     res["violations"].write.format("noop").mode("overwrite").save()
-    duplicates(df, ["image_id"]).write.format("noop").mode("overwrite").save()
+    # salting belongs on the skewed key (phash near-dup clusters); the
+    # unique key shuffles as a compact xxhash64 long with exact post-check
+    duplicates(df, ["phash"], salted=True).write.format("noop").mode("overwrite").save()
+    dup_h = duplicates(df.select(F.xxhash64("image_id").alias("idh")), ["idh"], salted=False)
+    df.join(dup_h.select("idh").hint("broadcast"),
+            F.xxhash64("image_id") == F.col("idh"), "left_semi") \
+      .groupBy("image_id").count().where(F.col("count") > 1) \
+      .write.format("noop").mode("overwrite").save()
     detect_drift(df, "w", "part_id", baseline_filter=F.col("part_id") < 32,
                  lo=0.0, hi=5200.0, buckets=64).write.format("noop").mode("overwrite").save()
 
