@@ -324,6 +324,60 @@ def lsh_near_duplicates(
     return pairs
 
 
+def minhash_md5_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Oracle-replicable MinHash-LSH: `bands` independent single-row bands,
+    hash family j = lexicographic min of ``md5('j:' || shingle_md5)`` over the
+    doc's distinct k-word shingles (md5 exists in every SQL engine, so an
+    external oracle can reproduce the signatures bit-for-bit — unlike the
+    xxhash64 fast path in :func:`lsh_near_duplicates`).
+
+    Candidate pair iff some band's min agrees (classic r=1 banding);
+    ``sim`` = agreement fraction across the `bands` mins — an unbiased
+    Jaccard estimate.  Plan shape: shingle explode → `bands`-way MIN hash
+    agg (map-side partial mins compress the shuffle to |docs| rows) →
+    bucket self-join on (band, min) → signature-agreement verify.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    # F.expr strings, not per-op Column building — see minhash_signatures
+    # on Py4J round-trip cost
+    aggs = [F.expr(f"min(md5(concat('{j}:', sh))) AS h{j}") for j in range(bands)]
+    sig_arr = "array(" + ", ".join(f"h{j}" for j in range(bands)) + ")"
+    # persist: the signature agg feeds both sides of the bucket self-join
+    sigs = ex.groupBy("id").agg(*aggs).select("id", F.expr(sig_arr).alias("sig")).persist()
+    band_structs = F.transform(
+        F.sequence(F.lit(1), F.lit(bands)),
+        lambda j: F.struct(j.alias("band"), F.element_at(F.col("sig"), j).alias("bh")),
+    )
+    buckets = sigs.select("id", "sig", F.explode(band_structs).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    sim = F.size(
+        F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda e: e)
+    ) / F.lit(float(bands))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(sim, 6).alias("sim"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -247,6 +247,102 @@ def lsh_topk(
     )
 
 
+def _centroid_matrix(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int) -> np.ndarray:
+    """Deterministic seed centroids: the vectors with the `n_centroids`
+    smallest ids (SQL-replicable, unlike a hash sample).  Collected —
+    centroid tables are tiny and broadcast as closure constants."""
+    rows = (
+        corpus.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    mat = np.zeros((n_centroids, len(rows[0]["cv"])), dtype=np.float64)
+    for r in rows:
+        mat[r["cid"]] = np.asarray(r["cv"], dtype=np.float64)
+    return mat
+
+
+def cell_udf(cents: np.ndarray, n_probe: int = 1):
+    """Arrow-batched IVF cell assignment: one BLAS matmul per batch against
+    the centroid matrix, rank by round(cosine, 6) desc with lowest-centroid
+    tiebreak (numpy argsort is stable → first max wins, matching an external
+    oracle's `ORDER BY round(cos, 6) DESC, cid ASC`).  Rounding the ranking
+    key makes the argmax robust to summation-order float drift between
+    engines.  Returns the `n_probe` nearest cells as array<int>."""
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        nrm = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        cos = np.round((M / nrm) @ cn.T, 6)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus rows are bucketed by
+    nearest centroid ONCE (the index build — at 10^12 rows, write the table
+    partitioned by `cell` and reranks become partition-pruned scans); each
+    query probes its `n_probe` nearest cells and reranks exactly (sequential
+    HOF dot product) within them.
+
+    Centroids here are the deterministic id-sampled seed set so an external
+    SQL oracle can replicate the whole plan; `kmeans_refine` tightens them
+    for real recall (same plan shape, centroids just move).
+    """
+    cents = _centroid_matrix(corpus, id_col, vec_col, n_centroids)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = c.withColumn("cell", cell_udf(cents, 1)(F.col("cv"))[0])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = q.select("query_id", "qv", F.explode(cell_udf(cents, n_probe)(F.col("qv"))).alias("cell"))
+    cand = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> np.ndarray:
+    """Lloyd iterations over the corpus: assign (Arrow matmul, no shuffle)
+    → per-cell mean via posexplode + groupBy(cell, pos) (map-side partial
+    agg; shuffle is |cells|·dim rows regardless of corpus size).  Empty
+    cells keep their previous centroid."""
+    for _ in range(iters):
+        a = corpus.select(
+            cell_udf(cents, 1)(F.col(vec_col))[0].alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        rows = a.groupBy("cell", "pos").agg(F.avg("x").alias("m")).collect()
+        nxt = cents.copy()
+        for r in rows:
+            nxt[r["cell"], r["pos"]] = r["m"]
+        cents = nxt
+    return cents
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

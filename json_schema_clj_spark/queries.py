@@ -798,6 +798,89 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic id-sampled centroids (16 cells, probe 4):
+    approximate top-10 for queries vec_id < 5 — the partition-prunable scale
+    path, exactly replicated by the SQL oracle because cell assignment ranks
+    by round(cosine, 6) with a centroid-id tiebreak."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_ANN_IVF_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+cents AS (SELECT vec_id AS cid, vec AS cv FROM v WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(list_dot_product(vec, cv)
+                    / (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cid ASC) AS rnk
+  FROM v CROSS JOIN cents
+),
+cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rnk = 1),
+qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM assign WHERE vec_id < 5 AND rnk <= 4),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qv.vec, nv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec)) * sqrt(list_dot_product(nv.vec, nv.vec))), 6) AS score
+  FROM qprobe q
+  JOIN cell c ON c.cell = q.cell
+  JOIN v qv ON qv.vec_id = q.query_id
+  JOIN v nv ON nv.vec_id = c.vec_id
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable MinHash-LSH (md5 hash family, 8 single-row bands):
+    near-dup pairs with signature-agreement sim >= 0.25 — the SQL-replicable
+    counterpart of dedup_minhash_lsh's xxhash64 fast path."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_MINHASH_MD5 = """
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS sh
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+mins AS (
+  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS h
+  FROM sh, unnest(generate_series(0, 7)) AS b(j)
+  GROUP BY doc_id, j
+),
+sigs AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mins a JOIN mins b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) / 8.0, 6) AS sim
+FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+WHERE len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) / 8.0 >= 0.25
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops → rows-only driver checks (no oracle entry)
 
@@ -958,7 +1041,9 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "text_profile_documents": q_text_profile,
     "ann_cosine_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_minhash_md5": q_minhash_md5,
     "dedup_simhash": q_simhash_candidates,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_lsh_ann_topk,
@@ -988,8 +1073,10 @@ ORACLES = {
     "dedup_exact_documents": SQL_DEDUP_EXACT,
     "dedup_exact_stats": SQL_DEDUP_STATS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash_md5": SQL_MINHASH_MD5,
     "text_profile_documents": SQL_TEXT_PROFILE,
     "ann_cosine_topk": SQL_ANN_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk:

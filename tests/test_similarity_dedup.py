@@ -94,3 +94,38 @@ def test_signature_udf_matches_column_path(emb):
     ).select("vec_id", "s_udf")
     j = col_sig.join(udf_sig, "vec_id")
     assert j.where(F.col("s_col") != F.col("s_udf")).count() == 0
+
+
+def test_minhash_md5_finds_exact_dups(docs):
+    # planted exact duplicates (jaccard 1.0) must surface with sim 1.0;
+    # every reported pair's sim is a multiple of 1/bands in [0.25, 1]
+    pairs = D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25).collect()
+    planted = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs}
+    originals = [r["doc_id"] for r in docs.where(F.col("doc_id") < 5).collect()]
+    for i in originals:
+        assert planted.get((i, i + 100000)) == 1.0
+    assert all(0.25 <= r["sim"] <= 1.0 and round(r["sim"] * 8) == r["sim"] * 8 for r in pairs)
+
+
+def test_ivf_topk_subset_and_kmeans(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in S.brute_force_topk(emb, queries, k=50).collect()
+    }
+    approx = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).collect()
+    # every IVF hit is a true neighbor pair (scores come from the same exact
+    # rerank), and ranks within a query are 1..n without gaps
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # probing 4/16 cells must still recover a decent share of the true top-50
+    hits = sum(1 for key in ((r["query_id"], r["neighbor_id"]) for r in approx) if key in exact)
+    assert hits >= len(approx) * 0.3
+
+    cents = S._centroid_matrix(emb, "vec_id", "embedding", 8)
+    refined = S.kmeans_refine(emb, cents, iters=1)
+    assert refined.shape == cents.shape
+    assert not (refined == cents).all()

@@ -5,14 +5,23 @@ local[8] vs local[32] on the same input).
 Protocol:
 1. Materialize the deterministic synthetic image+caption table ONCE to
    parquet (the workload under test is validation, not data generation).
-2. In separate fresh JVMs per parallelism level, run the full validation
-   workload (schema checks → per-partition verdicts + violation sink,
-   image_id uniqueness, per-partition KS/PSI drift) over that parquet.
-3. Warm one small run per JVM (codegen/JIT), then take the best of
-   `reps` timed iterations (kills GC/JIT noise).
-4. efficiency = (T_N / T_4N) / 4 → BENCH/BASELINE.md.
+2. In separate fresh JVMs per (round, parallelism level), run the full
+   validation workload (schema checks → per-partition verdicts + violation
+   sink, image_id uniqueness, per-partition KS/PSI drift) over that parquet.
+3. Warm one small run per JVM (codegen/JIT), then one timed iteration.
+   Levels are INTERLEAVED across `rounds` rounds (2,8,32, 2,8,32, …) and
+   the per-level minimum is taken: this host shows multi-minute exogenous
+   slowdown windows (identical jobs measured 21s and 201s an hour apart),
+   and interleaving keeps such a window from biasing one level — with
+   sequential best-of-k per level, a slow window during the local[8] block
+   silently deflates the 2→8 efficiency.
+4. efficiency = (T_N / T_4N) / 4 → BENCH/BASELINE.md (only with --write:
+   this host also has hour-long windows where cold-disk throughput drops to
+   ~¼ and EVERY level collapses onto the same IO floor — a run from such a
+   window measures the window, not the engine, so results are reviewed
+   before they replace the published numbers).
 
-Usage: python tools/bench_scaling.py [n_rows] [reps]
+Usage: python tools/bench_scaling.py [n_rows] [rounds] [--write]
 """
 
 from __future__ import annotations
@@ -125,8 +134,10 @@ def _run(code, args, timeout):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    args = [a for a in sys.argv[1:] if a != "--write"]
+    write = "--write" in sys.argv[1:]
+    n = int(args[0]) if len(args) > 0 else 64_000_000
+    rounds = int(args[1]) if len(args) > 1 else 3
 
     subprocess.run([sys.executable, "-c", GEN, str(n), DATA, REPO], check=True,
                    capture_output=True, timeout=900)
@@ -138,9 +149,13 @@ def main():
     ceil_2_8 = cal[2] / cal[8] / 4.0
     ceil_8_32 = cal[8] / cal[32] / 4.0
 
+    # interleaved rounds, min per level (see module docstring point 3)
     wl = {}
-    for cpus in (2, 8, 32):
-        wl[cpus] = _run(WORKLOAD, [cpus, DATA, n, reps, REPO], 3600)
+    for _ in range(rounds):
+        for cpus in (2, 8, 32):
+            res = _run(WORKLOAD, [cpus, DATA, n, 1, REPO], 3600)
+            if cpus not in wl or res["sec"] < wl[cpus]["sec"]:
+                wl[cpus] = res
 
     eff_2_8 = wl[2]["sec"] / wl[8]["sec"] / 4.0
     eff_8_32 = wl[8]["sec"] / wl[32]["sec"] / 4.0
@@ -152,10 +167,13 @@ def main():
 Sandbox proxy per BASELINE.md:15 — identical full validation workload
 (schema validation -> per-partition verdicts + violation sink, image_id
 salted uniqueness, per-partition KS/PSI drift) over the same materialized
-{n:,}-row deterministic synthetic image+caption parquet table, in separate
-fresh JVMs per parallelism level; per-JVM codegen warm-up, best of {reps}
-iterations.  Generation is seeded and bit-reproducible across parallelism
-levels (tests/test_flagship_images.py::test_determinism_across_parallelism).
+{n:,}-row deterministic synthetic image+caption parquet table, in a
+separate fresh JVM per (round, parallelism level) with per-JVM codegen
+warm-up.  Levels are interleaved across {rounds} rounds and the per-level
+minimum taken — this host has multi-minute exogenous slowdown windows, and
+interleaving keeps one from biasing a single level.  Generation is seeded
+and bit-reproducible across parallelism levels
+(tests/test_flagship_images.py::test_determinism_across_parallelism).
 
 **Host ceiling calibration.**  A trivially parallel pure-CPU Spark job
 (chained xxhash64 fold over range(600M), zero shuffle/IO/Python) bounds the
@@ -195,9 +213,12 @@ Reference baseline: the reference publishes no performance numbers
 (/root/reference/README.md:36 roadmap; correctness-only CI) — targets come
 from BASELINE.json, evidenced here.
 """
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    if write:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md)
+    else:
+        sys.stderr.write(md + "\n(dry run: pass --write to replace BENCH/BASELINE.md)\n")
     shutil.rmtree(os.path.join(REPO, ".bench_tmp"), ignore_errors=True)
     print(json.dumps({
         "calibration_sec": cal,
