@@ -35,10 +35,12 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_md5",
     "dedup_simhash",
     "text_profile_documents",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_near_dup",
     "dedup_exact_stats",
     "images_uniqueness_skewed",
