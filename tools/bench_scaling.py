@@ -33,7 +33,13 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DATA = os.path.join(REPO, ".bench_tmp", "images")
+# input parquet lives on tmpfs like the shuffle dirs: the host's single
+# virtio disk has hour-long degradation windows (50-190 MB/s cold reads)
+# that would turn every level into the same IO floor; a real cluster reads
+# from distributed storage whose aggregate bandwidth scales with executors,
+# which RAM-backed input models fairly (the workload under test is
+# validation compute, not one shared disk)
+DATA = "/dev/shm/spark-graft-bench/images"
 
 GEN = r"""
 import sys
@@ -219,7 +225,7 @@ from BASELINE.json, evidenced here.
             f.write(md)
     else:
         sys.stderr.write(md + "\n(dry run: pass --write to replace BENCH/BASELINE.md)\n")
-    shutil.rmtree(os.path.join(REPO, ".bench_tmp"), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(DATA), ignore_errors=True)
     print(json.dumps({
         "calibration_sec": cal,
         "workload": {c: wl[c] for c in wl},
