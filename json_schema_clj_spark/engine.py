@@ -23,6 +23,7 @@ the distributed surface:
 
 from __future__ import annotations
 
+import json
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
@@ -74,6 +75,9 @@ def spark_schema_for(schema: dict) -> Optional[T.DataType]:
     return None
 
 
+_JSON_COMPILE_CACHE: dict = {}
+
+
 def validate_json_column(
     df: DataFrame,
     schema: dict,
@@ -101,17 +105,35 @@ def validate_json_column(
     reference fails.  `force_backend="variant"|"python"` pin a backend.
     """
     if force_backend in (None, "variant"):
+        from .plans.compiler import _registry_fingerprint
         from .plans.ir import VIOLATION_TYPE  # noqa: F401
-        from .plans.variant_compiler import compile_for_json
+        from .plans.variant_compiler import VARIANT_COMPILERS, compile_for_json
 
         try:
             # parse ONCE in a dedicated projection: the non-cheap parse stays
             # an attribute reference inside the check tree instead of being
             # inlined (and re-parsed) at every keyword — ~5× at 20 checks
             tmp = f"__parsed_{json_col}"
-            compiled = compile_for_json(
-                schema, F.col(json_col), config=config, parsed_col=F.col(tmp)
-            )
+            # memoize the compiled tree (Column construction is ~3 ms of
+            # Py4J per op — seconds per compile; the tree only depends on
+            # schema/colname/config, so compile once per process like the
+            # reference's compile / validate split, core.clj:1484-1492)
+            try:
+                key = (
+                    json.dumps(schema, sort_keys=True),
+                    json_col,
+                    json.dumps(config, sort_keys=True) if config else "",
+                    _registry_fingerprint(VARIANT_COMPILERS),
+                )
+            except TypeError:
+                key = None
+            compiled = _JSON_COMPILE_CACHE.get(key) if key is not None else None
+            if compiled is None:
+                compiled = compile_for_json(
+                    schema, F.col(json_col), config=config, parsed_col=F.col(tmp)
+                )
+                if key is not None:
+                    _JSON_COMPILE_CACHE[key] = compiled
             out = df.withColumn(tmp, F.try_parse_json(F.col(json_col))).withColumn(
                 "violations", compiled.violations
             )

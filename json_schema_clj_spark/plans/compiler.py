@@ -1369,6 +1369,14 @@ def compile_schema(schema, target: Column, ctx: Ctx) -> Compiled:
     return merge(comps)
 
 
+_TABLE_COMPILE_CACHE: dict = {}
+
+
+def _registry_fingerprint(reg: dict) -> tuple:
+    """Cache-key component that changes when keywords are (re)registered."""
+    return tuple((k, id(v)) for k, v in sorted(reg.items()))
+
+
 def compile_for_table(schema: dict, table_schema: T.StructType, config: Optional[dict] = None,
                       extra_root: Optional[dict] = None) -> Compiled:
     """Compile a schema against a whole table row.
@@ -1376,7 +1384,27 @@ def compile_for_table(schema: dict, table_schema: T.StructType, config: Optional
     The row presents as the instance object: columns are its keys.  Returns
     a :class:`Compiled` whose expressions reference the table's columns
     directly — Catalyst prunes unused ones.
+
+    Results are memoized per (schema, table schema, config, registry):
+    building a check tree costs one Py4J round trip (~3 ms) per Column op,
+    so a mid-sized schema spends seconds of driver time per compile — paid
+    once per process this way, like the reference's compile-once /
+    validate-many contract (core.clj:1484-1492).  Columns are immutable
+    unresolved expression trees, reusable across DataFrames and sessions
+    within one JVM gateway.
     """
+    try:
+        key = (
+            json.dumps(schema, sort_keys=True),
+            json.dumps(extra_root, sort_keys=True) if extra_root is not None else None,
+            json.dumps(config, sort_keys=True) if config else "",
+            table_schema.json(),
+            _registry_fingerprint(KEYWORD_COMPILERS),
+        )
+    except TypeError:
+        key = None
+    if key is not None and key in _TABLE_COMPILE_CACHE:
+        return _TABLE_COMPILE_CACHE[key]
     row = F.struct(*[F.col(f.name).alias(f.name) for f in table_schema.fields])
     ctx = Ctx(
         schema_path=(),
@@ -1387,4 +1415,7 @@ def compile_for_table(schema: dict, table_schema: T.StructType, config: Optional
         root_col=row,
         root_dtype=table_schema,
     )
-    return compile_schema(schema, row, ctx)
+    out = compile_schema(schema, row, ctx)
+    if key is not None:
+        _TABLE_COMPILE_CACHE[key] = out
+    return out
