@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_md5",
+    "dedup_cluster_components",
     "dedup_simhash",
     "text_profile_documents",
     "ann_cosine_topk",

@@ -83,6 +83,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve duplicate-pair edges into clusters: (id, cluster_id) where
+    cluster_id = the minimum id reachable in the pair graph — the step that
+    turns pairwise dedup output into keep-one-per-cluster decisions.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, a node takes the min of its label and its neighbors' labels
+    (one shuffle join + partial-agg'd min per round), until a round changes
+    nothing.  Rounds needed = graph diameter — dup clusters are shallow
+    (near-clique), so this converges in 2-3 rounds in practice; the classic
+    large-star/small-star variant halves the diameter per round if ever
+    needed.  ``localCheckpoint`` truncates the per-iteration lineage so the
+    plan doesn't grow unboundedly (iterative algorithms otherwise recompile
+    an ever-deeper tree each round).
+    """
+    sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # shingles
 

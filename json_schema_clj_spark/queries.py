@@ -881,6 +881,74 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact-dup pairs ∪ md5-MinHash near-dup
+    pairs → connected components by iterative min-label propagation →
+    per-cluster sizes.  The step that turns pairwise dedup output into
+    keep-one-per-cluster decisions; the oracle replays the same graph with
+    a recursive CTE."""
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select(F.col("doc_id").alias("id"), D.text_hash(F.col("text")).alias("h"))
+    ex = (
+        h.alias("a")
+        .join(h.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    near = D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25).select(
+        "id_a", "id_b"
+    )
+    cc = D.connected_components(ex.unionByName(near).distinct())
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS sh
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+mins AS (
+  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS h
+  FROM sh, unnest(generate_series(0, 7)) AS b(j)
+  GROUP BY doc_id, j
+),
+sigs AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+near AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mins a JOIN mins b ON a.j = b.j AND a.h = b.h AND a.doc_id < b.doc_id
+),
+near_ok AS (
+  SELECT id_a, id_b FROM near
+  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+  WHERE len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) / 8.0 >= 0.25
+),
+hashes AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h FROM documents
+),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+pairs AS (SELECT id_a, id_b FROM near_ok UNION SELECT id_a, id_b FROM exact),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops → rows-only driver checks (no oracle entry)
 
@@ -1044,6 +1112,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_minhash_md5": q_minhash_md5,
+    "dedup_cluster_components": q_dedup_clusters,
     "dedup_simhash": q_simhash_candidates,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_lsh_ann_topk,
@@ -1074,6 +1143,7 @@ ORACLES = {
     "dedup_exact_stats": SQL_DEDUP_STATS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_md5": SQL_MINHASH_MD5,
+    "dedup_cluster_components": SQL_DEDUP_CLUSTERS,
     "text_profile_documents": SQL_TEXT_PROFILE,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

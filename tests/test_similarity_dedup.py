@@ -129,3 +129,23 @@ def test_ivf_topk_subset_and_kmeans(emb):
     refined = S.kmeans_refine(emb, cents, iters=1)
     assert refined.shape == cents.shape
     assert not (refined == cents).all()
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    # chain 1-2-3-9 collapses to min label 1 (needs >1 propagation round);
+    # island 5-6 keeps min 5
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_cluster_components_cover_exact_dups(docs):
+    cc = D.connected_components(
+        D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25)
+    ).collect()
+    labels = {r["id"]: r["cluster_id"] for r in cc}
+    # each planted duplicate (doc_id + 100000) lands in its original's cluster
+    for i in [r["doc_id"] for r in docs.where(F.col("doc_id") < 5).collect()]:
+        assert labels.get(i + 100000) == labels.get(i) == i
