@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_cluster_components",
     "dedup_simhash",
     "text_profile_documents",
+    "text_quality_funnel",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

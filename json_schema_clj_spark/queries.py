@@ -949,6 +949,58 @@ SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id ORDER B
 """
 
 
+def q_text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality-filter funnel: every document attributed to its FIRST
+    failing filter (the order a web-scale pre-filter battery applies them)
+    or 'kept' — the drop-report a 100 TB curation run reads before anything
+    else.  One scan, one tiny groupBy on the low-cardinality reason key.
+    Thresholds are calibrated to the synthetic corpus's distribution
+    (10-99 tokens, mwl 3.7-5.3) so every branch is exercised."""
+    docs = t(spark, sf_dir, "documents")
+    tcol = F.col("text")
+    n_tok = TX.token_count(tcol)
+    punct = TX.punct_ratio(tcol)
+    mwl = TX.mean_word_length(tcol)
+    reason = (
+        F.when(tcol.isNull() | (F.trim(tcol) == ""), F.lit("empty"))
+        .when(n_tok < 15, F.lit("too_short"))
+        .when(n_tok > 90, F.lit("too_long"))
+        .when(punct > 0.2, F.lit("too_much_punct"))
+        .when((mwl < 4.0) | (mwl > 5.2), F.lit("bad_word_len"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("reason")
+    )
+
+
+SQL_TEXT_QUALITY_FUNNEL = """
+WITH base AS (
+  SELECT text, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
+),
+tok AS (SELECT text, string_split(norm, ' ') AS toks FROM base),
+m AS (
+  SELECT text, len(toks) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct,
+         list_sum(list_transform(toks, t -> length(t))) / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl
+  FROM tok
+),
+r AS (
+  SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+              WHEN n_tokens < 15 THEN 'too_short'
+              WHEN n_tokens > 90 THEN 'too_long'
+              WHEN punct > 0.2 THEN 'too_much_punct'
+              WHEN mwl < 4.0 OR mwl > 5.2 THEN 'bad_word_len'
+              ELSE 'kept' END AS reason
+  FROM m
+)
+SELECT reason, count(*) AS n_docs FROM r GROUP BY reason ORDER BY reason
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops → rows-only driver checks (no oracle entry)
 
@@ -1108,6 +1160,7 @@ QUERIES = {
     "dedup_exact_stats": q_dedup_stats,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "text_profile_documents": q_text_profile,
+    "text_quality_funnel": q_text_quality_funnel,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -1145,6 +1198,7 @@ ORACLES = {
     "dedup_minhash_md5": SQL_MINHASH_MD5,
     "dedup_cluster_components": SQL_DEDUP_CLUSTERS,
     "text_profile_documents": SQL_TEXT_PROFILE,
+    "text_quality_funnel": SQL_TEXT_QUALITY_FUNNEL,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
