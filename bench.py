@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_md5",
     "dedup_cluster_components",
     "dedup_simhash",
+    "dedup_simhash_md5",
     "text_profile_documents",
     "text_quality_funnel",
     "ann_cosine_topk",

@@ -544,6 +544,66 @@ def simhash_df_grouped(
     return sums.select("id", F.expr(packed).alias("sh"))
 
 
+def simhash_md5_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """SQL-replicable SimHash near-dup candidates: 60-bit fingerprints from
+    md5-derived word hashes (first 15 hex chars as an integer — both this
+    engine's ``conv(..., 16, 10)`` and an external oracle's hex cast produce
+    the identical value), 4×15-bit banding (pigeonhole recall guarantee for
+    Hamming ≤ 3), exact Hamming verify via ``bit_count(xor)``.
+
+    The xxhash64 fast path is :func:`simhash_candidates`; this variant
+    exists so the whole pipeline — hash, sign aggregation, banding,
+    verification — is reproducible bit-for-bit in ANSI SQL.  Plan shape is
+    the pure-SQL grouped one: explode distinct words → 60 conditional sums
+    in one partial+final hash agg (shuffle = |docs| rows) → chunk-bucket
+    self-join.
+    """
+    n_chunks, chunk_bits = 4, bits // 4
+    mask = (1 << chunk_bits) - 1
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalized(F.col(text_col)), " "))).alias("w"),
+    )
+    ex = ex.select("id", F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)").alias("h"))
+    aggs = [F.expr(f"sum((h >> {b}) & 1) AS p{b}") for b in range(bits)] + [F.expr("count(*) AS n")]
+    packed = " + ".join(
+        f"(CASE WHEN 2 * p{b} > n THEN CAST({1 << b} AS BIGINT) ELSE 0L END)" for b in range(bits)
+    )
+    # persist: the 60-way fingerprint agg feeds both sides of the self-join
+    sh = ex.groupBy("id").agg(*aggs).select("id", F.expr(packed).alias("sh")).persist()
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("sh"), c * chunk_bits).bitwiseAND(F.lit(mask)).alias("ch"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    buckets = sh.select("id", "sh", F.explode(chunks).alias("c")).select(
+        "id", "sh", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -949,6 +949,44 @@ SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id ORDER B
 """
 
 
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash: md5-hex word hashes → 60-bit fingerprint →
+    4×15-bit chunk banding → exact Hamming ≤ 3 — the SQL-replicable
+    counterpart of dedup_simhash's xxhash64 fast path."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_md5_candidates(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+_SH_BITS = 60
+SQL_SIMHASH_MD5 = f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
+),
+w AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS w FROM base),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+bits AS (
+  SELECT doc_id, count(*) AS n,
+         {", ".join(f"sum((h >> {b}) & 1) AS p{b}" for b in range(_SH_BITS))}
+  FROM h GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {" + ".join(f"(CASE WHEN 2 * p{b} > n THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(_SH_BITS))} AS sh
+  FROM bits
+),
+ch AS (
+  SELECT doc_id, sh, c, (sh >> (c * 15)) & 32767 AS chv
+  FROM fp, unnest(generate_series(0, 3)) AS t(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM ch a JOIN ch b ON a.c = b.c AND a.chv = b.chv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
 def q_text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality-filter funnel: every document attributed to its FIRST
     failing filter (the order a web-scale pre-filter battery applies them)
@@ -1167,6 +1205,7 @@ QUERIES = {
     "dedup_minhash_md5": q_minhash_md5,
     "dedup_cluster_components": q_dedup_clusters,
     "dedup_simhash": q_simhash_candidates,
+    "dedup_simhash_md5": q_simhash_md5,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_topk": q_lsh_ann_topk,
     "images_flagship_verdicts": q_images_flagship_verdicts,
@@ -1197,6 +1236,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_md5": SQL_MINHASH_MD5,
     "dedup_cluster_components": SQL_DEDUP_CLUSTERS,
+    "dedup_simhash_md5": SQL_SIMHASH_MD5,
     "text_profile_documents": SQL_TEXT_PROFILE,
     "text_quality_funnel": SQL_TEXT_QUALITY_FUNNEL,
     "ann_cosine_topk": SQL_ANN_TOPK,

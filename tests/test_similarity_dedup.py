@@ -149,3 +149,10 @@ def test_cluster_components_cover_exact_dups(docs):
     # each planted duplicate (doc_id + 100000) lands in its original's cluster
     for i in [r["doc_id"] for r in docs.where(F.col("doc_id") < 5).collect()]:
         assert labels.get(i + 100000) == labels.get(i) == i
+
+
+def test_simhash_md5_exact_dups_zero_hamming(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_md5_candidates(docs, max_hamming=3).collect()}
+    for i in [r["doc_id"] for r in docs.where(F.col("doc_id") < 5).collect()]:
+        assert pairs.get((i, i + 100000)) == 0
