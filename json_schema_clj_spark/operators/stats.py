@@ -18,6 +18,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def partition_hll_sketches(
+    df: DataFrame, col: str, part_col: str, lg_k: int = 12
+) -> DataFrame:
+    """(part, sketch binary): one Apache DataSketches HLL per partition —
+    the INCREMENTAL distinct-count pattern: persist these next to the
+    per-partition manifest rows, and when new partitions land only they are
+    sketched; the corpus-wide cardinality is re-derived by unioning stored
+    sketches (`merge_hll_sketches`) without rescanning 10^12 rows.
+    `approx_count_distinct` gives the same estimate in one pass but
+    discards the sketch; storing it is what makes the count maintainable.
+    """
+    return df.groupBy(F.col(part_col).alias("part")).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_hll_sketches(sketches: DataFrame, sketch_col: str = "sketch") -> DataFrame:
+    """Union stored partition sketches → one-row global estimate
+    (`n_distinct_est`).  Input is |partitions| rows regardless of corpus
+    size; mergeability is exact (union of HLLs = HLL of the union)."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias("n_distinct_est")
+    )
+
+
 def column_profile(df: DataFrame, cols: list[str] | None = None, exact: bool = False) -> DataFrame:
     """One row per column: (column, n_rows, n_null, null_rate, min_value,
     max_value, n_distinct).  min/max stringified for heterogeneous columns.

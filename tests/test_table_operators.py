@@ -80,3 +80,26 @@ def test_drift_detection(spark):
     assert len(flags) == 64
     drifted = {g for g, d in flags.items() if d}
     assert drifted == {g for g in flags if int(g) >= 32}, sorted(drifted)
+
+
+def test_hll_partition_sketches_merge_to_global(spark):
+    from json_schema_clj_spark.operators.stats import (
+        merge_hll_sketches,
+        partition_hll_sketches,
+    )
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 64).alias("part"), (F.col("id") % 9973).alias("v")
+    )
+    sk = partition_hll_sketches(df, "v", "part")
+    assert sk.count() == 64
+    # incremental update: union of (old partitions' sketches + one new
+    # partition's sketch) without rescanning the old data
+    est = merge_hll_sketches(sk).first()["n_distinct_est"]
+    assert abs(est - 9973) / 9973 < 0.05
+    new_part = spark.range(50_000, 51_000).select(
+        F.lit(64).alias("part"), (F.col("id") + 20_000).alias("v")
+    )
+    combined = sk.unionByName(partition_hll_sketches(new_part, "v", "part"))
+    est2 = merge_hll_sketches(combined).first()["n_distinct_est"]
+    assert abs(est2 - 10973) / 10973 < 0.05
