@@ -108,12 +108,21 @@ def main(argv=None):
 
     def process_chunk(chunk, parts):
         nonlocal n_committed_chunks
-        if args.fail_after_chunks and n_committed_chunks >= args.fail_after_chunks:
-            raise RuntimeError(f"TEST HOOK: injected crash after {n_committed_chunks} chunks")
         validated = with_validation(chunk, schema)
-        violation_rows(validated, ["image_id"], prefilter=~F.col("valid")).withColumn(
-            "run_id", F.lit(args.run_id)
-        ).write.mode("append").parquet(f"{out}/violations")
+        # Idempotent sink: each chunk owns a deterministic subdirectory
+        # (keyed by its lowest partition id); a crash in the window between
+        # this write and the manifest commit re-runs the chunk on resume and
+        # OVERWRITES the same subdir instead of appending duplicate rows.
+        # run_id/chunk ride in the path as discovered partition columns.
+        chunk_dir = f"{out}/violations/run_id={args.run_id}/chunk={min(parts)}"
+        violation_rows(validated, ["image_id"], prefilter=~F.col("valid")).write.mode(
+            "overwrite"
+        ).parquet(chunk_dir)
+        # crash AFTER the sink write, BEFORE the commit (run_resumable
+        # commits when this function returns) — the exact window where a
+        # non-idempotent append would duplicate violation rows on resume
+        if args.fail_after_chunks and n_committed_chunks + 1 > args.fail_after_chunks:
+            raise RuntimeError(f"TEST HOOK: injected crash after {n_committed_chunks} chunks")
         n_committed_chunks += 1
         return verdicts(validated, args.part_col).select(
             F.col(args.part_col).cast("long").alias("part"), "n_rows", "n_fail"

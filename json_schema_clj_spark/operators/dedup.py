@@ -31,6 +31,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_deps(result: DataFrame, *persisted: DataFrame) -> DataFrame:
+    """Attach the persisted intermediates backing `result` so long-lived
+    sessions can release their cached blocks once the result is
+    materialized (repeated operator calls would otherwise accumulate
+    executor storage until LRU eviction)."""
+    result._persisted_deps = list(persisted)  # type: ignore[attr-defined]
+    return result
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the cached intermediates a banded/LSH operator persisted
+    on behalf of `result`.  Call after the result is fully materialized
+    (written / collected); the result itself stays valid but recomputes."""
+    for dep in getattr(result, "_persisted_deps", ()):
+        dep.unpersist()
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain mixing constants):
     derives independent hash families from one base hash, pure uint64 ops."""
@@ -110,29 +127,39 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
+    # Convergence detection without a second join: labels only ever decrease
+    # (min-propagation), so sum(label) is strictly monotone — it is unchanged
+    # between rounds iff NO label changed.  The sum runs over the eagerly
+    # checkpointed blocks (in-memory scan, no shuffle), replacing the old
+    # per-round nxt⋈labels "changed" count job.  decimal(38,0) so the sum
+    # can't overflow at 10^12 ids.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    converged = False
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
+        # one shuffle join + one min-agg per round: neighbor labels unioned
+        # with each node's own label, then a partial-agg'd min — the
+        # labels⋈nbr left-join of the naive formulation folds away.
         nxt = (
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
-            .select(
-                labels["id"],
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
-            )
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("label"))
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = nxt.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         labels = nxt
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # Silent under-merge would split real duplicate clusters downstream
+        # with no signal (graph diameter > max_iter rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed = graph diameter)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
@@ -265,7 +292,13 @@ def minhash_signatures(
             valid = np.ones(len(w), dtype=bool)
             for j in range(1, k):
                 nxt = np.roll(w, -j)
-                same_doc = np.roll(doc, -j) == doc
+                # The last j positions wrap around the batch array: when the
+                # batch holds a single document the rolled doc-id comparison
+                # is true there and fabricates shingles joining the doc's
+                # tail words to its head.  Invalidate them explicitly.
+                same_doc = np.zeros(len(doc), dtype=bool)
+                if len(doc) > j:
+                    same_doc[:-j] = doc[j:] == doc[:-j]
                 valid &= same_doc
                 sh = np.where(same_doc, sh + " " + nxt.astype(object), sh)
             doc, sh = doc[valid], sh[valid]
@@ -374,7 +407,7 @@ def lsh_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("sim") >= threshold)
     )
-    return pairs
+    return _with_deps(pairs, sigs)
 
 
 def minhash_md5_near_duplicates(
@@ -418,7 +451,7 @@ def minhash_md5_near_duplicates(
     sim = F.size(
         F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda e: e)
     ) / F.lit(float(bands))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -429,6 +462,7 @@ def minhash_md5_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("sim") >= threshold)
     )
+    return _with_deps(out, sigs)
 
 
 # ---------------------------------------------------------------------------
@@ -591,7 +625,7 @@ def simhash_md5_candidates(
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -602,6 +636,7 @@ def simhash_md5_candidates(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+    return _with_deps(out, sh)
 
 
 def simhash_candidates(
@@ -644,7 +679,7 @@ def simhash_candidates(
         buckets = buckets.join(F.broadcast(hot), on=["chunk", "ch"], how="left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -655,3 +690,4 @@ def simhash_candidates(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+    return _with_deps(out, sh)

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from json_schema_clj_spark.operators.dedup import _with_deps
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -402,6 +404,7 @@ def embedding_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
+    out = cand.select(
         "id_a", "id_b", (dot(F.col("va"), F.col("vb")) / F.col("nn")).alias("cos")
     ).where(F.col("cos") >= threshold)
+    return _with_deps(out, base)

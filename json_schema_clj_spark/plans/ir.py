@@ -124,8 +124,12 @@ def simple_check(
     viol = F.when(ok, _typed_empty_array()).otherwise(
         violation(keyword_path, instance_path, keyword, message, severity)
     )
+    # Emit unless ok is literally true: under SQL three-valued logic a NULL
+    # ok (possible for custom register_keyword checks) must count as a
+    # failure, matching the violations branch — `~ok` alone would yield
+    # NULL, and merge's isNotNull filter would silently drop the violation.
     unit = F.when(
-        ~ok,
+        ~F.coalesce(ok, F.lit(False)),
         F.struct(
             F.array(*[F.lit(s) for s in keyword_path]).alias("keyword_path"),
             path_col(instance_path).alias("instance_path"),

@@ -96,6 +96,26 @@ def test_signature_udf_matches_column_path(emb):
     assert j.where(F.col("s_col") != F.col("s_udf")).count() == 0
 
 
+def test_minhash_single_doc_batch_no_phantom_shingles(spark):
+    # regression: the vectorized shingler used np.roll, which wraps the
+    # batch array — a 1-row Arrow batch (or the LAST doc of any batch)
+    # fabricated shingles joining the doc's tail words to its head, making
+    # signatures batch-layout dependent.  Signatures must be identical
+    # whether the doc is alone in its batch or not, and wherever it sits.
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "other words entirely here now"),
+        (3, "more filler text tokens present"),
+    ]
+    schema = "doc_id long, text string"
+    many = spark.createDataFrame(rows, schema).coalesce(1)
+    sig_many = {r["id"]: r["sig"] for r in D.minhash_signatures(many).collect()}
+    for doc_id, text in rows:
+        alone = spark.createDataFrame([(doc_id, text)], schema).coalesce(1)
+        sig_alone = D.minhash_signatures(alone).collect()[0]["sig"]
+        assert sig_alone == sig_many[doc_id], doc_id
+
+
 def test_minhash_md5_finds_exact_dups(docs):
     # planted exact duplicates (jaccard 1.0) must surface with sim 1.0;
     # every reported pair's sim is a multiple of 1/bands in [0.25, 1]

@@ -85,6 +85,20 @@ def test_spark_submit_pyfiles_resumable(tmp_path):
     assert summary["dup_image_ids"] > 0
     assert summary["bad_magic_rows"] > 0
 
+    # the injected crash fired AFTER the 2nd chunk's violations write but
+    # BEFORE its manifest commit; the resume re-ran that chunk, so a
+    # non-idempotent (append) sink would have duplicated its rows — assert
+    # the per-chunk overwrite sink kept violations exactly-once
+    import duckdb
+
+    glob = os.path.join(out_dir, "violations", "*", "*", "*.parquet")
+    n_all = duckdb.sql(f"SELECT count(*) FROM read_parquet('{glob}')").fetchone()[0]
+    n_dist = duckdb.sql(
+        "SELECT count(*) FROM (SELECT DISTINCT image_id, keyword, instance_path "
+        f"FROM read_parquet('{glob}'))"
+    ).fetchone()[0]
+    assert n_all > 0 and n_all == n_dist
+
     # 3. idempotent re-run: everything already committed
     p3 = submit(zip_path, out_dir, cwd)
     assert p3.returncode == 0, p3.stderr[-4000:]
