@@ -298,8 +298,11 @@ def _compile_enum(value, schema, target: Column, ctx: Ctx) -> Compiled:
         ok = F.when(ref_col.isNull(), F.lit(True)).otherwise(
             F.coalesce(F.array_contains(ref_col, target), F.lit(False))
         )
-        c = simple_check(ok, ctx.schema_path, ctx.instance_path, "enum", "expected one of $data enum", sev)
-        return _null_pass(target, c) if False else c
+        # no _null_pass here: a null target = missing property, and the
+        # properties/patternProperties compilers already null-pass their
+        # children (fixture: data_structures.json "missing target property
+        # is not validated"), matching the plain-enum branch below
+        return simple_check(ok, ctx.schema_path, ctx.instance_path, "enum", "expected one of $data enum", sev)
     for v in value:
         _scalar_lit(v)  # reject non-scalar members (Python backend handles those)
     ok = F.coalesce(target.isin(*value), F.lit(False)) if value else F.lit(False)
@@ -960,6 +963,92 @@ def _props_count_comparator(keyword: str, op: str):
 
 KEYWORD_COMPILERS["maxProperties"] = _props_count_comparator("maxProperties", "le")
 KEYWORD_COMPILERS["minProperties"] = _props_count_comparator("minProperties", "ge")
+
+
+@register_keyword("patternGroups")
+def _compile_pattern_groups(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    """v5 patternGroups (core.clj:613-646): each key matching a group's
+    regex validates against the group schema, and the matching-key count
+    honors the group's minimum/maximum.  Previously the Column backend
+    silently dropped this keyword (it is NOT unknown in the reference) —
+    now it compiles natively, mirroring the Variant backend
+    (variant_compiler.py:526-578) on typed targets."""
+    sev = ctx.severity("patternGroups")
+
+    def count_checks(cnt: Column, mn, mx) -> list:
+        out = []
+        if mn is not None:
+            out.append(simple_check(
+                cnt >= F.lit(mn), ctx.schema_path, ctx.instance_path, "patternGroups",
+                F.concat(F.lit("patternGroup expects number of matched props "),
+                         cnt.cast("string"), F.lit(f" > {mn}")), sev))
+        if mx is not None:
+            out.append(simple_check(
+                cnt <= F.lit(mx), ctx.schema_path, ctx.instance_path, "patternGroups",
+                F.concat(F.lit("patternGroup expects number of matched props "),
+                         cnt.cast("string"), F.lit(f" < {mx}")), sev))
+        return out
+
+    if isinstance(ctx.dtype, T.StructType):
+        import re as _re
+
+        comps = []
+        for pat, group in value.items():
+            sub = group.get("schema", True)
+            rx = _re.compile(pat)
+            matching = [f for f in ctx.dtype.fieldNames() if rx.search(f)]
+            for fname in matching:
+                col = target.getField(fname)
+                child = compile_schema(
+                    sub, col,
+                    replace(ctx, schema_path=ctx.schema_path + (pat,),
+                            instance_path=ctx.instance_path + (fname,),
+                            dtype=ctx.dtype[fname].dataType),
+                )
+                comps.append(_null_pass(col, child))
+            # presence count (nil = missing, as everywhere in the engine)
+            cnt = F.lit(0)
+            for fname in matching:
+                cnt = cnt + target.getField(fname).isNotNull().cast("int")
+            comps.extend(count_checks(cnt, group.get("minimum"), group.get("maximum")))
+        if not comps:
+            return None
+        return _null_pass(target, merge(comps))
+    if isinstance(ctx.dtype, T.MapType):
+        comps = []
+
+        # factory capture, not lambda defaults — see patternProperties note
+        def make_per_entry(_pat, _sub):
+            def per_entry(e):
+                child = compile_schema(
+                    _sub, e["value"],
+                    replace(ctx, schema_path=ctx.schema_path + (_pat,),
+                            instance_path=ctx.instance_path + (e["key"],),
+                            dtype=ctx.dtype.valueType),
+                )
+                hit = e["key"].rlike(_pat)
+                return F.struct(
+                    F.when(hit, child.ok).otherwise(F.lit(True)).alias("ok"),
+                    F.when(hit, child.violations).otherwise(_empty()).alias("v"),
+                )
+
+            return per_entry
+
+        def make_count(_pat):
+            return F.size(F.filter(F.map_keys(target), lambda k: k.rlike(_pat)))
+
+        for pat, group in value.items():
+            sub = group.get("schema", True)
+            checked = F.transform(F.map_entries(target), make_per_entry(pat, sub))
+            comps.append(
+                Compiled(
+                    ok=F.forall(checked, lambda s: s["ok"]),
+                    violations=F.flatten(F.transform(checked, lambda s: s["v"])),
+                )
+            )
+            comps.extend(count_checks(make_count(pat), group.get("minimum"), group.get("maximum")))
+        return _null_pass(target, merge(comps))
+    raise ColumnBackendUnsupported("patternGroups needs a struct or map target")
 
 
 @register_keyword("patternRequired")

@@ -1052,21 +1052,71 @@ SELECT reason, count(*) AS n_docs FROM r GROUP BY reason ORDER BY reason
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible ops → rows-only driver checks (no oracle entry)
+# xxhash64 fast-path signature ops, made exactly oracle-checkable via the
+# salted-vocabulary planted-clone construction: every normalized word is
+# prefixed with its doc_id, so distinct documents share NO words/shingles
+# by construction (disjoint vocabularies → no shared minhash values, no
+# correlated simhash bits); an id-shifted exact clone of each doc is then
+# planted.  The only pairs any signature scheme can emit are the planted
+# clones — sim 1.0 / hamming 0 — which ARE computable in ANSI SQL, while
+# the engine side still runs the full xxhash64 signature + banding +
+# bucket-join + verify machinery over realistic document shapes.  (The raw
+# corpus is unusable for exact oracles: at sf0.01 it contains 5 doc pairs
+# with unequal shingle sets whose 64 minhash mins all agree, and 456 pairs
+# at simhash hamming 0 — both unpredictable without xxhash64 in SQL.)
+
+
+def _salted_clone_corpus(docs: DataFrame, offset: int = 100_000) -> DataFrame:
+    salted = F.array_join(
+        F.transform(
+            F.split(D.normalized(F.col("text")), " "),
+            lambda w: F.concat(F.col("doc_id").cast("string"), F.lit("_"), w),
+        ),
+        " ",
+    )
+    base = docs.select("doc_id", salted.alias("text")).where(F.length("text") > 0)
+    clone = base.select((F.col("doc_id") + F.lit(offset)).alias("doc_id"), "text")
+    return base.unionByName(clone)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return D.lsh_near_duplicates(docs, k=3, num_hashes=64, bands=16, threshold=0.2).orderBy(
-        "id_a", "id_b"
+    corpus = _salted_clone_corpus(t(spark, sf_dir, "documents"))
+    return (
+        D.lsh_near_duplicates(corpus, k=3, num_hashes=64, bands=16, threshold=0.5)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .orderBy("id_a", "id_b")
     )
+
+
+# planted clones agree on all 64 minhashes (sim exactly 1.0); disjoint
+# vocabularies make any other agreement impossible — the expected output is
+# one pair per doc with >= k words, derived from the raw table
+SQL_MINHASH_LSH = r"""
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents)
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS sim
+FROM n WHERE t <> '' AND len(string_split(t, ' ')) >= 3
+ORDER BY id_a, id_b
+"""
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=3: the classic 64-bit near-dup threshold, and the largest
     # distance for which 4×16-bit banding has a pigeonhole recall guarantee
-    docs = t(spark, sf_dir, "documents")
-    return D.simhash_candidates(docs, max_hamming=3).orderBy("id_a", "id_b")
+    corpus = _salted_clone_corpus(t(spark, sf_dir, "documents"))
+    return D.simhash_candidates(corpus, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# planted clones have identical fingerprints (hamming 0); disjoint
+# vocabularies make other fingerprints independent uniform draws, for which
+# hamming <= 3 has probability ~2e-15 per pair — zero pairs at this scale
+SQL_SIMHASH_CANDIDATES = r"""
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents)
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM n WHERE t <> ''
+ORDER BY id_a, id_b
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,9 +1144,13 @@ FROM embeddings ORDER BY id_a, id_b
 
 
 def q_images_flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship image-table validation → per-partition verdicts (rows-only:
-    the synthetic generator uses xxhash64, not expressible in ANSI SQL).
-    Row count scales with sf via a fixed multiplier."""
+    """Flagship image-table validation → per-partition verdicts.
+
+    The synthetic generator (sources/images.py) plants violations at fixed
+    residues mod 200 — pattern (7), w-range (23, 57), h-range (91, 123),
+    fmt-enum (141, 173), blank caption (87) — so per-partition verdict
+    counts are a pure function of the plant rule and the oracle derives
+    them arithmetically (the payload xxhash64 values never matter)."""
     from .operators.validate import validate as _validate
     from .sources.images import FLAGSHIP_SCHEMA, images_df
 
@@ -1105,11 +1159,28 @@ def q_images_flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["verdicts"].orderBy("part_id")
 
 
+# derived from the generator's plant rule: part_id = i mod 64, schema
+# failures exactly at i mod 200 in {7,23,57,87,91,123,141,173} (uppercase
+# id, w=0, w=70000, blank caption, h=0, h=70000, fmt bmp, fmt '') — the
+# other plants (duplicate ids, garbage bytes, NULL caption = missing
+# optional) do not violate the flagship schema
+SQL_IMAGES_FLAGSHIP_VERDICTS = """
+SELECT CAST(i % 64 AS INTEGER) AS part_id,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE i % 200 IN (7,23,57,87,91,123,141,173)) AS n_fail,
+       count(*) FILTER (WHERE i % 200 IN (7,23,57,87,91,123,141,173)) = 0 AS pass
+FROM generate_series(0, 99999) t(i)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_images_uniqueness_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage uniqueness on the deliberately skewed phash column
     (every key ~997 rows — the hot-bucket shape of near-duplicate clusters
     at 10^12 scale) plus exact-duplicate image_id detection (planted every
-    5000th row).  Rows-only: the synthetic generator is xxhash64-keyed."""
+    5000th row).  Oracle-checkable: phash groups are floor(i/997) and id
+    duplicates sit at i % 5000 == 4999, so key/row counts are a pure
+    function of the plant rule (the xxhash64 key VALUES never matter)."""
     from .sources.images import images_df
 
     df = images_df(spark, 100_000)
@@ -1128,24 +1199,71 @@ def q_images_uniqueness_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
-def q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Draft-suite conformance through the distributed Arrow-batched path:
-    (draft, n_tests, n_pass) per draft — rows-only (fixtures, not tables)."""
+# derived from the generator's plant rule: phash = xxhash64(floor(i/997))
+# groups 997 consecutive ids per key (distinct inputs → distinct hashes, so
+# key counts depend only on the grouping); duplicate image_ids are planted
+# at i % 5000 == 4999 (row i takes row i-1's id → each key has exactly 2
+# rows; the donor rows i-1 ≡ 198 mod 200 are never the uppercased plants)
+SQL_IMAGES_UNIQUENESS = """
+WITH g AS (SELECT i // 997 AS grp, count(*) AS n
+           FROM generate_series(0, 99999) t(i) GROUP BY 1),
+     d AS (SELECT count(*) AS k FROM generate_series(0, 99999) t(i)
+           WHERE i % 5000 = 4999 AND i > 0)
+SELECT 'image_id' AS key, k AS n_dup_keys, CAST(2 * k AS BIGINT) AS n_rows_in_dups,
+       CAST(2 AS BIGINT) AS hottest_key_rows
+FROM d
+UNION ALL
+SELECT 'phash', count(*), CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT)
+FROM g WHERE n > 1
+ORDER BY key
+"""
+
+
+_SUITE_DRAFTS = ("draft3", "draft4", "draft6", "draft7", "v5")
+
+
+def _suite_cases():
     import glob
     import os
 
-    from .sources.suite import load_cases, run_suite_spark, suite_df
+    from .sources.suite import load_cases
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cases = []
-    for d in ("draft3", "draft4", "draft6", "draft7", "v5"):
+    for d in _SUITE_DRAFTS:
         cases += load_cases(sorted(glob.glob(f"{here}/tests/fixtures/{d}/*.json")), draft=d)
-    out = run_suite_spark(suite_df(spark, cases))
+    return cases
+
+
+def q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft-suite conformance through the distributed Arrow-batched path:
+    (draft, n_tests, n_pass) per draft.  The oracle is generated from the
+    fixture corpus itself (one row per draft, n_pass == n_tests): the
+    check pins that the DISTRIBUTED path passes every test with exact
+    per-draft counts, and stays correct as fixtures are added."""
+    from .sources.suite import run_suite_spark, suite_df
+
+    out = run_suite_spark(suite_df(spark, _suite_cases()))
     return (
         out.groupBy("draft")
         .agg(F.count(F.lit(1)).alias("n_tests"), F.sum(F.col("pass").cast("long")).alias("n_pass"))
         .orderBy("draft")
     )
+
+
+def sql_suite_conformance() -> str:
+    """Expected conformance table derived by COUNTING the fixture corpus at
+    oracle-build time (not hard-coded): every test must pass, so n_pass ==
+    n_tests per draft."""
+    from collections import Counter
+
+    counts = Counter(c["draft"] for c in _suite_cases())
+    parts = [
+        f"SELECT '{d}' AS draft, CAST({counts[d]} AS BIGINT) AS n_tests, "
+        f"CAST({counts[d]} AS BIGINT) AS n_pass"
+        for d in sorted(counts)
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY draft"
 
 
 def q_images_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,21 +1290,48 @@ def q_images_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# derived from the plant rule (n=200, corrupt_every=40 → decode failures
+# exactly at i % 40 == 7; PNG is lossless so every intact row matches
+# pixel-exactly → PSNR inf → status pass_lossless), not hard-coded counts
 SQL_IMAGES_DECODE_PSNR = """
-SELECT 'fail_decode_or_psnr' AS status, 5 AS n
-UNION ALL
-SELECT 'pass_lossless', 195
-ORDER BY status
+SELECT CASE WHEN i % 40 = 7 THEN 'fail_decode_or_psnr' ELSE 'pass_lossless' END AS status,
+       count(*) AS n
+FROM generate_series(0, 199) t(i)
+GROUP BY 1 ORDER BY status
 """
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    """Hyperplane-LSH ANN over a planted-golden corpus: 10 exact copies of
+    each query vector (ids j*1,000,000 + vec_id, j=1..10) are added to the
+    corpus.  Identical vectors share every signature band (total LSH
+    recall) and score cosine 1.0 — strictly above the corpus's natural max
+    pairwise cosine (~0.60) — so the true AND the approximate top-10 are
+    exactly the 10 planted copies, ordered by the deterministic
+    (score desc, neighbor_id asc) tie-break.  The full banding + bucket
+    join + exact rerank machinery runs; the output is SQL-derivable."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id") < 5)
-    out = S.lsh_topk(emb, queries, k=10)
+    planted = queries.crossJoin(
+        spark.range(1, 11).select(F.col("id").alias("j"))
+    ).select(
+        (F.col("j") * 1_000_000 + F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    out = S.lsh_topk(emb.unionByName(planted), queries, k=10)
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
     ).orderBy("query_id", "rank")
+
+
+SQL_LSH_ANN_TOPK = """
+SELECT q.vec_id AS query_id,
+       j * 1000000 + q.vec_id AS neighbor_id,
+       CAST(j AS INTEGER) AS rank,
+       1.0 AS score
+FROM embeddings q, generate_series(1, 10) t(j)
+WHERE q.vec_id < 5
+ORDER BY query_id, rank
+"""
 
 
 QUERIES = {
@@ -1255,6 +1400,15 @@ ORACLES = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk:
-    # xxhash64-keyed signatures are not expressible in ANSI SQL → rows-only
+    # xxhash64-keyed signature fast paths, oracled via the salted-vocabulary
+    # planted-clone construction (see the block above q_minhash_lsh)
+    "dedup_minhash_lsh": SQL_MINHASH_LSH,
+    "dedup_simhash": SQL_SIMHASH_CANDIDATES,
+    "ann_lsh_topk": SQL_LSH_ANN_TOPK,
+    # synthetic-generator queries, oracled by deriving expected counts from
+    # the plant rules (residues mod 200 / 5000, floor(i/997) groups)
+    "images_flagship_verdicts": SQL_IMAGES_FLAGSHIP_VERDICTS,
+    "images_uniqueness_skewed": SQL_IMAGES_UNIQUENESS,
+    # distributed conformance run, oracled by counting the fixture corpus
+    "suite_conformance": sql_suite_conformance(),
 }

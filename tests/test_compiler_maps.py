@@ -120,3 +120,45 @@ def test_pattern_required(spark):
         schema,
     )
     assert vm == {"ok": True, "bad": False, "half": False}
+
+
+def test_pattern_groups_map(spark):
+    # value validation + matching-key count bounds on a MapType target —
+    # regression: the Column backend used to DROP patternGroups silently
+    # (reference validates it, core.clj:613-646)
+    schema = {"properties": {"m": {"patternGroups": {
+        "^n_": {"schema": {"type": "integer"}, "minimum": 1, "maximum": 2}
+    }}}}
+    vm = _vm(
+        spark,
+        [
+            ("ok", {"n_rows": 3, "other": 0}),
+            ("bad_value", {"n_rows": -1, "n_bad": 7}),  # count ok; need int values
+            ("too_few", {"other": 1}),
+            ("too_many", {"n_a": 1, "n_b": 2, "n_c": 3}),
+        ],
+        "k string, m map<string,long>",
+        schema,
+    )
+    assert vm == {"ok": True, "bad_value": True, "too_few": False, "too_many": False}
+    # value-schema violation (type) via a string-valued map
+    schema2 = {"properties": {"m": {"patternGroups": {"^n_": {"schema": {"minLength": 2}}}}}}
+    vm2 = _vm(
+        spark,
+        [("ok", {"n_x": "ab"}), ("bad", {"n_x": "a"}), ("ignored", {"zz": "a"})],
+        "k string, m map<string,string>",
+        schema2,
+    )
+    assert vm2 == {"ok": True, "bad": False, "ignored": True}
+
+
+def test_pattern_groups_struct(spark):
+    schema = {"patternGroups": {"^n_": {"schema": {"minimum": 0}, "minimum": 2}}}
+    vm = _vm(
+        spark,
+        [("r1", 1, 2), ("r2", -1, 2), ("r3", None, 2)],
+        "k string, n_a long, n_b long",
+        schema,
+    )
+    # r1: both non-null, count 2, values ok; r2: bad value; r3: count 1 < 2
+    assert vm == {"r1": True, "r2": False, "r3": False}

@@ -26,9 +26,12 @@ VALIDATING_KEYWORDS = [
 NOOPS = ["title", "description", "$schema", "default", "then", "else",
          "additionalItems", "exclusiveFormatMaximum", "exclusiveFormatMinimum"]
 
-# Column-backend table-path set: everything except the two that genuinely
-# need the Python backend (dynamic $data shapes handled inline there)
-COLUMN_EXPECTED = set(VALIDATING_KEYWORDS) - {"patternGroups", "definitions"}
+# Column-backend table-path set: everything except `definitions` (resolved
+# through root_schema, no standalone compiler).  `patternGroups` IS
+# registered — as a raising compiler, so the facade falls back to the
+# Python backend instead of silently dropping it (tested in
+# test_compiler_maps.py).
+COLUMN_EXPECTED = set(VALIDATING_KEYWORDS) - {"definitions"}
 
 
 def test_python_backend_covers_every_keyword():
