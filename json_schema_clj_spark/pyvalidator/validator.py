@@ -1172,7 +1172,12 @@ def _mk_ref_with_ids(r: str, ids: list[str]) -> str:
     while its:
         it = its[0]
         its = its[1:]
+        # Clojure's str/split drops trailing empty segments ("http://x/" →
+        # ["http:" "" "x"]); Python keeps them, which would leave doubled
+        # slashes in the resolved URL — strip to match the reference.
         sub = it.split("/")
+        while sub and sub[-1] == "":
+            sub.pop()
         new_pth = (sub if it.endswith("/") else sub[:-1]) + pth
         if not its or it.startswith("http"):
             return "/".join(new_pth) + "/" + r
@@ -1213,6 +1218,18 @@ def _split_fragment(uri: str):
         endpoint, frag = uri.split("#", 1)
         return endpoint, "#" + frag
     return uri, "#"
+
+
+def http_loader(endpoint: str):
+    """Fetch-and-parse loader for remote $refs over real HTTP — the analog
+    of the reference's slurp fetch (core.clj:941-954; integration-tested
+    against a localhost server in test/json_schema/utils.clj:13-26).  Pass
+    as ``loader=http_loader``; fetched registries are cached per endpoint
+    by :func:`_external`, so each document is fetched once per validator."""
+    import urllib.request
+
+    with urllib.request.urlopen(endpoint, timeout=10) as resp:
+        return json.loads(resp.read().decode("utf-8"))
 
 
 def _external(uri: str, reg: dict, loader, cc):

@@ -694,8 +694,13 @@ FROM documents
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_freq: the stop-shingle guard is ON in the shipped query —
+    # a boilerplate shingle shared by everything makes the shingle
+    # self-join quadratic in the hottest key at corpus scale; shingles in
+    # more than 50 docs carry no dedup signal and are dropped (mirrored in
+    # the oracle SQL)
     docs = t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_shingle_freq=50)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy(
         "id_a", "id_b"
     )
@@ -706,10 +711,17 @@ WITH words AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS sh
   FROM words, unnest(generate_series(1, len(ws) - 2)) AS u(i)
   WHERE len(ws) >= 3
+),
+-- stop-shingle guard, mirroring max_shingle_freq=50: sh0 is distinct per
+-- doc, so count(*) per shingle = number of docs containing it
+sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (
+    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
+  )
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
