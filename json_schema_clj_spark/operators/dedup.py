@@ -121,9 +121,21 @@ def connected_components(
     an ever-deeper tree each round).
     """
     sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = sym.union(
+    edges0 = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # Size the edge partitioning to the DATA, not the session default: the
+    # per-round join rescans the edge set every iteration, so a tiny pair
+    # result spread over defaultParallelism partitions pays iterations ×
+    # partitions empty-task scheduling (measured 10.9s → 6.3s at sf0.1 just
+    # from 32 → 8 partitions).  Hash-partitioning on the join key also
+    # co-locates every round's edges-side exchange.  At cluster scale the
+    # row target keeps p = full parallelism.
+    n_edges = edges0.count()
+    sc = pairs.sparkSession.sparkContext
+    p = max(1, min(sc.defaultParallelism, 1 + n_edges // 2_000_000))
+    edges = edges0.repartition(p, "dst").localCheckpoint(eager=True)
+    edges0.unpersist()
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -135,7 +147,9 @@ def connected_components(
     # can't overflow at 10^12 ids.
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # one shuffle join + one min-agg per round: neighbor labels unioned
         # with each node's own label, then a partial-agg'd min — the
         # labels⋈nbr left-join of the naive formulation folds away.
@@ -158,9 +172,101 @@ def connected_components(
         # with no signal (graph diameter > max_iter rounds).
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter (rounds needed = graph diameter)"
+            "raise max_iter (rounds needed = graph diameter), or use "
+            "connected_components_star (rounds ~ log diameter)"
         )
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out._cc_rounds = rounds  # type: ignore[attr-defined] — observability
+    return out
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    deep-graph / 100 TB path: rounds grow with log(diameter), not diameter,
+    and each round is a bounded number of shuffles of the (shrinking) edge
+    set.  Prefer this over the min-label loop when duplicate chains are
+    long (min-label needs diameter rounds; a 40-hop boilerplate chain means
+    40 full-edge shuffles).
+
+    large-star: every node's larger neighbors re-attach to the minimum of
+    its neighborhood; small-star: smaller neighbors (and the node) attach
+    to the minimum of the smaller neighborhood.  The fixpoint is a star per
+    component centered at the component minimum; labels read directly off
+    the final edges.  Convergence is detected by an order-insensitive edge
+    checksum (count + hash sum) going stable.
+    """
+    sym0 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    edges = (
+        sym0.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    # nodes derived from the checkpointed edges, not from `pairs` — the
+    # (possibly expensive, unpersisted) pair pipeline runs exactly once
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+
+    def checksum(e: DataFrame):
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (r["n"], r["s"])
+
+    prev = checksum(edges)
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the bidirectional view; canonical edges (u<v) ARE
+        # the v>u directed pairs, so no filter is needed on the emit side
+        bb = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_l = bb.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", F.col("u")).alias("m")
+        )
+        e_l = (
+            edges.join(m_l, "u")
+            .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: the directed pairs with second < first are exactly the
+        # canonical edges swapped
+        le = e_l.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        m_s = le.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            le.join(m_s, "u")
+            .select(F.col("v").alias("x"), "m")
+            .union(m_s.select(F.col("u").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
+            .select(F.least("m", "x").alias("u"), F.greatest("m", "x").alias("v"))
+            .distinct()
+        ).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+    lab = nodes.join(
+        edges.select(F.col("v").alias("id"), F.col("u").alias("cluster_id")), "id", "left"
+    )
+    out = lab.select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    out._cc_rounds = rounds  # type: ignore[attr-defined] — observability
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,34 @@ def test_simhash_md5_exact_dups_zero_hamming(docs):
              for r in D.simhash_md5_candidates(docs, max_hamming=3).collect()}
     for i in [r["doc_id"] for r in docs.where(F.col("doc_id") < 5).collect()]:
         assert pairs.get((i, i + 100000)) == 0
+
+
+def test_connected_components_star_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.connected_components_star(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_star_matches_min_label(spark, docs):
+    pairs = D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25)
+    a = {(r["id"], r["cluster_id"]) for r in D.connected_components(pairs).collect()}
+    b = {(r["id"], r["cluster_id"]) for r in D.connected_components_star(pairs).collect()}
+    assert a == b
+
+
+def test_connected_components_star_long_chain(spark):
+    # 40-hop chain with adversarial id order: min-label would need 40
+    # rounds; star converges in ~log rounds (verified via _cc_rounds)
+    import random
+
+    ids = list(range(41))
+    random.Random(7).shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(40)], "id_a long, id_b long"
+    )
+    cc = D.connected_components_star(pairs, max_iter=12)
+    got = {r["cluster_id"] for r in cc.collect()}
+    assert got == {0}
+    assert cc._cc_rounds <= 10
