@@ -151,3 +151,38 @@ def test_id_scoped_refs():
     }
     assert not validate(schema, {"a": 3})["errors"]
     assert validate(schema, {"a": -3})["errors"]
+
+
+def test_relative_json_pointer_table():
+    """Relative-JSON-pointer unit table (jsonpointer_test.clj:9-34, per
+    draft-luff-relative-json-pointer-00), incl. the `N#` key/index form."""
+    from json_schema_clj_spark.pyvalidator.validator import Run, compile_pointer
+
+    doc = {"foo": ["bar", "baz"], "highly": {"nested": {"objects": True}}}
+    run = Run(doc, {})
+    table = {
+        ("foo", 1): [
+            ("0", "baz"),
+            ("1/0", "bar"),
+            ("2/highly/nested/objects", True),
+            ("0#", 1),
+            ("1#", "foo"),
+        ],
+        ("highly", "nested"): [
+            ("0/objects", True),
+            ("1/nested/objects", True),
+            ("2/foo/0", "bar"),
+            ("0#", "nested"),
+            ("1#", "highly"),
+        ],
+        ("any",): [
+            ("#/foo/0", "bar"),
+            ("#/foo/1", "baz"),
+            ("#/highly/nested/objects", True),
+            ("#/uexisting", None),
+        ],
+    }
+    for path, cases in table.items():
+        for ref, expected in cases:
+            got = compile_pointer(ref)(run, path)
+            assert got == expected, (path, ref, expected, got)
