@@ -93,3 +93,37 @@ def test_validation_plans_have_no_python_nodes(spark):
     for q in (q_validate_lineitem, q_verdicts_orders, q_dangling_partkeys):
         plan = executed(q(spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, q
+
+
+def test_lsh_minhash_plan_no_cartesian_one_arrow_stage(spark):
+    # the banded self-join must be a hash/sort join on (band, hash) — a
+    # cartesian/nested-loop plan would be corpus² at scale; signatures run
+    # in exactly one Arrow stage (mapInPandas), never row-at-a-time Python
+    from json_schema_clj_spark.queries import q_minhash_lsh
+
+    plan = executed(q_minhash_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_lsh_ann_broadcasts_query_side(spark):
+    # corpus shuffles on bucket key at most; the (tiny) banded query side
+    # must broadcast — a shuffle join would move the corpus for 5 queries
+    from json_schema_clj_spark.queries import q_lsh_ann_topk
+
+    plan = executed(q_lsh_ann_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_simhash_md5_plan_pure_catalyst(spark):
+    # the SQL-replicable SimHash pipeline (explode -> 60 conditional sums ->
+    # chunk bucket join) must stay whole-stage-codegen JVM: no Python nodes
+    from json_schema_clj_spark.queries import q_simhash_md5
+
+    plan = executed(q_simhash_md5(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
