@@ -207,3 +207,14 @@ def test_connected_components_star_long_chain(spark):
     got = {r["cluster_id"] for r in cc.collect()}
     assert got == {0}
     assert cc._cc_rounds <= 10
+
+
+def test_release_unpersists_operator_intermediates(spark, docs):
+    # banded operators persist their signature frames; release() must free
+    # those blocks once the caller has materialized the result
+    out = D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25)
+    out.count()
+    deps = getattr(out, "_persisted_deps", [])
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    D.release(out)
+    assert all(not d.storageLevel.useMemory for d in deps)
