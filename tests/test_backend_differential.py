@@ -132,3 +132,82 @@ def test_differential_backends(spark):
                 f"schema={json.dumps(schema)}\ndoc={json.dumps(docs[i])}\n"
                 f"errors={v(docs[i])['errors']}"
             )
+
+
+def test_differential_variant_backend(spark):
+    # the VariantType compiler must agree with the Python backends on the
+    # same random (schema, doc) pairs; schemas it can't compile fall back
+    # (exercised implicitly by validate_json_column's auto mode elsewhere)
+    from json_schema_clj_spark.plans.compiler import ColumnBackendUnsupported
+
+    rng = random.Random(20260817)
+    n_schemas, n_rows = 15, 30
+    n_covered = 0
+    for si in range(n_schemas):
+        schema = rand_schema(rng)
+        docs = [row_to_doc(rand_row(rng)) for _ in range(n_rows)]
+        v = engine.compile(schema)
+        py_valid = [not v(d)["errors"] for d in docs]
+        jdf = spark.createDataFrame([(json.dumps(d),) for d in docs], "data_json string")
+        try:
+            out = engine.validate_json_column(jdf, schema, force_backend="variant")
+        except ColumnBackendUnsupported:
+            continue
+        n_covered += 1
+        var_valid = [r["valid"] for r in out.collect()]
+        for i, (a, b) in enumerate(zip(py_valid, var_valid)):
+            assert a == b, (
+                f"schema#{si} row#{i} disagree: py={a} variant={b}\n"
+                f"schema={json.dumps(schema)}\ndoc={json.dumps(docs[i])}\n"
+                f"errors={v(docs[i])['errors']}"
+            )
+    assert n_covered >= n_schemas // 2, n_covered  # variant path genuinely exercised
+
+
+def test_differential_map_object_keywords(spark):
+    # map-typed targets through the Column backend vs the Python backend:
+    # patternGroups / patternProperties / propertyNames / min-maxProperties /
+    # patternRequired / additionalProperties over random string->long maps
+    from pyspark.sql import types as T
+
+    rng = random.Random(99)
+    keys = ["n_a", "n_b", "other", "foo", "f2", "zz"]
+
+    def rand_map_schema():
+        opts = [
+            {"patternGroups": {"^n_": {"schema": {"minimum": rng.randint(-2, 2)},
+                                       "minimum": rng.randint(0, 2)}}},
+            {"patternGroups": {"^f": {"schema": {"type": "integer"},
+                                      "maximum": rng.randint(0, 2)}}},
+            {"patternProperties": {"^n_": {"maximum": rng.randint(-1, 3)}}},
+            {"propertyNames": {"pattern": rng.choice(["^[nf]", "^[a-z_0-9]+$"])}},
+            {"minProperties": rng.randint(0, 3)},
+            {"maxProperties": rng.randint(1, 4)},
+            {"patternRequired": [rng.choice(["^n_", "o", "^f"])]},
+            {"properties": {"foo": {"minimum": 0}}, "additionalProperties": False},
+        ]
+        sub = dict(rng.choice(opts))
+        if rng.random() < 0.3:
+            sub.update(rng.choice(opts))
+        return {"properties": {"m": sub}}
+
+    schema_t = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+    ])
+    for si in range(25):
+        schema = rand_map_schema()
+        rows = []
+        for i in range(20):
+            m = {k: rng.randint(-3, 3) for k in rng.sample(keys, k=rng.randint(0, 4))}
+            rows.append((i, m if rng.random() > 0.15 else None))
+        v = engine.compile(schema)
+        py_valid = [not v({"k": k, **({"m": m} if m is not None else {})})["errors"]
+                    for k, m in rows]
+        df = spark.createDataFrame(rows, schema_t)
+        col_valid = [r["valid"] for r in engine.with_validation(df, schema).collect()]
+        for i, (a, b) in enumerate(zip(py_valid, col_valid)):
+            assert a == b, (
+                f"schema#{si} row#{i}: py={a} col={b}\n"
+                f"schema={json.dumps(schema)}\nrow={rows[i]}"
+            )
