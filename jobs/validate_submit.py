@@ -76,7 +76,6 @@ def main(argv=None):
     from json_schema_clj_spark.operators import uniqueness as U
     from json_schema_clj_spark.operators.multimodal import magic_number_violations
     from json_schema_clj_spark.operators.validate import (
-        verdicts,
         violation_rows,
         with_validation,
     )
@@ -108,24 +107,47 @@ def main(argv=None):
 
     def process_chunk(chunk, parts):
         nonlocal n_committed_chunks
-        validated = with_validation(chunk, schema)
+        # row_id: per-write row identity (monotonically_increasing_id is
+        # stable within one action), so the exploded sink can be rolled back
+        # up to exact per-partition FAILING-ROW counts — image_id alone
+        # can't (duplicate ids are one of the planted violation classes)
+        validated = with_validation(
+            chunk.withColumn("row_id", F.monotonically_increasing_id()), schema
+        )
         # Idempotent sink: each chunk owns a deterministic subdirectory
         # (keyed by its lowest partition id); a crash in the window between
         # this write and the manifest commit re-runs the chunk on resume and
         # OVERWRITES the same subdir instead of appending duplicate rows.
         # run_id/chunk ride in the path as discovered partition columns.
         chunk_dir = f"{out}/violations/run_id={args.run_id}/chunk={min(parts)}"
-        violation_rows(validated, ["image_id"], prefilter=~F.col("valid")).write.mode(
-            "overwrite"
-        ).parquet(chunk_dir)
+        violation_rows(
+            validated, ["image_id", args.part_col, "row_id"], prefilter=~F.col("valid")
+        ).write.mode("overwrite").parquet(chunk_dir)
         # crash AFTER the sink write, BEFORE the commit (run_resumable
         # commits when this function returns) — the exact window where a
         # non-idempotent append would duplicate violation rows on resume
         if args.fail_after_chunks and n_committed_chunks + 1 > args.fail_after_chunks:
             raise RuntimeError(f"TEST HOOK: injected crash after {n_committed_chunks} chunks")
         n_committed_chunks += 1
-        return verdicts(validated, args.part_col).select(
-            F.col(args.part_col).cast("long").alias("part"), "n_rows", "n_fail"
+        # Verdicts WITHOUT a second validation pass: the old shape re-ran
+        # the whole predicate tree per chunk just to count failures.  Row
+        # counts need only the partition column (column-pruned scan, no
+        # validation exprs); failing-row counts roll up from the (tiny)
+        # just-written sink via distinct row_id.  One full validation pass
+        # per chunk instead of two.
+        n_rows = chunk.groupBy(F.col(args.part_col)).agg(F.count(F.lit(1)).alias("n_rows"))
+        n_fail = (
+            spark.read.parquet(chunk_dir)
+            .groupBy(F.col(args.part_col))
+            .agg(F.count_distinct("row_id").alias("n_fail"))
+        )
+        return (
+            n_rows.join(n_fail, args.part_col, "left")
+            .select(
+                F.col(args.part_col).cast("long").alias("part"),
+                "n_rows",
+                F.coalesce("n_fail", F.lit(0)).alias("n_fail"),
+            )
         )
 
     result = run_resumable(

@@ -71,14 +71,24 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from json_schema_clj_spark.sources.images import FLAGSHIP_SCHEMA
-from json_schema_clj_spark.operators.validate import validate
+from json_schema_clj_spark.operators.validate import with_validation, violation_rows
 from json_schema_clj_spark.operators.uniqueness import duplicates
 from json_schema_clj_spark.operators.drift import detect_drift
 
+SINK = f"/dev/shm/spark-local/vio-sink-{cpus}"
+
 def workload(df):
-    res = validate(df, FLAGSHIP_SCHEMA, id_cols=["image_id"], part_col="part_id")
-    res["verdicts"].write.format("noop").mode("overwrite").save()
-    res["violations"].write.format("noop").mode("overwrite").save()
+    # mirrors jobs/validate_submit.py's single-validation-pass shape:
+    # violations sink carries (part_id, row_id), verdicts roll up from a
+    # part-only count + the written sink — the predicate tree runs ONCE
+    validated = with_validation(df.withColumn("row_id", F.monotonically_increasing_id()), FLAGSHIP_SCHEMA)
+    violation_rows(validated, ["image_id", "part_id", "row_id"], prefilter=~F.col("valid")) \
+        .write.mode("overwrite").parquet(SINK)
+    n_rows = df.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    n_fail = spark.read.parquet(SINK).groupBy("part_id").agg(F.count_distinct("row_id").alias("n_fail"))
+    n_rows.join(n_fail, "part_id", "left") \
+        .select("part_id", "n_rows", F.coalesce("n_fail", F.lit(0)).alias("n_fail")) \
+        .write.format("noop").mode("overwrite").save()
     # salting belongs on the skewed key (phash near-dup clusters); the
     # unique key shuffles as a compact xxhash64 long with exact post-check
     duplicates(df, ["phash"], salted=True).write.format("noop").mode("overwrite").save()
