@@ -516,6 +516,78 @@ def lsh_near_duplicates(
     return _with_deps(pairs, sigs)
 
 
+def lsh_incremental_near_duplicates(
+    new_docs: DataFrame,
+    store_path: str,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: near-dup pairs touching the NEW batch
+    (new×new plus new×every previously stored batch) WITHOUT recomputing
+    old signatures — at 10^12 rows, re-shingling the whole corpus per
+    arriving batch is the difference between an hourly pipeline and an
+    impossible one.
+
+    The store is a parquet of banded buckets ``(id, sig, band, bh)`` laid
+    out one subdirectory per batch (``batch=<id>`` partition).  A batch's
+    subdir is written with overwrite BEFORE pairs are computed — the same
+    crash-idempotent shape as the violations sink: a re-run of a failed
+    batch replaces its own subdir, never duplicates it, and committed
+    batches are never rewritten.  The incremental join shuffles only the
+    new batch's buckets against matching store buckets on (band, bh).
+
+    Companion of :func:`lsh_near_duplicates` (same signature family and
+    banding, so a full-corpus run and the incremental path agree) and of
+    ``stats.partition_hll_sketches`` (the incremental-cardinality
+    pattern).  The caller owns commit bookkeeping (e.g. the manifest) for
+    which batches are present.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes, seed)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+            ).alias("bh"),
+        ),
+    )
+    buckets = sigs.select("id", "sig", F.explode(band_arr).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    buckets.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    spark = new_docs.sparkSession
+    store = spark.read.parquet(store_path)
+    new_b = store.where(F.col("batch") == batch_id).alias("a")
+    all_b = store.alias("b")
+    sim = F.size(
+        F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda e: e)
+    ) / F.size(F.col("a.sig"))
+    return (
+        new_b.join(
+            all_b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            sim.alias("sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def minhash_md5_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

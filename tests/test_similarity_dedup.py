@@ -218,3 +218,28 @@ def test_release_unpersists_operator_intermediates(spark, docs):
     assert deps and all(d.storageLevel.useMemory for d in deps)
     D.release(out)
     assert all(not d.storageLevel.useMemory for d in deps)
+
+
+def test_lsh_incremental_cross_batch(spark, tmp_path):
+    store = str(tmp_path / "lsh-store")
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = base.where(F.col("doc_id") < 30)
+    # batch 1: pairs only within the batch (store has one subdir)
+    p1 = D.lsh_incremental_near_duplicates(b1, store, "b1", threshold=0.9).collect()
+    # batch 2: a clone of doc 3 (new id) + fresh docs
+    clone = base.where(F.col("doc_id") == 3).withColumn("doc_id", F.lit(900000))
+    b2 = base.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)).unionByName(clone)
+    p2 = {(r["id_a"], r["id_b"]): r["sim"] for r in
+          D.lsh_incremental_near_duplicates(b2, store, "b2", threshold=0.9).collect()}
+    # the cross-batch planted pair surfaces at sim 1.0 without re-sig'ing b1
+    assert p2.get((3, 900000)) == 1.0, p2
+    # every returned pair touches the new batch
+    new_ids = {r["doc_id"] for r in b2.collect()}
+    assert all(a in new_ids or b in new_ids for a, b in p2)
+    # crash-idempotency: re-running batch 2 overwrites its own subdir and
+    # returns the identical result
+    p2b = {(r["id_a"], r["id_b"]): r["sim"] for r in
+           D.lsh_incremental_near_duplicates(b2, store, "b2", threshold=0.9).collect()}
+    assert p2 == p2b
+    batches = {r["batch"] for r in spark.read.parquet(store).select("batch").distinct().collect()}
+    assert batches == {"b1", "b2"}
