@@ -1289,8 +1289,8 @@ def q_images_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     195 lossless matches (PSNR = inf) — the oracle pins them."""
     from .sources.images import png_images_df
 
-    cur = png_images_df(spark, 200, seed=5, corrupt_every=40)
-    ref = png_images_df(spark, 200, seed=5)
+    cur = png_images_df(spark, _PSNR_N, seed=5, corrupt_every=_PSNR_CORRUPT_EVERY)
+    ref = png_images_df(spark, _PSNR_N, seed=5)
     scored = M.psnr_vs_reference(cur, ref)
     status = (
         F.when(F.col("psnr_db").isNull(), F.lit("pass_lossless"))
@@ -1304,13 +1304,17 @@ def q_images_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# derived from the plant rule (n=200, corrupt_every=40 → decode failures
-# exactly at i % 40 == 7; PNG is lossless so every intact row matches
-# pixel-exactly → PSNR inf → status pass_lossless), not hard-coded counts
-SQL_IMAGES_DECODE_PSNR = """
-SELECT CASE WHEN i % 40 = 7 THEN 'fail_decode_or_psnr' ELSE 'pass_lossless' END AS status,
+# derived from the plant rule (decode failures exactly at
+# i % corrupt_every == 7; PNG is lossless so every intact row matches
+# pixel-exactly → PSNR inf → status pass_lossless).  Built from the SAME
+# constants as the query, so changing the plant parameters changes both
+# sides in lockstep — the oracle verifies the decode path, not a snapshot.
+_PSNR_N, _PSNR_CORRUPT_EVERY = 200, 40
+SQL_IMAGES_DECODE_PSNR = f"""
+SELECT CASE WHEN i % {_PSNR_CORRUPT_EVERY} = 7 THEN 'fail_decode_or_psnr'
+            ELSE 'pass_lossless' END AS status,
        count(*) AS n
-FROM generate_series(0, 199) t(i)
+FROM generate_series(0, {_PSNR_N - 1}) t(i)
 GROUP BY 1 ORDER BY status
 """
 
