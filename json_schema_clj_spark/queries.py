@@ -267,15 +267,18 @@ FROM documents GROUP BY lang ORDER BY lang
 
 def q_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = t(spark, sf_dir, "orders")
-    # null_rate leaves the engine as DECIMAL(9,6), not DOUBLE: the driver's
-    # value-hash stringifies engine-side, and Spark (Java shortest-repr) vs
-    # DuckDB double formatting differ in the last ulp digits — decimals
-    # print identically everywhere.
+    # null_rate leaves the engine as a STRING rendered from DECIMAL(9,6):
+    # the driver's value-hash stringifies engine-side, and both Spark's
+    # shortest-repr doubles AND Decimal objects proved hash-fragile across
+    # harness conversions — a fixed-scale decimal cast to string prints
+    # identically in Spark, DuckDB, and any pandas round-trip.
     return (
         ST.column_profile(
             df, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], exact=True
         )
-        .withColumn("null_rate", F.round(F.col("null_rate"), 6).cast("decimal(9,6)"))
+        .withColumn(
+            "null_rate", F.round(F.col("null_rate"), 6).cast("decimal(9,6)").cast("string")
+        )
         .orderBy("column")
     )
 
@@ -299,14 +302,14 @@ WITH w AS (
 )
 SELECT * FROM (
   SELECT 'o_orderkey' AS "column", n_rows, k_nulls AS n_null,
-         CAST(round(k_nulls / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(9,6)) AS null_rate,
+         CAST(CAST(round(k_nulls / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(9,6)) AS VARCHAR) AS null_rate,
          k_min AS min_value, k_max AS max_value, k_d AS n_distinct FROM w
   UNION ALL
-  SELECT 'o_custkey', n_rows, c_nulls, CAST(round(c_nulls / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(9,6)), c_min, c_max, c_d FROM w
+  SELECT 'o_custkey', n_rows, c_nulls, CAST(CAST(round(c_nulls / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(9,6)) AS VARCHAR), c_min, c_max, c_d FROM w
   UNION ALL
-  SELECT 'o_orderstatus', n_rows, s_nulls, CAST(round(s_nulls / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(9,6)), s_min, s_max, s_d FROM w
+  SELECT 'o_orderstatus', n_rows, s_nulls, CAST(CAST(round(s_nulls / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(9,6)) AS VARCHAR), s_min, s_max, s_d FROM w
   UNION ALL
-  SELECT 'o_orderpriority', n_rows, p_nulls, CAST(round(p_nulls / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(9,6)), p_min, p_max, p_d FROM w
+  SELECT 'o_orderpriority', n_rows, p_nulls, CAST(CAST(round(p_nulls / CAST(n_rows AS DOUBLE), 6) AS DECIMAL(9,6)) AS VARCHAR), p_min, p_max, p_d FROM w
 ) ORDER BY "column"
 """
 
@@ -488,9 +491,11 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            # DECIMAL, not rounded DOUBLE: engine-side double formatting
-            # differs between Spark and the oracle in the last ulp digits
-            F.round(F.avg("k"), 6).cast("decimal(18,6)").alias("avg_k"),
+            # STRING rendered from a fixed-scale DECIMAL, not a numeric:
+            # both shortest-repr doubles and Decimal objects proved
+            # hash-fragile across harness conversions; a fixed-scale string
+            # prints identically in Spark, DuckDB, and pandas round-trips.
+            F.round(F.avg("k"), 6).cast("decimal(18,6)").cast("string").alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -500,7 +505,7 @@ SQL_EVENTS_PROPS = """
 SELECT event_type, count(*) AS n,
        -- DuckDB sum(BIGINT) is HUGEINT; pin to BIGINT to match Spark's LONG
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS DECIMAL(18,6)) AS avg_k
+       CAST(CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS DECIMAL(18,6)) AS VARCHAR) AS avg_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
