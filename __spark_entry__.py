@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from json_schema_clj_spark.queries import ORACLES, QUERIES
+from json_schema_clj_spark.queries import LAZY_ORACLES, ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,4 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    for name, build in LAZY_ORACLES.items():
+        out[name] = build()
+    return out

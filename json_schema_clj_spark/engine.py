@@ -138,7 +138,9 @@ def validate_json_column(
                 "violations", compiled.violations
             )
             if not config:
-                out = out.withColumn("valid", compiled.ok)
+                # coalesce: any residual NULL ok must read as invalid so
+                # valid == (empty? violations) holds (reference contract)
+                out = out.withColumn("valid", F.coalesce(compiled.ok, F.lit(False)))
             else:
                 out = out.withColumn(
                     "valid",
@@ -164,7 +166,7 @@ def validate_json_column(
                 )
                 compiled = _col_compiler.compile_schema(schema, F.col("_doc"), ctx)
                 out = parsed.withColumn("violations", compiled.violations).withColumn(
-                    "valid", compiled.ok if not config else (
+                    "valid", F.coalesce(compiled.ok, F.lit(False)) if not config else (
                         F.size(F.filter(F.col("violations"), lambda v: v["severity"] == F.lit("error"))) == 0
                     )
                 )

@@ -40,12 +40,64 @@ def _with_deps(result: DataFrame, *persisted: DataFrame) -> DataFrame:
     return result
 
 
+def carry_deps(outer: DataFrame, inner: DataFrame) -> DataFrame:
+    """Re-attach `inner`'s persisted-deps handle to a transformed result.
+    `_persisted_deps` is a plain Python attribute on one DataFrame object —
+    every ``.select()/.orderBy()/...`` returns a NEW object without it, so
+    a query wrapper that reshapes an operator's output must carry the
+    handle forward or `release()` on the shipped result silently no-ops."""
+    deps = getattr(inner, "_persisted_deps", None)
+    if deps:
+        outer._persisted_deps = deps  # type: ignore[attr-defined]
+    return outer
+
+
 def release(result: DataFrame) -> None:
     """Unpersist the cached intermediates a banded/LSH operator persisted
     on behalf of `result`.  Call after the result is fully materialized
     (written / collected); the result itself stays valid but recomputes."""
     for dep in getattr(result, "_persisted_deps", ()):
         dep.unpersist()
+        _ckpt_release(dep)
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that records the RDD blocks it
+    persisted, so iterative loops can free each round's blocks once the
+    next round has materialized (``DataFrame.unpersist()`` does NOT touch
+    checkpoint blocks — without this every round's edge/label set stays
+    resident until GC, an edge-set-sized leak per round at 10^12 edges)."""
+    sc = df.sparkSession.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = sc._jsc.getPersistentRDDs()
+    out._ckpt_rdd_ids = [  # type: ignore[attr-defined]
+        int(k) for k in after.keySet().toArray() if int(k) not in before
+    ]
+    out._ckpt_sc = sc  # type: ignore[attr-defined]
+    return out
+
+
+def _ckpt_release(df) -> None:
+    """Free the RDD blocks a `_ckpt` DataFrame pinned.  Only call once no
+    future job will read the frame (its lineage is truncated — the blocks
+    cannot be recomputed)."""
+    if df is None:
+        return
+    sc = getattr(df, "_ckpt_sc", None)
+    ids = getattr(df, "_ckpt_rdd_ids", ())
+    if sc is None or not ids:
+        return
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(False)
+
+
+def resident_checkpoint_rdds(spark) -> int:
+    """Observability: count of currently-persisted RDDs (tests assert the
+    CC loops hold at most 2 checkpointed edge/label sets mid-loop)."""
+    return int(spark.sparkContext._jsc.getPersistentRDDs().size())
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -134,18 +186,28 @@ def connected_components(
     n_edges = edges0.count()
     sc = pairs.sparkSession.sparkContext
     p = max(1, min(sc.defaultParallelism, 1 + n_edges // 2_000_000))
-    edges = edges0.repartition(p, "dst").localCheckpoint(eager=True)
+    edges = _ckpt(edges0.repartition(p, "dst"))
     edges0.unpersist()
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=True)
-    # Convergence detection without a second join: labels only ever decrease
-    # (min-propagation), so sum(label) is strictly monotone — it is unchanged
-    # between rounds iff NO label changed.  The sum runs over the eagerly
-    # checkpointed blocks (in-memory scan, no shuffle), replacing the old
-    # per-round nxt⋈labels "changed" count job.  decimal(38,0) so the sum
-    # can't overflow at 10^12 ids.
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    )
+
+    # Convergence detection without a second join: an order-insensitive
+    # checksum over (id, label) — sum of xxhash64(id, label) — is unchanged
+    # between rounds iff no label changed (up to a ~2^-64 multiset hash
+    # collision, same tradeoff as connected_components_star's edge
+    # checksum).  xxhash64 works for ANY id type: the earlier
+    # cast-label-to-decimal sum returned NULL for non-numeric ids, and
+    # NULL == NULL declared convergence after round 1 with wrong clusters.
+    # The sum runs over the eagerly checkpointed blocks (in-memory scan, no
+    # shuffle), replacing the old per-round nxt⋈labels "changed" count job.
+    def _checksum(lab: DataFrame):
+        return lab.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("id", "label").cast("decimal(38,0)")).alias("s"),
+        ).first()
+
+    prev = _checksum(labels)
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -153,20 +215,21 @@ def connected_components(
         # one shuffle join + one min-agg per round: neighbor labels unioned
         # with each node's own label, then a partial-agg'd min — the
         # labels⋈nbr left-join of the naive formulation folds away.
-        nxt = (
+        nxt = _ckpt(
             edges.join(labels, edges["dst"] == labels["id"])
             .select(F.col("src").alias("id"), F.col("label"))
             .unionByName(labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        cur_sum = nxt.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        )
+        cur = _checksum(nxt)
+        _ckpt_release(labels)  # nxt is materialized; round k-1 blocks free
         labels = nxt
-        if cur_sum == prev_sum:
+        if tuple(cur) == tuple(prev):
             converged = True
             break
-        prev_sum = cur_sum
-    edges.unpersist()
+        prev = cur
+    _ckpt_release(edges)
     if not converged:
         # Silent under-merge would split real duplicate clusters downstream
         # with no signal (graph diameter > max_iter rounds).
@@ -175,7 +238,9 @@ def connected_components(
             "raise max_iter (rounds needed = graph diameter), or use "
             "connected_components_star (rounds ~ log diameter)"
         )
-    out = labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out = _with_deps(
+        labels.select(F.col("id"), F.col("label").alias("cluster_id")), labels
+    )
     out._cc_rounds = rounds  # type: ignore[attr-defined] — observability
     return out
 
@@ -204,17 +269,17 @@ def connected_components_star(
     sym0 = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).where(
         F.col("u") != F.col("v")
     )
-    edges = (
+    edges = _ckpt(
         sym0.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-    ).localCheckpoint(eager=True)
+    )
     # nodes derived from the checkpointed edges, not from `pairs` — the
     # (possibly expensive, unpersisted) pair pipeline runs exactly once
-    nodes = (
+    nodes = _ckpt(
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    )
 
     def checksum(e: DataFrame):
         r = e.agg(
@@ -246,14 +311,16 @@ def connected_components_star(
         # canonical edges swapped
         le = e_l.select(F.col("v").alias("u"), F.col("u").alias("v"))
         m_s = le.groupBy("u").agg(F.min("v").alias("m"))
-        edges = (
+        prev_edges = edges
+        edges = _ckpt(
             le.join(m_s, "u")
             .select(F.col("v").alias("x"), "m")
             .union(m_s.select(F.col("u").alias("x"), "m"))
             .where(F.col("x") != F.col("m"))
             .select(F.least("m", "x").alias("u"), F.greatest("m", "x").alias("v"))
             .distinct()
-        ).localCheckpoint(eager=True)
+        )
+        _ckpt_release(prev_edges)  # new round's edge set is materialized
         cur = checksum(edges)
         if cur == prev:
             converged = True
@@ -264,7 +331,11 @@ def connected_components_star(
     lab = nodes.join(
         edges.select(F.col("v").alias("id"), F.col("u").alias("cluster_id")), "id", "left"
     )
-    out = lab.select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    out = _with_deps(
+        lab.select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")),
+        nodes,
+        edges,
+    )
     out._cc_rounds = rounds  # type: ignore[attr-defined] — observability
     return out
 
@@ -534,13 +605,18 @@ def lsh_incremental_near_duplicates(
     arriving batch is the difference between an hourly pipeline and an
     impossible one.
 
-    The store is a parquet of banded buckets ``(id, sig, band, bh)`` laid
-    out one subdirectory per batch (``batch=<id>`` partition).  A batch's
-    subdir is written with overwrite BEFORE pairs are computed — the same
-    crash-idempotent shape as the violations sink: a re-run of a failed
-    batch replaces its own subdir, never duplicates it, and committed
-    batches are never rewritten.  The incremental join shuffles only the
-    new batch's buckets against matching store buckets on (band, bh).
+    The store is two parquet tables, each laid out one subdirectory per
+    batch (``batch=<id>`` partition): ``buckets/`` holds the NARROW banded
+    rows ``(id, band, bh)`` and ``sigs/`` holds one ``(id, sig)`` row per
+    doc.  Keeping the 64-element signature out of the band rows matters at
+    scale: the band explode is ×`bands` rows per doc, so a sig column
+    there is stored — and shuffled through every future (band, bh) bucket
+    join — `bands`× redundantly; signatures are joined back only for the
+    candidate pairs the bucket join surfaces (a candidate-sized shuffle).
+    Both subdirs are written with overwrite BEFORE pairs are computed —
+    the same crash-idempotent shape as the violations sink: a re-run of a
+    failed batch replaces its own subdirs, never duplicates them, and
+    committed batches are never rewritten.
 
     Companion of :func:`lsh_near_duplicates` (same signature family and
     banding, so a full-corpus run and the incremental path agree) and of
@@ -549,7 +625,12 @@ def lsh_incremental_near_duplicates(
     which batches are present.
     """
     rows_per_band = num_hashes // bands
+    spark = new_docs.sparkSession
     sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes, seed)
+    # sigs land first; band rows derive from the WRITTEN parquet (cheap
+    # columnar re-read) so the Arrow shingling pipeline runs exactly once
+    sigs.write.mode("overwrite").parquet(f"{store_path}/sigs/batch={batch_id}")
+    new_sigs = spark.read.parquet(f"{store_path}/sigs/batch={batch_id}")
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -559,21 +640,17 @@ def lsh_incremental_near_duplicates(
             ).alias("bh"),
         ),
     )
-    buckets = sigs.select("id", "sig", F.explode(band_arr).alias("b")).select(
-        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    buckets = new_sigs.select("id", F.explode(band_arr).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    buckets.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+    buckets.write.mode("overwrite").parquet(f"{store_path}/buckets/batch={batch_id}")
 
-    spark = new_docs.sparkSession
-    store = spark.read.parquet(store_path)
-    new_b = store.where(F.col("batch") == batch_id).alias("a")
-    all_b = store.alias("b")
-    sim = F.size(
-        F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda e: e)
-    ) / F.size(F.col("a.sig"))
-    return (
-        new_b.join(
-            all_b,
+    bstore = spark.read.parquet(f"{store_path}/buckets")
+    cand = (
+        bstore.where(F.col("batch") == batch_id)
+        .alias("a")
+        .join(
+            bstore.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") != F.col("b.id")),
@@ -581,9 +658,19 @@ def lsh_incremental_near_duplicates(
         .select(
             F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            sim.alias("sim"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sstore = spark.read.parquet(f"{store_path}/sigs")
+    sa = sstore.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sstore.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sim = F.size(
+        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda e: e)
+    ) / F.size(F.col("sig_a"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
     )
 

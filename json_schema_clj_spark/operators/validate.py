@@ -48,7 +48,10 @@ def with_validation(
         # `valid` (verdict rollups) then never touch the violation structs
         # and Catalyst prunes their construction entirely — ~2× on the
         # flagship table scan.
-        return annotated.withColumn("valid", compiled.ok)
+        # coalesce: a residual NULL ok (custom register_keyword checks
+        # under 3VL) must read as invalid, or valid=NULL rows escape every
+        # ~valid prefilter while carrying violations
+        return annotated.withColumn("valid", F.coalesce(compiled.ok, F.lit(False)))
     return annotated.withColumn(
         "valid",
         F.size(F.filter(F.col(out_col), lambda v: v["severity"] == F.lit("error"))) == F.lit(0),

@@ -138,7 +138,14 @@ def simple_check(
             F.lit(severity).alias("severity"),
         ),
     )
-    return Compiled(ok=ok, violations=viol, unit=unit)
+    # ok is coalesced to False here, not just in the unit/violations
+    # branches: a NULL ok (possible for custom register_keyword checks)
+    # otherwise propagates through merge's conjunction into
+    # with_validation's `valid` fast path, producing valid=NULL alongside a
+    # non-empty violations array — breaking the reference's
+    # valid == (empty? errors) contract and silently dropping the row from
+    # ~valid prefilters.
+    return Compiled(ok=F.coalesce(ok, F.lit(False)), violations=viol, unit=unit)
 
 
 def merge(compiled: Sequence[Compiled]) -> Compiled:

@@ -877,9 +877,8 @@ def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs with signature-agreement sim >= 0.25 — the SQL-replicable
     counterpart of dedup_minhash_lsh's xxhash64 fast path."""
     docs = t(spark, sf_dir, "documents")
-    return D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25).orderBy(
-        "id_a", "id_b"
-    )
+    op = D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25)
+    return D.carry_deps(op.orderBy("id_a", "id_b"), op)
 
 
 SQL_MINHASH_MD5 = """
@@ -925,15 +924,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(h.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    near = D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25).select(
-        "id_a", "id_b"
-    )
+    near_op = D.minhash_md5_near_duplicates(docs, k=3, bands=8, threshold=0.25)
+    near = near_op.select("id_a", "id_b")
     cc = D.connected_components_star(ex.unionByName(near).distinct())
-    return (
+    out = (
         cc.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster_id")
     )
+    out._persisted_deps = getattr(near_op, "_persisted_deps", []) + getattr(
+        cc, "_persisted_deps", []
+    )
+    return out
 
 
 SQL_DEDUP_CLUSTERS = """
@@ -985,7 +987,8 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×15-bit chunk banding → exact Hamming ≤ 3 — the SQL-replicable
     counterpart of dedup_simhash's xxhash64 fast path."""
     docs = t(spark, sf_dir, "documents")
-    return D.simhash_md5_candidates(docs, max_hamming=3).orderBy("id_a", "id_b")
+    op = D.simhash_md5_candidates(docs, max_hamming=3)
+    return D.carry_deps(op.orderBy("id_a", "id_b"), op)
 
 
 _SH_BITS = 60
@@ -1100,10 +1103,10 @@ def _salted_clone_corpus(docs: DataFrame, offset: int = 100_000) -> DataFrame:
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _salted_clone_corpus(t(spark, sf_dir, "documents"))
-    return (
-        D.lsh_near_duplicates(corpus, k=3, num_hashes=64, bands=16, threshold=0.5)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
-        .orderBy("id_a", "id_b")
+    op = D.lsh_near_duplicates(corpus, k=3, num_hashes=64, bands=16, threshold=0.5)
+    return D.carry_deps(
+        op.select("id_a", "id_b", F.round("sim", 6).alias("sim")).orderBy("id_a", "id_b"),
+        op,
     )
 
 
@@ -1123,7 +1126,8 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=3: the classic 64-bit near-dup threshold, and the largest
     # distance for which 4×16-bit banding has a pigeonhole recall guarantee
     corpus = _salted_clone_corpus(t(spark, sf_dir, "documents"))
-    return D.simhash_candidates(corpus, max_hamming=3).orderBy("id_a", "id_b")
+    op = D.simhash_candidates(corpus, max_hamming=3)
+    return D.carry_deps(op.orderBy("id_a", "id_b"), op)
 
 
 # planted clones have identical fingerprints (hamming 0); disjoint
@@ -1147,10 +1151,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable: the output must be precisely the planted pairs."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clone = emb.select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding")
-    return (
-        S.embedding_near_duplicates(emb.unionByName(clone), threshold=0.95)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
-        .orderBy("id_a", "id_b")
+    op = S.embedding_near_duplicates(emb.unionByName(clone), threshold=0.95)
+    return D.carry_deps(
+        op.select("id_a", "id_b", F.round("cos", 6).alias("cos")).orderBy("id_a", "id_b"),
+        op,
     )
 
 
@@ -1277,6 +1281,12 @@ def sql_suite_conformance() -> str:
     from collections import Counter
 
     counts = Counter(c["draft"] for c in _suite_cases())
+    if not counts:
+        raise RuntimeError(
+            "no fixture cases found under tests/fixtures/ — the "
+            "suite_conformance oracle needs the tests/ tree (it is not in "
+            "the --py-files deployment zip); run from the repo checkout"
+        )
     parts = [
         f"SELECT '{d}' AS draft, CAST({counts[d]} AS BIGINT) AS n_tests, "
         f"CAST({counts[d]} AS BIGINT) AS n_pass"
@@ -1341,9 +1351,12 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("j") * 1_000_000 + F.col("vec_id")).alias("vec_id"), "embedding"
     )
     out = S.lsh_topk(emb.unionByName(planted), queries, k=10)
-    return out.select(
-        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
-    ).orderBy("query_id", "rank")
+    return D.carry_deps(
+        out.select(
+            "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+        ).orderBy("query_id", "rank"),
+        out,
+    )
 
 
 SQL_LSH_ANN_TOPK = """
@@ -1432,6 +1445,13 @@ ORACLES = {
     # the plant rules (residues mod 200 / 5000, floor(i/997) groups)
     "images_flagship_verdicts": SQL_IMAGES_FLAGSHIP_VERDICTS,
     "images_uniqueness_skewed": SQL_IMAGES_UNIQUENESS,
+}
+
+# Oracles whose SQL is derived from repo files at call time (NOT import
+# time: the fixture glob crashes — or silently builds invalid SQL — in a
+# --py-files deployment without the tests/ tree).  oracle_sql() resolves
+# these lazily.
+LAZY_ORACLES = {
     # distributed conformance run, oracled by counting the fixture corpus
-    "suite_conformance": sql_suite_conformance(),
+    "suite_conformance": sql_suite_conformance,
 }

@@ -104,3 +104,38 @@ def test_default_backend_catches_type_mismatch(spark):
     df = _df(spark, docs)
     out = engine.validate_json_column(df, CLOSED).collect()
     assert out[0]["valid"] is False  # reference: "expected type of string"
+
+
+def test_null_ok_custom_check_reads_invalid(spark):
+    # a custom register_keyword check whose ok Column evaluates to NULL
+    # must yield valid=False WITH its violation — valid == (empty?
+    # violations) is the reference contract (core.clj valid? = no errors);
+    # a NULL valid would silently drop the row from ~valid prefilters
+    from pyspark.sql import functions as F
+
+    from json_schema_clj_spark import engine
+    from json_schema_clj_spark.plans.ir import simple_check
+    from json_schema_clj_spark.plans.compiler import KEYWORD_COMPILERS
+
+    def col_nullok(value, schema, target, ctx):
+        # ok is NULL for any present value <= 3 (when with no otherwise):
+        # the classic 3VL trap in a user-supplied check
+        return simple_check(
+            F.when(target > 3, F.lit(True)), ctx.schema_path,
+            ctx.instance_path, "gt3Strict", "expected > 3", "error",
+        )
+
+    engine.register_keyword("gt3Strict", column_compiler=col_nullok)
+    try:
+        from json_schema_clj_spark.operators.validate import with_validation
+
+        df = spark.createDataFrame([(1, 1), (2, 5)], "id long, v long")
+        out = with_validation(
+            df, {"properties": {"v": {"gt3Strict": True}}}
+        ).select("id", "valid", F.size("violations").alias("nv")).collect()
+        rows = {r["id"]: (r["valid"], r["nv"]) for r in out}
+        assert rows[2] == (True, 0)
+        # NULL ok: invalid (not NULL), violation emitted
+        assert rows[1] == (False, 1)
+    finally:
+        KEYWORD_COMPILERS.pop("gt3Strict", None)

@@ -241,5 +241,72 @@ def test_lsh_incremental_cross_batch(spark, tmp_path):
     p2b = {(r["id_a"], r["id_b"]): r["sim"] for r in
            D.lsh_incremental_near_duplicates(b2, store, "b2", threshold=0.9).collect()}
     assert p2 == p2b
-    batches = {r["batch"] for r in spark.read.parquet(store).select("batch").distinct().collect()}
+    batches = {r["batch"] for r in
+               spark.read.parquet(f"{store}/buckets").select("batch").distinct().collect()}
     assert batches == {"b1", "b2"}
+    # de-amplified layout: band rows are narrow (no sig column) — the
+    # signature is stored once per doc in sigs/, not `bands`× in buckets/
+    assert "sig" not in spark.read.parquet(f"{store}/buckets").columns
+    import os
+
+    def du(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+    n_docs = spark.read.parquet(f"{store}/sigs").count()
+    bucket_bytes, sig_bytes = du(f"{store}/buckets"), du(f"{store}/sigs")
+    # the whole narrow bucket store must be far smaller than the sig store
+    # (old layout: bucket rows carried the full sig, 16x the sig bytes)
+    assert bucket_bytes < sig_bytes, (bucket_bytes, sig_bytes, n_docs)
+
+
+def test_connected_components_string_ids(spark):
+    # regression: the old convergence checksum cast labels to decimal —
+    # NULL for string ids, and NULL == NULL declared convergence after
+    # round 1 with wrong clusters.  The xxhash64 checksum is type-agnostic.
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("m", "c")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "m": "a", "x": "x", "y": "x"}
+
+
+def test_cc_checkpoint_blocks_released(spark):
+    # each round's localCheckpoint blocks must be freed as the loop
+    # advances (bounded residency), and release() must free the rest
+    sc = spark.sparkContext
+    base = int(sc._jsc.getPersistentRDDs().size())
+    ids = list(range(25))
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(24)], "id_a long, id_b long"
+    )
+    out = D.connected_components(pairs, max_iter=30)
+    out.count()
+    # resident mid/after loop: only the final labels set (edges + all
+    # intermediate label rounds released inside the loop)
+    assert int(sc._jsc.getPersistentRDDs().size()) <= base + 1
+    D.release(out)
+    assert int(sc._jsc.getPersistentRDDs().size()) <= base
+
+    out2 = D.connected_components_star(pairs, max_iter=30)
+    out2.count()
+    # resident: nodes + final edge set only
+    assert int(sc._jsc.getPersistentRDDs().size()) <= base + 2
+    D.release(out2)
+    assert int(sc._jsc.getPersistentRDDs().size()) <= base
+
+
+def test_query_wrappers_carry_release_handle(spark):
+    # the shipped queries reshape operator results; the persisted-deps
+    # handle must survive the reshaping or release() is a silent no-op
+    from json_schema_clj_spark import queries as Q
+
+    out = Q.QUERIES["dedup_minhash_md5"](spark, SF)
+    out.count()
+    deps = getattr(out, "_persisted_deps", [])
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    D.release(out)
+    assert all(not d.storageLevel.useMemory for d in deps)

@@ -58,11 +58,13 @@ def s_drift():       noop(detect_drift(df, "w", "part_id", baseline_filter=F.col
 
 stages = {"scan": s_scan, "verdicts": s_verdicts, "violations": s_violations,
           "uniq_phash": s_uniq_phash, "uniq_id": s_uniq_id, "drift": s_drift}
-# warm codegen on a slice
+# warm EVERY stage's codegen on a small slice, so the first timed stage
+# doesn't absorb JVM/codegen warmup relative to later ones
 small = df.limit(50_000)
+df, df_full = small, df
 for name, fn in stages.items():
-    pass
-wv = with_validation(small, FLAGSHIP_SCHEMA); wv.write.format("noop").mode("overwrite").save()
+    fn()
+df = df_full
 out = {}
 for name, fn in stages.items():
     t0 = time.monotonic(); fn(); out[name] = round(time.monotonic() - t0, 2)
