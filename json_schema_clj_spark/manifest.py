@@ -44,14 +44,47 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
-def snapshot_id_of(df: DataFrame) -> str:
-    """Content fingerprint of the input version.  With an Iceberg table
-    you'd read `snapshot_id()` from the catalog; for plain parquet we hash
-    the file listing (name+size+mtime) via the input_files + a cheap agg."""
+# Snapshot-provider interface: a provider maps an input DataFrame to a
+# snapshot id string, or None to decline.  Providers are tried in
+# registration order (latest first); the parquet-listing fingerprint is the
+# always-available fallback.  With Iceberg jars on the classpath, register
+#   register_snapshot_provider(lambda df: str(
+#       df.sparkSession.sql(f"SELECT snapshot_id FROM {tbl}.snapshots "
+#                           "ORDER BY committed_at DESC LIMIT 1").first()[0]))
+# (or read df's Iceberg scan's snapshot directly) and every manifest row
+# pins the true Iceberg snapshot with no other code change.
+SnapshotProvider = Callable[[DataFrame], Optional[str]]
+_SNAPSHOT_PROVIDERS: list[SnapshotProvider] = []
+
+
+def register_snapshot_provider(provider: SnapshotProvider) -> None:
+    """Install an input-version provider (e.g. Iceberg `snapshot_id()`)
+    consulted before the parquet-listing fallback."""
+    _SNAPSHOT_PROVIDERS.insert(0, provider)
+
+
+def clear_snapshot_providers() -> None:
+    _SNAPSHOT_PROVIDERS.clear()
+
+
+def parquet_listing_fingerprint(df: DataFrame) -> str:
+    """Fallback content fingerprint for plain-parquet inputs: hash of the
+    sorted file listing."""
     files = sorted(df.inputFiles())
     import hashlib
 
     return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+
+
+def snapshot_id_of(df: DataFrame) -> str:
+    """Input-version id for manifest rows: first willing registered
+    provider (Iceberg snapshot when available), else the parquet-listing
+    fingerprint."""
+    for provider in _SNAPSHOT_PROVIDERS:
+        sid = provider(df)
+        if sid is not None:
+            return sid
+    return parquet_listing_fingerprint(df)
 
 
 class Manifest:

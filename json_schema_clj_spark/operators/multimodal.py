@@ -59,6 +59,18 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_qpng(pixels: np.ndarray, step: int = 4) -> bytes:
+    """Toy LOSSY codec ("qpng"): uniform per-channel quantization to bucket
+    centers, then the REAL PNG container.  Gives the PSNR ≥ 40 dB-for-lossy
+    branch of the per-row invariant (BASELINE.json input_hint) a
+    deterministic, closed-form reconstruction error without an image
+    library: quantization MSE ≈ step²/12, so PSNR ≈ 10·log10(255²·12/step²)
+    — step 4 ⇒ ~46.9 dB (passes the 40 dB bar with margin), step 32 ⇒
+    ~28.9 dB (fails it with margin)."""
+    q = (pixels.astype(np.int32) // step) * step + step // 2
+    return encode_png(np.clip(q, 0, 255).astype(np.uint8))
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → RGB8 HxWx3 (filter types 0-4 supported on RGB8)."""
     if not data.startswith(PNG_MAGIC):
@@ -126,7 +138,9 @@ def fake_pixels(seed_bytes: bytes, w: int, h: int) -> np.ndarray:
 
 
 def decode_image(data: bytes, fmt: str, w: int, h: int, allow_fake: bool = False) -> np.ndarray:
-    if fmt == "png" and data[:8] == PNG_MAGIC:
+    if fmt in ("png", "qpng") and data[:8] == PNG_MAGIC:
+        # qpng is the toy lossy format: PNG container, the loss was applied
+        # at encode time (quantization) — decode is the plain PNG path
         return decode_png(data)
     if fmt in ("jpeg", "webp"):
         if allow_fake:

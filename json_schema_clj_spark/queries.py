@@ -1334,6 +1334,45 @@ GROUP BY 1 ORDER BY status
 """
 
 
+def q_images_psnr_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-path PSNR invariant: the current corpus is the toy
+    quantize-then-PNG codec's output (fmt "qpng"), so every row has FINITE
+    reconstruction error against the lossless reference — this exercises
+    the 40 ≤ PSNR < inf branch of the north-rule invariant, which the
+    lossless query can't reach.  Quantization error is closed-form
+    (MSE ≈ step²/12): step 4 rows sit at ~46.9 dB (pass with ~7 dB
+    margin), the planted step-32 rows (id % 20 == 3) at ~28.9 dB (fail
+    with ~11 dB margin) — the oracle derives the counts from the same
+    plant constants."""
+    from .sources.images import png_images_df, qpng_images_df
+
+    cur = qpng_images_df(
+        spark, _PSNR_N, seed=5, step=4, coarse_every=_PSNR_COARSE_EVERY, coarse_step=32
+    )
+    ref = png_images_df(spark, _PSNR_N, seed=5)
+    scored = M.psnr_vs_reference(cur, ref)
+    status = (
+        F.when(F.col("psnr_db").isNull(), F.lit("pass_lossless"))
+        .when(F.col("psnr_db") >= 40.0, F.lit("pass_psnr_ge_40db"))
+        .otherwise(F.lit("fail_decode_or_psnr"))
+    )
+    return (
+        scored.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+_PSNR_COARSE_EVERY = 20
+SQL_IMAGES_PSNR_LOSSY = f"""
+SELECT CASE WHEN i % {_PSNR_COARSE_EVERY} = 3 THEN 'fail_decode_or_psnr'
+            ELSE 'pass_psnr_ge_40db' END AS status,
+       count(*) AS n
+FROM generate_series(0, {_PSNR_N - 1}) t(i)
+GROUP BY 1 ORDER BY status
+"""
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN over a planted-golden corpus: 10 exact copies of
     each query vector (ids j*1,000,000 + vec_id, j=1..10) are added to the
@@ -1403,6 +1442,7 @@ QUERIES = {
     "ann_lsh_topk": q_lsh_ann_topk,
     "images_flagship_verdicts": q_images_flagship_verdicts,
     "images_decode_psnr_invariant": q_images_decode_psnr,
+    "images_psnr_lossy": q_images_psnr_lossy,
     "images_uniqueness_skewed": q_images_uniqueness_skewed,
     "suite_conformance": q_suite_conformance,
 }
@@ -1436,6 +1476,7 @@ ORACLES = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
+    "images_psnr_lossy": SQL_IMAGES_PSNR_LOSSY,
     # xxhash64-keyed signature fast paths, oracled via the salted-vocabulary
     # planted-clone construction (see the block above q_minhash_lsh)
     "dedup_minhash_lsh": SQL_MINHASH_LSH,

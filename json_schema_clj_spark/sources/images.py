@@ -140,6 +140,44 @@ FLAGSHIP_SCHEMA = {
 }
 
 
+def qpng_images_df(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 5,
+    step: int = 4,
+    coarse_every: int | None = None,
+    coarse_step: int = 32,
+) -> DataFrame:
+    """Lossy twin of :func:`png_images_df`: the same deterministic pixel
+    fabric pushed through the toy quantize-then-PNG codec (fmt "qpng").
+    Rows with ``id % coarse_every == 3`` are encoded at `coarse_step`
+    (~28.9 dB — fails the 40 dB invariant deterministically); all others at
+    `step` (~46.9 dB — passes it finitely, NOT the inf-PSNR lossless path).
+    """
+    from ..operators.multimodal import encode_qpng, fake_pixels
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                w, h = 24 + int(i) % 9, 16 + int(i) % 7
+                px = fake_pixels(f"{seed}:{i}".encode(), w, h)
+                s = coarse_step if coarse_every and i % coarse_every == 3 else step
+                rows.append(
+                    (f"img-{i:08d}", encode_qpng(px, s), w, h, "qpng", f"caption {i}", int(i))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
 def png_images_df(spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every: int | None = None) -> DataFrame:
     """Small corpus of REAL (decodable, pure-stdlib codec) PNG images — a
     pure function of (seed, id) so any two generations are byte-identical.

@@ -78,3 +78,44 @@ def test_magic_number_violations(spark):
     assert v.count() == 3 * (10_000 // 200)
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_qpng_lossy_psnr_bands():
+    # the toy lossy codec must land in the 40 <= PSNR < inf band at step 4
+    # and below 40 dB at step 32 — real finite reconstruction error, not
+    # the inf-PSNR lossless path (closed form: PSNR ~ 10*log10(255^2*12/s^2))
+    import numpy as np
+
+    from json_schema_clj_spark.operators.multimodal import (
+        decode_image, encode_qpng, fake_pixels, psnr,
+    )
+
+    px = fake_pixels(b"qpng-test", 40, 30)
+    fine = decode_image(encode_qpng(px, 4), "qpng", 40, 30)
+    p_fine = psnr(px, fine)
+    assert 40.0 <= p_fine < float("inf"), p_fine
+    coarse = decode_image(encode_qpng(px, 32), "qpng", 40, 30)
+    p_coarse = psnr(px, coarse)
+    assert p_coarse < 40.0, p_coarse
+    # deterministic: same input, same bytes
+    assert encode_qpng(px, 4) == encode_qpng(px, 4)
+
+
+def test_qpng_spark_lossy_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from json_schema_clj_spark.operators import multimodal as M
+    from json_schema_clj_spark.sources.images import png_images_df, qpng_images_df
+
+    cur = qpng_images_df(spark, 40, seed=5, step=4, coarse_every=20, coarse_step=32)
+    ref = png_images_df(spark, 40, seed=5)
+    scored = M.psnr_vs_reference(cur, ref).collect()
+    by_id = {r["image_id"]: r["psnr_db"] for r in scored}
+    assert len(by_id) == 40
+    for img, db in by_id.items():
+        i = int(img.split("-")[1])
+        assert db is not None  # every row has FINITE reconstruction error
+        if i % 20 == 3:
+            assert db < 40.0, (img, db)
+        else:
+            assert 40.0 <= db, (img, db)

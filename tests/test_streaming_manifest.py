@@ -88,3 +88,22 @@ def test_manifest_resume_skips_committed(spark, tmp_path):
         spark, df, "part_id", _process, mpath, run_id="r1", snapshot_id="other", chunk_size=8
     )
     assert r4["processed"] == list(range(8))
+
+
+def test_snapshot_provider_injection(spark, tmp_path):
+    # the manifest's input-version id is provider-pluggable: an Iceberg
+    # snapshot_id() drops in where the parquet-listing fingerprint sits
+    from json_schema_clj_spark import manifest as MF
+
+    df = spark.range(10)
+    base = MF.snapshot_id_of(df)
+
+    MF.register_snapshot_provider(lambda d: "iceberg-snap-42")
+    try:
+        assert MF.snapshot_id_of(df) == "iceberg-snap-42"
+        # a declining provider (None) falls through to the next layer
+        MF.register_snapshot_provider(lambda d: None)
+        assert MF.snapshot_id_of(df) == "iceberg-snap-42"
+    finally:
+        MF.clear_snapshot_providers()
+    assert MF.snapshot_id_of(df) == base
