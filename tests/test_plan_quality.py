@@ -127,3 +127,30 @@ def test_simhash_md5_plan_pure_catalyst(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "MapInPandas" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_lsh_bucket_join_is_narrow(spark, tmp_path):
+    # the (band, bh) bucket self-join must shuffle ONLY (id, band, bh[,
+    # batch]) rows — the 64-element signature joins back on candidate
+    # pairs, not through the ×bands exploded bucket rows (16× payload
+    # amplification at 10^12 docs)
+    from json_schema_clj_spark.operators import dedup as D
+
+    store = str(tmp_path / "store")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(F.col("doc_id") < 40)
+    out = D.lsh_incremental_near_duplicates(docs, store, "b1", threshold=0.9)
+    plan = executed(out)
+    # classify scans by ReadSchema (tmp_path Locations get "..."-truncated
+    # in plan toString, so path substrings are unreliable)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    bucket_scans = [s for s in schemas if "bh:bigint" in s]
+    sig_scans = [s for s in schemas if "sig:array" in s]
+    assert len(bucket_scans) == 2, plan  # the (band, bh) self-join sides
+    for s in bucket_scans:
+        assert "sig" not in s, s  # narrow: no 64-elem payload through the bucket join
+    # the two sig-store scans feed candidate-pair joins only
+    assert len(sig_scans) == 2, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
