@@ -1122,6 +1122,42 @@ ORDER BY id_a, id_b
 """
 
 
+def q_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH over a two-batch arrival: batch b0 ingests
+    the base salted corpus into the banded bucket store (disjoint
+    vocabularies ⇒ no in-batch pairs), then batch b1 arrives carrying the
+    planted clones, whose near-dup pairs must be found against the STORE —
+    b0's signatures are read back from parquet, never recomputed.  The
+    result must equal the full-corpus planted-pair oracle, proving the
+    incremental path is batch-split invariant (the property that lets an
+    hourly pipeline at 10^12 docs skip re-shingling the whole corpus)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    corpus = _salted_clone_corpus(t(spark, sf_dir, "documents"))
+    store = _os.path.join(
+        _tempfile.gettempdir(), f"spark-graft-lsh-inc-{_os.getpid()}"
+    )
+    _shutil.rmtree(store, ignore_errors=True)  # fresh store per driver run
+    D.lsh_incremental_near_duplicates(  # ingest-only call: writes b0 sigs+buckets
+        corpus.where(F.col("doc_id") < 100_000), store, "b0",
+        k=3, num_hashes=64, bands=16, threshold=0.5,
+    )
+    pairs = D.lsh_incremental_near_duplicates(
+        corpus.where(F.col("doc_id") >= 100_000), store, "b1",
+        k=3, num_hashes=64, bands=16, threshold=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
+    ).orderBy("id_a", "id_b")
+
+
+# identical expectation to SQL_MINHASH_LSH: the clones live in batch b1 and
+# each matches exactly its batch-b0 original through the bucket store
+SQL_MINHASH_LSH_INCREMENTAL = SQL_MINHASH_LSH
+
+
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=3: the classic 64-bit near-dup threshold, and the largest
     # distance for which 4×16-bit banding has a pigeonhole recall guarantee
@@ -1434,6 +1470,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_minhash_lsh_incremental": q_minhash_lsh_incremental,
     "dedup_minhash_md5": q_minhash_md5,
     "dedup_cluster_components": q_dedup_clusters,
     "dedup_simhash": q_simhash_candidates,
@@ -1480,6 +1517,7 @@ ORACLES = {
     # xxhash64-keyed signature fast paths, oracled via the salted-vocabulary
     # planted-clone construction (see the block above q_minhash_lsh)
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
+    "dedup_minhash_lsh_incremental": SQL_MINHASH_LSH_INCREMENTAL,
     "dedup_simhash": SQL_SIMHASH_CANDIDATES,
     "ann_lsh_topk": SQL_LSH_ANN_TOPK,
     # synthetic-generator queries, oracled by deriving expected counts from
