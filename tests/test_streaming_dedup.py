@@ -72,3 +72,43 @@ def test_content_dedup_normalizes_like_batch(spark, tmp_path):
     )
     got = _run_once(spark, src, ckpt, out, op)
     assert [d for d, _ in got] == [1, 3]
+
+
+def test_near_dedup_stream_cross_epoch(spark, tmp_path):
+    """Two availableNow runs = two epochs; the second epoch's planted
+    clones must pair with FIRST-epoch originals through the bucket store
+    (no re-shingling of epoch 0), proving the streaming near-dedup path is
+    epoch-split invariant."""
+    from json_schema_clj_spark.streaming.dedup_stream import near_dedup_stream
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(d):  # disjoint per-doc vocabulary: only clones can collide
+        return " ".join(f"w{d}{s}" for s in ("a", "b", "c", "d", "e"))
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = near_dedup_stream(stream, store, pairs, ckpt, threshold=0.9)
+        q.awaitTermination(120)
+
+    base = [(d, doc(d)) for d in range(6)]
+    spark.createDataFrame(base, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    # epoch 0: disjoint vocabularies -> no pairs at all
+    got0 = spark.read.parquet(pairs).collect()
+    assert got0 == [], got0
+
+    clones = [(d + 100, doc(d)) for d in range(6)]
+    spark.createDataFrame(clones, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    got = sorted(
+        (r["id_a"], r["id_b"], r["sim"]) for r in spark.read.parquet(pairs).collect()
+    )
+    assert got == [(d, d + 100, 1.0) for d in range(6)], got
