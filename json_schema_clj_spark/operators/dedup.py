@@ -546,8 +546,8 @@ def lsh_near_duplicates(
     shuffle volume stays ~linear in corpus size at 100 TB.
     """
     rows_per_band = num_hashes // bands
-    # persist: the signature agg (shingle explode + 64-way min) feeds both
-    # sides of the bucket self-join — compute it once
+    # persist: the signature agg (shingle explode + 64-way min) feeds the
+    # bucket explode AND both candidate-pair joinbacks — compute it once
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, seed).persist()
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -556,32 +556,42 @@ def lsh_near_duplicates(
             F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))).alias("bh"),
         ),
     )
-    buckets = sigs.select("id", "sig", F.explode(band_arr).alias("b")).select(
-        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    # NARROW bucket rows: the band explode is ×bands rows per doc, so a sig
+    # column here would shuffle the 64-element payload `bands`× redundantly
+    # through the self-join (the dominant cost at 10^12 docs); signatures
+    # join back on the candidate pairs only — a candidate-sized shuffle
+    buckets = sigs.select("id", F.explode(band_arr).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             (
                 F.size(
                     F.filter(
-                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
                         lambda eq: eq,
                     )
                 )
-                / F.size(F.col("a.sig"))
+                / F.size(F.col("sig_a"))
             ).alias("sim"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("sim") >= threshold)
     )
     return _with_deps(pairs, sigs)

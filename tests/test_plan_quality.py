@@ -129,6 +129,24 @@ def test_simhash_md5_plan_pure_catalyst(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_batch_lsh_bucket_join_is_narrow(spark):
+    # same property as the incremental variant, for the in-memory batch op:
+    # no plan node may carry BOTH a band-hash column and the 64-element sig
+    # (the old shape projected [id, sig, band, bh] into the ×bands-exploded
+    # self-join — `bands`× signature shuffle amplification at 10^12 docs)
+    from json_schema_clj_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = D.lsh_near_duplicates(docs, threshold=0.9)
+    plan = executed(out)
+    offenders = [
+        ln for ln in plan.splitlines() if "bh#" in ln and "sig" in ln
+    ]
+    assert not offenders, offenders
+    assert "CartesianProduct" not in plan, plan
+    D.release(out)
+
+
 def test_incremental_lsh_bucket_join_is_narrow(spark, tmp_path):
     # the (band, bh) bucket self-join must shuffle ONLY (id, band, bh[,
     # batch]) rows — the 64-element signature joins back on candidate
