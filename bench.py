@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_incremental",
     "dedup_minhash_md5",
     "dedup_cluster_components",
     "dedup_simhash",
