@@ -19,6 +19,8 @@ same format as bench_scaling.py.
 Usage:
   python tools/scaling_hunt.py gen [n_rows]       # materialize input once
   python tools/scaling_hunt.py sample <cpus>      # one sample at local[cpus]
+  python tools/scaling_hunt.py stages <cpus>      # per-stage sample (locates
+                                                  # which stage anti-scales)
   python tools/scaling_hunt.py report [--write]
 """
 
@@ -75,6 +77,21 @@ def sample(cpus: int, n: int = N_ROWS) -> dict:
     }
     os.makedirs(os.path.dirname(SAMPLES), exist_ok=True)
     with open(SAMPLES, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return rec
+
+
+STAGE_SAMPLES = os.path.join(REPO, "BENCH", "scaling_stage_samples_r3.jsonl")
+
+
+def stages(cpus: int) -> dict:
+    import profile_scaling_stages as PS
+
+    cal = _run(BS.CALIBRATE, [cpus], 600)["sec"]
+    res = _run(PS.STAGES, [cpus, DATA, REPO], 3600)
+    rec = {"ts": round(time.time()), "cpus": cpus, "cal_sec": cal, **res}
+    with open(STAGE_SAMPLES, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
     return rec
@@ -199,6 +216,8 @@ def main() -> None:
         gen(int(sys.argv[2]) if len(sys.argv) > 2 else N_ROWS)
     elif cmd == "sample":
         sample(int(sys.argv[2]))
+    elif cmd == "stages":
+        stages(int(sys.argv[2]))
     elif cmd == "report":
         report(write="--write" in sys.argv)
     else:
