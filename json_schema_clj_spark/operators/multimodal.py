@@ -8,7 +8,11 @@ In this container no image libraries exist, so:
 * **PNG is REAL**: a minimal pure-stdlib (zlib + struct) RGB8 encoder/
   decoder (filter-0 scanlines) — the decode → pixels → PSNR path is fully
   exercised end-to-end.
-* **JPEG/WEBP decode is STUBBED** behind NotImplementedError with a
+* **JPEG is REAL**: a pure-numpy baseline-sequential T.81 codec
+  (functions/jpeg.py — Annex K tables, 4:4:4/4:2:0, restart intervals),
+  so the PSNR ≥ 40 dB lossy branch runs on genuine DCT+quantization
+  reconstruction error.
+* **WEBP decode is STUBBED** behind NotImplementedError with a
   deterministic fake-pixel fallback (`allow_fake=True`) so the Spark-side
   plumbing — schema, batch shapes, partitioning — is real and tested.
 
@@ -137,16 +141,58 @@ def fake_pixels(seed_bytes: bytes, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def smooth_pixels(seed_bytes: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic LOW-FREQUENCY fabric (per-channel 2-D sinusoids with
+    seeded frequencies/phases).  White-noise fabric is the worst case for a
+    transform codec (every high-frequency coefficient is live), so it can't
+    give deterministic PSNR margins; natural images are low-frequency-heavy
+    and this fabric models that — at JPEG q95/4:4:4 it reconstructs well
+    above 40 dB, at q6 well below, which is what the planted PSNR-invariant
+    oracle needs.
+
+    Luma-dominant like natural photos: one shared luminance sinusoid plus
+    constant per-channel tint and a low-amplitude chroma ripple — so 4:2:0
+    chroma subsampling (which halves chroma resolution) stays comfortably
+    inside the 40 dB band too."""
+    seed = zlib.crc32(seed_bytes) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx, fy = rng.uniform(0.01, 0.05, 2)
+    phase = rng.uniform(0, 2 * np.pi)
+    amp = rng.uniform(50, 90)
+    lum = 127.5 + amp * np.sin(2 * np.pi * (fx * xx + fy * yy) + phase)
+    out = np.empty((h, w, 3), dtype=np.float64)
+    for c in range(3):
+        tint = rng.uniform(-12, 12)
+        gx, gy = rng.uniform(0.005, 0.02, 2)
+        ripple = rng.uniform(2, 8) * np.sin(2 * np.pi * (gx * xx + gy * yy) + rng.uniform(0, 2 * np.pi))
+        out[..., c] = lum + tint + ripple
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def decode_image(data: bytes, fmt: str, w: int, h: int, allow_fake: bool = False) -> np.ndarray:
     if fmt in ("png", "qpng") and data[:8] == PNG_MAGIC:
         # qpng is the toy lossy format: PNG container, the loss was applied
         # at encode time (quantization) — decode is the plain PNG path
         return decode_png(data)
+    if fmt == "jpeg" and data[:3] == JPEG_MAGIC:
+        # REAL baseline decoder (functions/jpeg.py, pure numpy): parse ->
+        # Huffman decode -> dequant -> IDCT -> upsample -> RGB.  Synthetic
+        # corpora carry magic-prefixed filler bytes (no SOF/SOS) — those
+        # fail the parse deterministically and take the fake-fabric path
+        # when allowed, exactly as before the real codec landed.
+        from ..functions.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except Exception:
+            if allow_fake:
+                return fake_pixels(data, w, h)
+            raise
     if fmt in ("jpeg", "webp"):
         if allow_fake:
             return fake_pixels(data, w, h)
-        # no jpeg/webp codec in this container — STUB (BASELINE.json
-        # per-row invariant runs on the PNG path + fake fabric)
+        # no webp codec in this container — STUB
         raise NotImplementedError(f"{fmt} decode requires an image library")
     if allow_fake:
         return fake_pixels(data, w, h)

@@ -1409,6 +1409,42 @@ GROUP BY 1 ORDER BY status
 """
 
 
+def q_images_jpeg_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-JPEG lossy PSNR invariant: the corpus is the pure-numpy
+    baseline T.81 encoder's output (functions/jpeg.py — genuine
+    DCT+quantization loss, mixed 4:4:4/4:2:0, restart intervals), decoded
+    by the matching baseline decoder and PSNR-scored against the lossless
+    PNG reference of the same smooth fabric.  Rows with id % 20 == 3 are
+    encoded at quality 6 (measured <= 28.2 dB over the whole corpus —
+    deterministic fail); the rest at quality 95 (measured >= 48.5 dB —
+    deterministic pass).  allow_fake=False: a decode bug shows up as a
+    count shift, never as a silent fake-fabric substitution."""
+    from .sources.images import jpeg_images_df, jpeg_ref_images_df
+
+    cur = jpeg_images_df(
+        spark, _PSNR_N, seed=5, quality=95,
+        coarse_every=_PSNR_COARSE_EVERY, coarse_quality=6,
+    )
+    ref = jpeg_ref_images_df(spark, _PSNR_N, seed=5)
+    scored = M.psnr_vs_reference(cur, ref, allow_fake=False)
+    status = (
+        F.when(F.col("psnr_db").isNull(), F.lit("pass_lossless"))
+        .when(F.col("psnr_db") >= 40.0, F.lit("pass_psnr_ge_40db"))
+        .otherwise(F.lit("fail_decode_or_psnr"))
+    )
+    return (
+        scored.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+# derived from the same plant constants as the query (coarse rows at
+# i % 20 == 3 fail the 40 dB bar; all others pass finitely) — margins
+# measured corpus-wide and pinned by tests/test_jpeg_codec.py
+SQL_IMAGES_JPEG_PSNR = SQL_IMAGES_PSNR_LOSSY
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN over a planted-golden corpus: 10 exact copies of
     each query vector (ids j*1,000,000 + vec_id, j=1..10) are added to the
@@ -1480,6 +1516,7 @@ QUERIES = {
     "images_flagship_verdicts": q_images_flagship_verdicts,
     "images_decode_psnr_invariant": q_images_decode_psnr,
     "images_psnr_lossy": q_images_psnr_lossy,
+    "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_uniqueness_skewed": q_images_uniqueness_skewed,
     "suite_conformance": q_suite_conformance,
 }
@@ -1514,6 +1551,7 @@ ORACLES = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
     "images_psnr_lossy": SQL_IMAGES_PSNR_LOSSY,
+    "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
     # xxhash64-keyed signature fast paths, oracled via the salted-vocabulary
     # planted-clone construction (see the block above q_minhash_lsh)
     "dedup_minhash_lsh": SQL_MINHASH_LSH,

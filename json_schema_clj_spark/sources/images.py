@@ -178,6 +178,77 @@ def qpng_images_df(
     )
 
 
+def jpeg_images_df(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 5,
+    quality: int = 95,
+    coarse_every: int | None = None,
+    coarse_quality: int = 6,
+) -> DataFrame:
+    """REAL-JPEG twin of :func:`qpng_images_df`: a smooth deterministic
+    pixel fabric pushed through the pure-numpy baseline T.81 encoder
+    (functions/jpeg.py).  Rows with ``id % coarse_every == 3`` are encoded
+    at `coarse_quality` (deep quantization — deterministically below the
+    40 dB invariant); all others at `quality` (well above it).  Every third
+    non-coarse row uses a restart interval so the decoder's DRI/RSTn path
+    runs in the distributed query, and every fifth uses 4:2:0 subsampling
+    (margins for both verified by tests/test_jpeg_codec.py)."""
+    from ..functions.jpeg import encode_jpeg
+    from ..operators.multimodal import smooth_pixels
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                w, h = 24 + int(i) % 9, 16 + int(i) % 7
+                px = smooth_pixels(f"{seed}:{i}".encode(), w, h)
+                if coarse_every and i % coarse_every == 3:
+                    data = encode_jpeg(px, quality=coarse_quality)
+                else:
+                    data = encode_jpeg(
+                        px,
+                        quality=quality,
+                        subsampling="420" if i % 5 == 0 else "444",
+                        restart_interval=2 if i % 3 == 0 else 0,
+                    )
+                rows.append((f"img-{i:08d}", data, w, h, "jpeg", f"caption {i}", int(i)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
+def jpeg_ref_images_df(spark: SparkSession, n_rows: int, seed: int = 5) -> DataFrame:
+    """Lossless PNG reference carrying the SAME smooth fabric as
+    :func:`jpeg_images_df` — the other side of the PSNR join."""
+    from ..operators.multimodal import encode_png, smooth_pixels
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                w, h = 24 + int(i) % 9, 16 + int(i) % 7
+                px = smooth_pixels(f"{seed}:{i}".encode(), w, h)
+                rows.append((f"img-{i:08d}", encode_png(px), w, h, "png", f"caption {i}", int(i)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
 def png_images_df(spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every: int | None = None) -> DataFrame:
     """Small corpus of REAL (decodable, pure-stdlib codec) PNG images — a
     pure function of (seed, id) so any two generations are byte-identical.

@@ -31,8 +31,13 @@ def test_psnr_threshold():
 
 
 def test_decode_stub_and_fake():
-    with pytest.raises(NotImplementedError):
+    # jpeg now has a REAL decoder: magic-prefixed filler is a parse error
+    # (not a stub), and falls back to the deterministic fabric when allowed
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xffrest", "jpeg", 4, 4, allow_fake=False)
+    # webp remains the documented stub
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"RIFFxxxxWEBP", "webp", 4, 4, allow_fake=False)
     fake = M.decode_image(b"\xff\xd8\xffrest", "jpeg", 4, 6, allow_fake=True)
     assert fake.shape == (6, 4, 3)
     # deterministic: same bytes → same pixels
