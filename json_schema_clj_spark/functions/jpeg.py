@@ -378,6 +378,40 @@ def encode_jpeg(
     )
 
 
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Grayscale Hx W (or HxWx1) uint8 -> single-component baseline JFIF.
+    Exercises the decoder's 1-component path with a real producer."""
+    if pixels.ndim == 3:
+        pixels = pixels[..., 0]
+    assert pixels.dtype == np.uint8 and pixels.ndim == 2
+    h, w = pixels.shape
+    qt_l = _quality_scale(QT_LUMA, quality)
+    yb, ybh, ybw = _plane_blocks(pixels.astype(np.float64) - 128.0)
+    zz_y = _fdct_quant(yb, qt_l)
+    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for idx in range(ybh * ybw):
+        pred = _encode_block(bw, zz_y[idx], pred, dc_l, ac_l)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, bytes([0]) + bytes(qt_l.reshape(64)[ZIGZAG].tolist()))
+        + seg(0xFFC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
 # ---------------------------------------------------------------------------
 # decoder
 
@@ -393,6 +427,15 @@ def _idct(zz_blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> RGB8 HxWx3.  Raises ValueError on malformed
     input, NotImplementedError on non-baseline modes."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as e:
+        # malformed input hits a bounds/lookup error somewhere in the
+        # parse — normalize to the documented error type
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -129,6 +129,48 @@ def test_corpus_psnr_margins():
     assert fail_max < 34.0, fail_max
 
 
+def test_grayscale_roundtrip():
+    from json_schema_clj_spark.functions.jpeg import encode_jpeg_gray
+
+    px = _img(33, 25)[..., 0]  # single channel
+    out = decode_jpeg(encode_jpeg_gray(px, quality=95))
+    assert out.shape == (25, 33, 3)
+    # gray replicates across channels
+    assert np.array_equal(out[..., 0], out[..., 1])
+    rep = np.repeat(px[..., None], 3, axis=-1)
+    assert psnr(rep, out) >= 44.0
+
+
+def test_fuzz_corrupted_never_hangs():
+    """Robustness: bit flips / truncation / random bytes either raise a
+    clean error (ValueError / NotImplementedError) or decode to SOME array
+    — never hang or crash the interpreter."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    base = encode_jpeg(_img(24, 16), quality=80)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        pos=st.integers(0, len(base) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(base)),
+    )
+    def run(pos, val, cut):
+        data = bytearray(base)
+        data[pos] = val
+        data = bytes(data)[:cut]
+        try:
+            out = decode_jpeg(data)
+            assert isinstance(out, np.ndarray)
+        except (ValueError, NotImplementedError):
+            pass  # the documented error surface — nothing else may leak
+
+    run()
+
+
 def test_jpeg_psnr_query_spark(spark):
     from json_schema_clj_spark.queries import q_images_jpeg_psnr
 
