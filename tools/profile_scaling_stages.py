@@ -56,8 +56,24 @@ def s_uniq_id():
 def s_drift():       noop(detect_drift(df, "w", "part_id", baseline_filter=F.col("part_id") < 32,
                                        lo=0.0, hi=5200.0, buckets=64))
 
+# the two components the whole-job bench has that the noop stages above
+# don't: the violations parquet sink (row_id generation + wider rows +
+# parquet encode) and its read-back rollup — if the whole job anti-scales
+# beyond the stage sum, it lives here
+SINK = f"/dev/shm/spark-local/stage-sink-{cpus}"
+def s_sink():
+    v = with_validation(df.withColumn("row_id", F.monotonically_increasing_id()), FLAGSHIP_SCHEMA)
+    violation_rows(v, ["image_id", "part_id", "row_id"], prefilter=~F.col("valid")) \
+        .write.mode("overwrite").parquet(SINK)
+def s_sink_read():
+    n_rows = df.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    n_fail = spark.read.parquet(SINK).groupBy("part_id").agg(F.count_distinct("row_id").alias("n_fail"))
+    noop(n_rows.join(n_fail, "part_id", "left")
+         .select("part_id", "n_rows", F.coalesce("n_fail", F.lit(0)).alias("n_fail")))
+
 stages = {"scan": s_scan, "verdicts": s_verdicts, "violations": s_violations,
-          "uniq_phash": s_uniq_phash, "uniq_id": s_uniq_id, "drift": s_drift}
+          "uniq_phash": s_uniq_phash, "uniq_id": s_uniq_id, "drift": s_drift,
+          "sink": s_sink, "sink_read": s_sink_read}
 # warm EVERY stage's codegen on a small slice, so the first timed stage
 # doesn't absorb JVM/codegen warmup relative to later ones
 small = df.limit(50_000)
