@@ -121,7 +121,8 @@ def main(argv=None):
         # run_id/chunk ride in the path as discovered partition columns.
         chunk_dir = f"{out}/violations/run_id={args.run_id}/chunk={min(parts)}"
         violation_rows(
-            validated, ["image_id", args.part_col, "row_id"], prefilter=~F.col("valid")
+            validated, ["image_id", args.part_col, "row_id"],
+            prefilter=~F.col("valid"), with_ordinal=True,
         ).write.mode("overwrite").parquet(chunk_dir)
         # crash AFTER the sink write, BEFORE the commit (run_resumable
         # commits when this function returns) — the exact window where a
@@ -133,13 +134,16 @@ def main(argv=None):
         # the whole predicate tree per chunk just to count failures.  Row
         # counts need only the partition column (column-pruned scan, no
         # validation exprs); failing-row counts roll up from the (tiny)
-        # just-written sink via distinct row_id.  One full validation pass
-        # per chunk instead of two.
+        # just-written sink: each failing row contributes exactly one
+        # v_ord=0 violation, so this is a filtered COUNT with map-side
+        # partials (pushed to the parquet scan), not a count_distinct
+        # dedup-agg over row_id.
         n_rows = chunk.groupBy(F.col(args.part_col)).agg(F.count(F.lit(1)).alias("n_rows"))
         n_fail = (
             spark.read.parquet(chunk_dir)
+            .where(F.col("v_ord") == 0)
             .groupBy(F.col(args.part_col))
-            .agg(F.count_distinct("row_id").alias("n_fail"))
+            .agg(F.count(F.lit(1)).alias("n_fail"))
         )
         return (
             n_rows.join(n_fail, args.part_col, "left")

@@ -63,6 +63,7 @@ def violation_rows(
     id_cols: list[str],
     out_col: str = "violations",
     prefilter=None,
+    with_ordinal: bool = False,
 ) -> DataFrame:
     """Explode to one row per violation: the distributed error sink.
 
@@ -72,19 +73,32 @@ def violation_rows(
     "has violations" — e.g. ~valid when validity and non-emptiness coincide
     — letting the filter run WITHOUT constructing the violation structs for
     passing rows (~3× on the sink).
+
+    `with_ordinal=True` adds `v_ord`, the violation's position within its
+    source row's (ordered — core.clj keeps errors in check order) array.
+    Two uses: the sink preserves the reference's error ordering, and
+    failing-ROW counts become `count(v_ord = 0)` — a plain filtered count
+    with map-side partials, instead of a count_distinct over a row-id
+    (which at 10^9 violation rows is a full dedup aggregation of the sink).
     """
     cond = prefilter if prefilter is not None else (F.size(F.col(out_col)) > 0)
-    return (
-        validated.where(cond)
-        .select(*id_cols, F.explode(F.col(out_col)).alias("v"))
-        .select(
-            *id_cols,
-            F.col("v.keyword_path").alias("keyword_path"),
-            F.col("v.instance_path").alias("instance_path"),
-            F.col("v.keyword").alias("keyword"),
-            F.col("v.message").alias("message"),
-            F.col("v.severity").alias("severity"),
+    filtered = validated.where(cond)
+    if with_ordinal:
+        exploded = filtered.select(
+            *id_cols, F.posexplode(F.col(out_col)).alias("v_ord", "v")
         )
+        extra = [F.col("v_ord")]
+    else:
+        exploded = filtered.select(*id_cols, F.explode(F.col(out_col)).alias("v"))
+        extra = []
+    return exploded.select(
+        *id_cols,
+        *extra,
+        F.col("v.keyword_path").alias("keyword_path"),
+        F.col("v.instance_path").alias("instance_path"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.message").alias("message"),
+        F.col("v.severity").alias("severity"),
     )
 
 

@@ -129,6 +129,27 @@ def test_violation_paths(spark):
     assert (("required",), (), "required") in got
 
 
+def test_violation_rows_ordinal(spark):
+    # with_ordinal: v_ord is the violation's position within its source
+    # row's ordered array — v_ord = 0 marks exactly one row per failing
+    # document (the count_distinct-free failing-row rollup relies on this)
+    schema = {"properties": {"x": {"minimum": 10}}, "required": ["s"]}
+    out = _validate(
+        spark, [("a", 1, None), ("b", 20, "ok"), ("c", 0, None)],
+        "k string, x long, s string", schema,
+    )
+    v = violation_rows(out, ["k"], with_ordinal=True).collect()
+    by_key = {(r["k"], r["keyword"]): r["v_ord"] for r in v}
+    assert len(v) == 4  # a: minimum+required, c: minimum+required
+    # within each failing row, ordinals are 0..n-1 in check order
+    for k in ("a", "c"):
+        assert sorted(ordv for (kk, _), ordv in by_key.items() if kk == k) == [0, 1]
+    n_fail = sum(1 for r in v if r["v_ord"] == 0)
+    assert n_fail == 2
+    # default stays ordinal-free (sink schema unchanged for existing users)
+    assert "v_ord" not in violation_rows(out, ["k"]).columns
+
+
 def test_combinators(spark):
     schema = {
         "properties": {

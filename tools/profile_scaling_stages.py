@@ -63,11 +63,13 @@ def s_drift():       noop(detect_drift(df, "w", "part_id", baseline_filter=F.col
 SINK = f"/dev/shm/spark-local/stage-sink-{cpus}"
 def s_sink():
     v = with_validation(df.withColumn("row_id", F.monotonically_increasing_id()), FLAGSHIP_SCHEMA)
-    violation_rows(v, ["image_id", "part_id", "row_id"], prefilter=~F.col("valid")) \
+    violation_rows(v, ["image_id", "part_id", "row_id"], prefilter=~F.col("valid"),
+                   with_ordinal=True) \
         .write.mode("overwrite").parquet(SINK)
 def s_sink_read():
     n_rows = df.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
-    n_fail = spark.read.parquet(SINK).groupBy("part_id").agg(F.count_distinct("row_id").alias("n_fail"))
+    n_fail = (spark.read.parquet(SINK).where(F.col("v_ord") == 0)
+              .groupBy("part_id").agg(F.count(F.lit(1)).alias("n_fail")))
     noop(n_rows.join(n_fail, "part_id", "left")
          .select("part_id", "n_rows", F.coalesce("n_fail", F.lit(0)).alias("n_fail")))
 
