@@ -120,10 +120,11 @@ def main(argv=None):
         # OVERWRITES the same subdir instead of appending duplicate rows.
         # run_id/chunk ride in the path as discovered partition columns.
         chunk_dir = f"{out}/violations/run_id={args.run_id}/chunk={min(parts)}"
-        violation_rows(
+        vio = violation_rows(
             validated, ["image_id", args.part_col, "row_id"],
             prefilter=~F.col("valid"), with_ordinal=True,
-        ).write.mode("overwrite").parquet(chunk_dir)
+        )
+        vio.write.mode("overwrite").parquet(chunk_dir)
         # crash AFTER the sink write, BEFORE the commit (run_resumable
         # commits when this function returns) — the exact window where a
         # non-idempotent append would duplicate violation rows on resume
@@ -139,8 +140,12 @@ def main(argv=None):
         # partials (pushed to the parquet scan), not a count_distinct
         # dedup-agg over row_id.
         n_rows = chunk.groupBy(F.col(args.part_col)).agg(F.count(F.lit(1)).alias("n_rows"))
+        # Re-read with the writer's schema: skips the driver-side schema
+        # inference (a footer-sampling job + file listing) that would
+        # otherwise run once per chunk — pure parallelism-invariant
+        # overhead at 10^4 chunks.
         n_fail = (
-            spark.read.parquet(chunk_dir)
+            spark.read.schema(vio.schema).parquet(chunk_dir)
             .where(F.col("v_ord") == 0)
             .groupBy(F.col(args.part_col))
             .agg(F.count(F.lit(1)).alias("n_fail"))

@@ -103,3 +103,28 @@ def test_hll_partition_sketches_merge_to_global(spark):
     combined = sk.unionByName(partition_hll_sketches(new_part, "v", "part"))
     est2 = merge_hll_sketches(combined).first()["n_distinct_est"]
     assert abs(est2 - 10973) / 10973 < 0.05
+
+
+def test_run_concurrently_overlaps_and_propagates(spark, tmp_path):
+    from json_schema_clj_spark.operators.pipeline import run_concurrently
+
+    df = spark.range(10_000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    results = run_concurrently([
+        lambda: df.groupBy("k").count().write.mode("overwrite").parquet(out_a),
+        lambda: df.select(F.sum("id").alias("s")).write.mode("overwrite").parquet(out_b),
+        lambda: df.where(F.col("k") == 3).count(),
+    ])
+    assert results[2] == 10_000 // 7 + 1
+    assert spark.read.parquet(out_a).count() == 7
+    assert spark.read.parquet(out_b).first()["s"] == sum(range(10_000))
+    # first failure propagates after all actions settle
+    import pytest as _pytest
+
+    done = []
+    with _pytest.raises(ValueError, match="boom"):
+        run_concurrently([
+            lambda: (_ for _ in ()).throw(ValueError("boom")),
+            lambda: done.append(df.count()),
+        ])
+    assert done == [10_000]

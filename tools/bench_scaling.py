@@ -74,31 +74,51 @@ from json_schema_clj_spark.sources.images import FLAGSHIP_SCHEMA
 from json_schema_clj_spark.operators.validate import with_validation, violation_rows
 from json_schema_clj_spark.operators.uniqueness import duplicates
 from json_schema_clj_spark.operators.drift import detect_drift
+from json_schema_clj_spark.operators.pipeline import run_concurrently
 
 SINK = f"/dev/shm/spark-local/vio-sink-{cpus}"
 
 def workload(df):
-    # mirrors jobs/validate_submit.py's single-validation-pass shape:
-    # violations sink carries (part_id, row_id), verdicts roll up from a
-    # part-only count + the written sink — the predicate tree runs ONCE
+    # v2 shape (mirrors jobs/validate_submit.py): single validation pass,
+    # violations sink carries (part_id, row_id, v_ord); verdicts roll up
+    # from count(v_ord = 0) on the written sink (filtered count with
+    # map-side partials, not a count_distinct dedup-agg), the sink re-read
+    # reuses the writer's schema (no inference job), and the four
+    # independent suite branches are submitted from concurrent driver
+    # threads so scheduling gaps and straggler tails overlap instead of
+    # serializing — the same pipeline-driver shape a multi-check run uses
+    # to keep a real cluster's executors busy.
     validated = with_validation(df.withColumn("row_id", F.monotonically_increasing_id()), FLAGSHIP_SCHEMA)
-    violation_rows(validated, ["image_id", "part_id", "row_id"], prefilter=~F.col("valid")) \
-        .write.mode("overwrite").parquet(SINK)
-    n_rows = df.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
-    n_fail = spark.read.parquet(SINK).groupBy("part_id").agg(F.count_distinct("row_id").alias("n_fail"))
-    n_rows.join(n_fail, "part_id", "left") \
-        .select("part_id", "n_rows", F.coalesce("n_fail", F.lit(0)).alias("n_fail")) \
-        .write.format("noop").mode("overwrite").save()
-    # salting belongs on the skewed key (phash near-dup clusters); the
-    # unique key shuffles as a compact xxhash64 long with exact post-check
-    duplicates(df, ["phash"], salted=True).write.format("noop").mode("overwrite").save()
-    dup_h = duplicates(df.select(F.xxhash64("image_id").alias("idh")), ["idh"], salted=False)
-    df.join(dup_h.select("idh").hint("broadcast"),
-            F.xxhash64("image_id") == F.col("idh"), "left_semi") \
-      .groupBy("image_id").count().where(F.col("count") > 1) \
-      .write.format("noop").mode("overwrite").save()
-    detect_drift(df, "w", "part_id", baseline_filter=F.col("part_id") < 32,
-                 lo=0.0, hi=5200.0, buckets=64).write.format("noop").mode("overwrite").save()
+    vio = violation_rows(validated, ["image_id", "part_id", "row_id"],
+                         prefilter=~F.col("valid"), with_ordinal=True)
+
+    def branch_validation():
+        vio.write.mode("overwrite").parquet(SINK)
+        n_rows = df.groupBy("part_id").agg(F.count(F.lit(1)).alias("n_rows"))
+        n_fail = spark.read.schema(vio.schema).parquet(SINK) \
+            .where(F.col("v_ord") == 0) \
+            .groupBy("part_id").agg(F.count(F.lit(1)).alias("n_fail"))
+        n_rows.join(n_fail, "part_id", "left") \
+            .select("part_id", "n_rows", F.coalesce("n_fail", F.lit(0)).alias("n_fail")) \
+            .write.format("noop").mode("overwrite").save()
+
+    def branch_uniq_phash():
+        # salting belongs on the skewed key (phash near-dup clusters)
+        duplicates(df, ["phash"], salted=True).write.format("noop").mode("overwrite").save()
+
+    def branch_uniq_id():
+        # the unique key shuffles as a compact xxhash64 long with exact post-check
+        dup_h = duplicates(df.select(F.xxhash64("image_id").alias("idh")), ["idh"], salted=False)
+        df.join(dup_h.select("idh").hint("broadcast"),
+                F.xxhash64("image_id") == F.col("idh"), "left_semi") \
+          .groupBy("image_id").count().where(F.col("count") > 1) \
+          .write.format("noop").mode("overwrite").save()
+
+    def branch_drift():
+        detect_drift(df, "w", "part_id", baseline_filter=F.col("part_id") < 32,
+                     lo=0.0, hi=5200.0, buckets=64).write.format("noop").mode("overwrite").save()
+
+    run_concurrently([branch_validation, branch_uniq_phash, branch_uniq_id, branch_drift])
 
 df = spark.read.parquet(path)
 workload(df.limit(50_000))   # warm codegen/JIT

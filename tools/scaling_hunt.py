@@ -10,7 +10,7 @@ many short samples spread across hours converges on the clean-window value
 level, cheap enough (~30-130 s) to fit inside windows the 15-minute run
 cannot.
 
-Samples append to BENCH/scaling_samples_r3.jsonl (versioned evidence, one
+Samples append to BENCH/scaling_samples_r3v2.jsonl (versioned evidence, one
 JSON line each: level, cal sec, workload sec, timestamp).  `report`
 computes per-level minima, the pure-CPU ceiling from the best calibrations,
 and the N->4N efficiencies; `--write` renders BENCH/BASELINE.md in the
@@ -47,7 +47,10 @@ import bench_scaling as BS
 
 REPO = BS.REPO
 DATA = "/dev/shm/spark-graft-hunt/images"
-SAMPLES = os.path.join(REPO, "BENCH", "scaling_samples_r3.jsonl")
+# v2 workload shape (concurrent suite branches, ordinal rollup, schema-reuse
+# sink re-read) — minima are NOT comparable with scaling_samples_r3.jsonl's
+# sequential v1 shape, so v2 samples get their own file and probe floor.
+SAMPLES = os.path.join(REPO, "BENCH", "scaling_samples_r3v2.jsonl")
 N_ROWS = 64_000_000
 
 
@@ -109,7 +112,7 @@ def stages(cpus: int) -> dict:
 
 PROBE_DATA = "/dev/shm/spark-graft-hunt/images_probe"
 PROBE_ROWS = N_ROWS // 16
-PROBE_MIN_FILE = os.path.join(REPO, "BENCH", "probe_min_r3.json")
+PROBE_MIN_FILE = os.path.join(REPO, "BENCH", "probe_min_r3v2.json")
 
 
 def probe(cpus: int = 8) -> float:
@@ -201,7 +204,7 @@ addendum below); degradation only ever slows a level down, so the
 published figure per level is the MINIMUM over {sum(n_samples.values())}
 samples spread across {span_h:.1f} h
 (samples/level: {{{", ".join(f"{c}: {n_samples[c]}" for c in sorted(n_samples))}}},
-raw per-sample data in BENCH/scaling_samples_r3.jsonl — each line carries
+raw per-sample data in BENCH/scaling_samples_r3v2.jsonl — each line carries
 its own same-JVM-count pure-CPU calibration so any sample's host health is
 auditable).  Generation is seeded and bit-reproducible across parallelism
 levels (tests/test_flagship_images.py::test_determinism_across_parallelism).
