@@ -237,6 +237,21 @@ engine's shape — embarrassingly parallel scan+predicate, map-side partial
 aggs, one tiny shuffle per rollup — is the same one that hits
 {eff_2_8:.2f} here when the host can express it.
 
+## Workload shape v2 (round 3)
+
+These figures measure the v2 suite shape: ONE validation pass whose
+violations sink carries (part_id, row_id, v_ord), verdicts rolled up as a
+filtered count(v_ord = 0) over the written sink (map-side partials, no
+count_distinct dedup-agg), the sink re-read reusing the writer's schema
+(no inference job), and the four independent suite branches (validation
+sink+rollup, salted phash uniqueness, image_id uniqueness, KS/PSI drift)
+submitted from concurrent driver threads (operators/pipeline.py) so
+scheduling gaps and straggler tails overlap.  Serialized submission made
+~6 s of the local[8] run parallelism-invariant — pure efficiency erosion;
+a probe-size A/B measured v2 at -40% wall at local[8] and -29% at
+local[2].  v1-shape samples (BENCH/scaling_samples_r3.jsonl, best
+efficiency 0.679 over 31 samples) are retained but not comparable.
+
 ## Rejected single-shot runs (2026-08-17)
 
 Five full interleaved bench_scaling.py runs across round 2 and round 3
