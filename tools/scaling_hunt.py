@@ -153,6 +153,29 @@ def autoloop(levels: tuple[int, ...] = (8, 2, 32), gate: float = 1.4,
             time.sleep(60)
 
 
+def hunt32(gate: float = 1.13, sleep_s: int = 90, max_samples: int = 4) -> None:
+    """Cal32-gated local[32] sampler.  Unlike the local[8] workload probe
+    (which missed a window where cal32 read 1.85 s vs 1.15 s clean while
+    the probe passed), the pure-CPU calibration at 32 threads DOES move
+    under the 32-thread memory-bandwidth degradation, so a ~2 s cal run
+    is a sufficient gate for the ~60-300 s full sample."""
+    taken = 0
+    best_cal = min(
+        [s["cal_sec"] for s in load_samples() if s["cpus"] == 32] or [1.15]
+    )
+    while taken < max_samples:
+        cal = _run(BS.CALIBRATE, [32], 600)["sec"]
+        best_cal = min(best_cal, cal)
+        clean = cal <= gate * best_cal
+        print(json.dumps({"cal32": cal, "best_cal32": best_cal,
+                          "clean": clean, "taken": taken}), flush=True)
+        if clean:
+            sample(32)
+            taken += 1
+        else:
+            time.sleep(sleep_s)
+
+
 def load_samples() -> list[dict]:
     if not os.path.exists(SAMPLES):
         return []
@@ -237,6 +260,16 @@ engine's shape — embarrassingly parallel scan+predicate, map-side partial
 aggs, one tiny shuffle per rollup — is the same one that hits
 {eff_2_8:.2f} here when the host can express it.
 
+Two honesty caveats.  (a) The local[32] minimum is still
+degradation-bound: every v2 local[32] sample so far ran with its
+same-line cal32 at or above the best observed (and the v1 shape measured
+39.07 s at local[32] in round 1's clean window, vs {best[32]['sec']} s
+here), i.e. no clean 32-thread window has yet been caught for a v2
+sample, so the 8->32 figure is a lower bound on the workload, not a
+measurement of it.  (b) workload/ceiling slightly above 1.0 on the 2->8
+pair is estimate noise: the ceiling comes from ~1-12 s calibration jobs
+whose own minima carry a few percent of jitter.
+
 ## Workload shape v2 (round 3)
 
 These figures measure the v2 suite shape: ONE validation pass whose
@@ -293,6 +326,8 @@ def main() -> None:
         print(json.dumps({"probe_sec": probe(int(sys.argv[2]) if len(sys.argv) > 2 else 8)}))
     elif cmd == "autoloop":
         autoloop()
+    elif cmd == "hunt32":
+        hunt32(max_samples=int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     elif cmd == "report":
         report(write="--write" in sys.argv)
     else:
