@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "dedup_exact_stats",
     "images_uniqueness_skewed",
+    "skew_profile_orders_custkey",
+    "skew_hot_keys_orders_custkey",
+    "images_curation_funnel",
 ]
 
 

@@ -1481,6 +1481,111 @@ ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# 18. skew profiling (north rule: "skew handled explicitly; adaptive salting
+# on hot buckets") — the measurement that sizes the salted operators
+
+
+def q_skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew summary of orders.o_custkey: total/distinct/max rows per
+    key, the hottest key (ties → smallest), and the salt fan-out
+    `plan_salt_buckets` feeds into the salted uniqueness/dedup operators.
+    Single pass over the key-collapsed count frame (argmax via
+    max-of-struct, no self-join)."""
+    from .operators import skew as SK
+
+    return SK.skew_profile(t(spark, sf_dir, "orders"), ["o_custkey"], target_rows_per_reducer=10)
+
+
+SQL_SKEW_PROFILE_CUSTKEY = """
+WITH c AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+     m AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows, count(*) AS n_keys,
+                  CAST(max(n) AS BIGINT) AS max_n FROM c)
+SELECT m.total_rows, m.n_keys, m.max_n,
+       (SELECT min(k) FROM c WHERE n = m.max_n) AS hottest_key,
+       CAST(CASE WHEN m.max_n <= 10 THEN 1
+                 ELSE least(1024, CAST(ceil(m.max_n / 10.0) AS BIGINT)) END
+            AS INTEGER) AS rec_salt_buckets
+FROM m
+"""
+
+
+def q_skew_hot_keys_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest o_custkey values (count desc, key asc — deterministic
+    at the top-k boundary).  The window shuffles one row per DISTINCT key,
+    not per input row: the count frame is already key-collapsed."""
+    from .operators import skew as SK
+
+    return SK.hot_keys(t(spark, sf_dir, "orders"), ["o_custkey"], top_k=10)
+
+
+SQL_SKEW_HOT_KEYS_CUSTKEY = """
+SELECT o_custkey, n, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT o_custkey, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, o_custkey) AS rnk
+  FROM orders GROUP BY o_custkey)
+WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19. end-to-end curation funnel on the images table: schema validation →
+# caption gate → canonical-id dedup → phash near-dup collapse.  The oracle
+# derives every stage count from the generator's plant rules (residues mod
+# 200 / 5000, floor(i/997) phash groups) — hash VALUES never matter.
+
+
+def q_images_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel: per-stage surviving-row counts in one
+    aggregation pass (conditional counts + conditional count_distincts; at
+    10^12 rows the two exact distincts swap for approx_count_distinct —
+    the funnel is monitoring, not the curated output itself, which
+    `dedup.exact_deduplicate` materializes)."""
+    from .sources.images import FLAGSHIP_SCHEMA, images_df
+
+    df = images_df(spark, 100_000)
+    flagged = with_validation(df, FLAGSHIP_SCHEMA)
+    ok = F.col("valid")
+    cap = ok & F.col("caption").isNotNull()
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("ingested"),
+        F.count(F.when(ok, 1)).alias("schema_valid"),
+        F.count(F.when(cap, 1)).alias("caption_present"),
+        F.count_distinct(F.when(cap, F.col("image_id"))).alias("id_canonical"),
+        F.count_distinct(F.when(cap, F.col("phash"))).alias("phash_canonical"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, '1_ingested', ingested, '2_schema_valid', schema_valid,"
+            " '3_caption_present', caption_present, '4_id_canonical', id_canonical,"
+            " '5_phash_canonical', phash_canonical) AS (stage, n_rows)"
+        )
+    )
+
+
+# plant rules: schema failures at i%200 in {7,23,57,87,91,123,141,173};
+# caption NULL (optional → still schema-valid) at i%200=63; duplicate ids
+# take row i-1's id at i%5000=4999; phash groups floor(i/997).  image_id
+# and phash are injective hashes of i / group index, so distinct counts
+# over them equal distinct counts over canon_i / grp.
+SQL_IMAGES_CURATION_FUNNEL = """
+WITH base AS (
+  SELECT i,
+         (i % 200) IN (7,23,57,87,91,123,141,173) AS fails,
+         (i % 200) = 63 AS cap_null,
+         CASE WHEN i % 5000 = 4999 AND i > 0 THEN i - 1 ELSE i END AS canon_i,
+         i // 997 AS grp
+  FROM generate_series(0, 99999) t(i))
+SELECT stage, n_rows FROM (
+  SELECT '1_ingested' AS stage, count(*) AS n_rows FROM base
+  UNION ALL SELECT '2_schema_valid', count(*) FROM base WHERE NOT fails
+  UNION ALL SELECT '3_caption_present', count(*) FROM base WHERE NOT fails AND NOT cap_null
+  UNION ALL SELECT '4_id_canonical', count(DISTINCT canon_i) FROM base WHERE NOT fails AND NOT cap_null
+  UNION ALL SELECT '5_phash_canonical', count(DISTINCT grp) FROM base WHERE NOT fails AND NOT cap_null
+) ORDER BY stage
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -1518,6 +1623,9 @@ QUERIES = {
     "images_psnr_lossy": q_images_psnr_lossy,
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_uniqueness_skewed": q_images_uniqueness_skewed,
+    "skew_profile_orders_custkey": q_skew_profile_custkey,
+    "skew_hot_keys_orders_custkey": q_skew_hot_keys_custkey,
+    "images_curation_funnel": q_images_curation_funnel,
     "suite_conformance": q_suite_conformance,
 }
 
@@ -1562,6 +1670,10 @@ ORACLES = {
     # the plant rules (residues mod 200 / 5000, floor(i/997) groups)
     "images_flagship_verdicts": SQL_IMAGES_FLAGSHIP_VERDICTS,
     "images_uniqueness_skewed": SQL_IMAGES_UNIQUENESS,
+    "images_curation_funnel": SQL_IMAGES_CURATION_FUNNEL,
+    # skew profiling (salted count frame mirrored by plain GROUP BY)
+    "skew_profile_orders_custkey": SQL_SKEW_PROFILE_CUSTKEY,
+    "skew_hot_keys_orders_custkey": SQL_SKEW_HOT_KEYS_CUSTKEY,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

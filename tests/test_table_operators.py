@@ -128,3 +128,46 @@ def test_run_concurrently_overlaps_and_propagates(spark, tmp_path):
             lambda: done.append(df.count()),
         ])
     assert done == [10_000]
+
+
+def test_skew_profile_and_hot_keys(spark):
+    from json_schema_clj_spark.operators.skew import hot_keys, plan_salt_buckets, skew_profile
+
+    # known skew: key = i for i < 20 (singletons), key 777 for the rest
+    df = spark.range(100).select(
+        F.when(F.col("id") < 20, F.col("id")).otherwise(F.lit(777)).alias("k")
+    )
+    prof = skew_profile(df, ["k"], target_rows_per_reducer=10).collect()[0]
+    assert prof["total_rows"] == 100
+    assert prof["n_keys"] == 21
+    assert prof["max_n"] == 80
+    assert prof["hottest_key"] == 777
+    assert prof["rec_salt_buckets"] == 8  # ceil(80/10)
+
+    top = hot_keys(df, ["k"], top_k=3).collect()
+    assert [(r["k"], r["n"], r["rnk"]) for r in top] == [(777, 80, 1), (0, 1, 2), (1, 1, 3)]
+
+    assert plan_salt_buckets(5, 10) == 1
+    assert plan_salt_buckets(80, 10) == 8
+    assert plan_salt_buckets(10**9, 10) == 1024  # capped
+
+
+def test_skew_profile_argmax_tie_breaks_to_smallest_key(spark):
+    from json_schema_clj_spark.operators.skew import skew_profile
+
+    # keys 5 and 9 both appear 3x — hottest_key must be the smaller (5)
+    df = spark.createDataFrame([(5,)] * 3 + [(9,)] * 3 + [(1,)], ["k"])
+    prof = skew_profile(df, ["k"]).collect()[0]
+    assert prof["max_n"] == 3
+    assert prof["hottest_key"] == 5
+    assert prof["rec_salt_buckets"] == 1
+
+
+def test_hot_keys_plan_is_take_ordered_not_global_window(spark):
+    """The top-k must plan as TakeOrderedAndProject (per-partition top-k),
+    never an unpartitioned window over the full count frame."""
+    from json_schema_clj_spark.operators.skew import hot_keys
+
+    df = images_df(spark, N)
+    plan = hot_keys(df, ["phash"], top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
