@@ -153,21 +153,29 @@ def autoloop(levels: tuple[int, ...] = (8, 2, 32), gate: float = 1.4,
             time.sleep(60)
 
 
-def hunt32(gate: float = 1.13, sleep_s: int = 90, max_samples: int = 4) -> None:
-    """Cal32-gated local[32] sampler.  Unlike the local[8] workload probe
-    (which missed a window where cal32 read 1.85 s vs 1.15 s clean while
-    the probe passed), the pure-CPU calibration at 32 threads DOES move
-    under the 32-thread memory-bandwidth degradation, so a ~2 s cal run
-    is a sufficient gate for the ~60-300 s full sample."""
+PROBE32_MIN_FILE = os.path.join(REPO, "BENCH", "probe32_min_r3v2.json")
+
+
+def hunt32(gate: float = 1.3, sleep_s: int = 75, max_samples: int = 4) -> None:
+    """Probe-gated local[32] sampler.  Neither the pure-CPU cal32 (measured
+    1.21 s — clean — while the full workload ran 234.9 s, 3.8x degraded)
+    nor the local[8] workload probe sees the 32-thread memory-bandwidth
+    degradation; the only reliable gate is the workload ITSELF at
+    local[32], run over the 1/16-size slice (~4-6 s clean, JVM startup
+    dominates when healthy)."""
     taken = 0
-    best_cal = min(
-        [s["cal_sec"] for s in load_samples() if s["cpus"] == 32] or [1.15]
-    )
+    floor = float("inf")
+    if os.path.exists(PROBE32_MIN_FILE):
+        with open(PROBE32_MIN_FILE) as f:
+            floor = json.load(f)["probe_min"]
     while taken < max_samples:
-        cal = _run(BS.CALIBRATE, [32], 600)["sec"]
-        best_cal = min(best_cal, cal)
-        clean = cal <= gate * best_cal
-        print(json.dumps({"cal32": cal, "best_cal32": best_cal,
+        p = probe(32)
+        if p < floor:
+            floor = p
+            with open(PROBE32_MIN_FILE, "w") as f:
+                json.dump({"probe_min": floor}, f)
+        clean = p <= gate * floor
+        print(json.dumps({"probe32_sec": p, "probe32_min": floor,
                           "clean": clean, "taken": taken}), flush=True)
         if clean:
             sample(32)
