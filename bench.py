@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "images_uniqueness_skewed",
     "skew_profile_orders_custkey",
     "skew_hot_keys_orders_custkey",
+    "text_winnow_neardup",
     "images_curation_funnel",
 ]
 

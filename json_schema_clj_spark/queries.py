@@ -1482,6 +1482,40 @@ ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# 17b. winnowing fingerprint near-dup: group docs by their min-k shingle
+# sketch (text.winnow_sketch) — one shuffle on a short string key.  Over
+# the salted-clone corpus the ONLY multi-doc sketch groups are the planted
+# (doc, doc+100000) clone pairs: disjoint vocabularies mean distinct docs
+# share no shingle at all, let alone the 5 smallest.
+
+
+def q_text_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _salted_clone_corpus(t(spark, sf_dir, "documents"))
+    sk = corpus.select(
+        "doc_id", TX.winnow_sketch(F.col("text"), k=3, top=5).alias("sketch")
+    ).where(F.col("sketch") != "")  # '' = fewer than k words, no shingles
+    groups = (
+        sk.groupBy("sketch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("id_a"),
+            F.max("doc_id").alias("id_b"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return groups.select("id_a", "id_b", "n_docs").orderBy("id_a")
+
+
+SQL_TEXT_WINNOW_NEARDUP = r"""
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents)
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(2 AS BIGINT) AS n_docs
+FROM n WHERE t <> '' AND len(string_split(t, ' ')) >= 3
+ORDER BY id_a
+"""
+
+
+# ---------------------------------------------------------------------------
 # 18. skew profiling (north rule: "skew handled explicitly; adaptive salting
 # on hot buckets") — the measurement that sizes the salted operators
 
@@ -1625,6 +1659,7 @@ QUERIES = {
     "images_uniqueness_skewed": q_images_uniqueness_skewed,
     "skew_profile_orders_custkey": q_skew_profile_custkey,
     "skew_hot_keys_orders_custkey": q_skew_hot_keys_custkey,
+    "text_winnow_neardup": q_text_winnow_neardup,
     "images_curation_funnel": q_images_curation_funnel,
     "suite_conformance": q_suite_conformance,
 }
@@ -1674,6 +1709,8 @@ ORACLES = {
     # skew profiling (salted count frame mirrored by plain GROUP BY)
     "skew_profile_orders_custkey": SQL_SKEW_PROFILE_CUSTKEY,
     "skew_hot_keys_orders_custkey": SQL_SKEW_HOT_KEYS_CUSTKEY,
+    # winnow sketch over the salted-clone corpus (see q_minhash_lsh block)
+    "text_winnow_neardup": SQL_TEXT_WINNOW_NEARDUP,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import
