@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "stats_profile_orders",
     "uniqueness_orders_custkey",
     "referential_dangling_partkeys",
+    "referential_bloom_dangling",
     "drift_ks_psi_orders",
     "tpch_q1_pricing_summary",
     "join_revenue_by_nation",

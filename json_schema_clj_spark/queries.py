@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import drift as DR
 from .operators import multimodal as M
+from .operators import bloom as B
 from .operators import referential as R
 from .operators import similarity as S
 from .operators import stats as ST
@@ -344,6 +345,24 @@ SQL_DANGLING_PARTKEYS = """
 SELECT l_partkey, count(*) AS n FROM lineitem
 WHERE l_partkey IS NOT NULL
   AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0)
+GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+
+def q_dangling_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-dimension path: bloom-prefiltered exact dangling keys.  The
+    oracle is a plain anti-join — the bloom stage is a prefilter, so the
+    result is exact regardless of the filter's false-positive rate."""
+    li = t(spark, sf_dir, "lineitem")
+    dim = t(spark, sf_dir, "part").where(F.pmod(F.col("p_partkey"), F.lit(7)) != 0)
+    bad = B.dangling_bloom(li, "l_partkey", dim, "p_partkey", m_bits=1 << 18, k=4)
+    return bad.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).orderBy("l_partkey")
+
+
+SQL_DANGLING_BLOOM = """
+SELECT l_partkey, count(*) AS n FROM lineitem
+WHERE l_partkey IS NOT NULL
+  AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0)
 GROUP BY l_partkey ORDER BY l_partkey
 """
 
@@ -1629,6 +1648,7 @@ QUERIES = {
     "stats_profile_orders": q_stats_orders,
     "uniqueness_orders_custkey": q_duplicates_orders_custkey,
     "referential_dangling_partkeys": q_dangling_partkeys,
+    "referential_bloom_dangling": q_dangling_bloom,
     "drift_ks_psi_orders": q_drift_orders,
     "tpch_q1_pricing_summary": q_pricing_summary,
     "join_revenue_by_nation": q_revenue_by_nation,
@@ -1673,6 +1693,7 @@ ORACLES = {
     "stats_profile_orders": SQL_STATS_ORDERS,
     "uniqueness_orders_custkey": SQL_DUPLICATES_ORDERS_CUSTKEY,
     "referential_dangling_partkeys": SQL_DANGLING_PARTKEYS,
+    "referential_bloom_dangling": SQL_DANGLING_BLOOM,
     "drift_ks_psi_orders": SQL_DRIFT_ORDERS,
     "tpch_q1_pricing_summary": SQL_PRICING_SUMMARY,
     "join_revenue_by_nation": SQL_REVENUE_BY_NATION,
