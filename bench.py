@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "skew_hot_keys_orders_custkey",
     "text_winnow_neardup",
     "images_curation_funnel",
+    "images_magic_conformance",
 ]
 
 

@@ -1639,6 +1639,35 @@ SELECT stage, n_rows FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# 20. format conformance on raw bytes: the north-star's "format conformance
+# on bytes/fmt" — the fmt column must match the binary magic number.  Pure
+# Column path (hex-prefix compare, whole-stage codegen); the oracle derives
+# the violating residues from the generator's plant rule.
+
+
+def q_images_magic_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violating rows grouped by claimed fmt.  Plants: fmt='bmp' at
+    i%200=141, fmt='' at 173 (unknown fmt ⇒ violation), garbage bytes at
+    39 (fmt cycles jpeg/png/webp with i%3 but bytes are 'deadbeef')."""
+    from .sources.images import images_df
+
+    df = images_df(spark, 100_000)
+    bad = M.magic_number_violations(df, ["image_id", "fmt"])
+    return bad.groupBy("fmt").agg(F.count(F.lit(1)).alias("n")).orderBy("fmt")
+
+
+SQL_IMAGES_MAGIC_CONFORMANCE = """
+WITH v AS (
+  SELECT CASE WHEN i % 200 = 141 THEN 'bmp'
+              WHEN i % 200 = 173 THEN ''
+              ELSE ['jpeg','png','webp'][(i % 3) + 1] END AS fmt
+  FROM generate_series(0, 99999) t(i)
+  WHERE i % 200 IN (39, 141, 173))
+SELECT fmt, count(*) AS n FROM v GROUP BY fmt ORDER BY fmt
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -1681,6 +1710,7 @@ QUERIES = {
     "skew_hot_keys_orders_custkey": q_skew_hot_keys_custkey,
     "text_winnow_neardup": q_text_winnow_neardup,
     "images_curation_funnel": q_images_curation_funnel,
+    "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
 }
 
@@ -1727,6 +1757,7 @@ ORACLES = {
     "images_flagship_verdicts": SQL_IMAGES_FLAGSHIP_VERDICTS,
     "images_uniqueness_skewed": SQL_IMAGES_UNIQUENESS,
     "images_curation_funnel": SQL_IMAGES_CURATION_FUNNEL,
+    "images_magic_conformance": SQL_IMAGES_MAGIC_CONFORMANCE,
     # skew profiling (salted count frame mirrored by plain GROUP BY)
     "skew_profile_orders_custkey": SQL_SKEW_PROFILE_CUSTKEY,
     "skew_hot_keys_orders_custkey": SQL_SKEW_HOT_KEYS_CUSTKEY,
