@@ -130,6 +130,7 @@ def probe(cpus: int = 8) -> float:
 
 def autoloop(levels: tuple[int, ...] = (8, 2, 32), gate: float = 1.4,
              force_every: int = 8) -> None:
+    gen()  # /dev/shm is wiped between rounds; regenerate if missing
     probe_min = float("inf")
     if os.path.exists(PROBE_MIN_FILE):
         with open(PROBE_MIN_FILE) as f:
