@@ -12,9 +12,12 @@ In this container no image libraries exist, so:
   (functions/jpeg.py — Annex K tables, 4:4:4/4:2:0, restart intervals),
   so the PSNR ≥ 40 dB lossy branch runs on genuine DCT+quantization
   reconstruction error.
-* **WEBP decode is STUBBED** behind NotImplementedError with a
-  deterministic fake-pixel fallback (`allow_fake=True`) so the Spark-side
-  plumbing — schema, batch shapes, partitioning — is real and tested.
+* **WEBP (lossless/VP8L) is REAL**: a pure-numpy VP8L codec
+  (functions/vp8l.py — canonical prefix codes, color cache, backward
+  references, subtract-green transform).  VP8 lossy / VP8X extended files
+  raise NotImplementedError (documented subset, same stance as
+  baseline-only JPEG); undecodable bytes take the deterministic
+  fake-pixel fallback when `allow_fake=True`.
 
 All UDFs are `mapInPandas` / pandas UDFs over Arrow batches: bytes cross
 the JVM↔Python boundary once per batch, never per row.
@@ -189,11 +192,24 @@ def decode_image(data: bytes, fmt: str, w: int, h: int, allow_fake: bool = False
             if allow_fake:
                 return fake_pixels(data, w, h)
             raise
+    if fmt == "webp" and data[:4] == WEBP_RIFF:
+        # REAL lossless decoder (functions/vp8l.py, pure numpy): RIFF parse
+        # -> prefix codes -> literals/backrefs/color-cache -> inverse
+        # subtract-green.  Synthetic corpora carry RIFF-prefixed filler
+        # bytes (no VP8L chunk) — those fail the parse deterministically
+        # and take the fake-fabric path when allowed.
+        from ..functions.vp8l import decode_webp
+
+        try:
+            return decode_webp(data)
+        except Exception:
+            if allow_fake:
+                return fake_pixels(data, w, h)
+            raise
     if fmt in ("jpeg", "webp"):
         if allow_fake:
             return fake_pixels(data, w, h)
-        # no webp codec in this container — STUB
-        raise NotImplementedError(f"{fmt} decode requires an image library")
+        raise ValueError(f"undecodable {fmt} bytes")
     if allow_fake:
         return fake_pixels(data, w, h)
     raise ValueError(f"cannot decode fmt={fmt}")

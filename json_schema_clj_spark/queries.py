@@ -1464,6 +1464,38 @@ def q_images_jpeg_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_IMAGES_JPEG_PSNR = SQL_IMAGES_PSNR_LOSSY
 
 
+def q_images_webp_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEBP lossless invariant: the corpus is the pure-numpy VP8L
+    encoder's output (functions/vp8l.py) with per-row option cycling —
+    subtract-green transform, color cache, backward references — decoded
+    by the matching VP8L decoder and PSNR-scored against the lossless PNG
+    reference of the same fake-pixel fabric.  VP8L is lossless, so every
+    intact row is pixel-exact (PSNR = inf → pass_lossless); rows with
+    id % 40 == 7 carry truncated bytes (planted decode failures).
+    allow_fake=False: a decode bug shows up as a count shift, never as a
+    silent fake-fabric substitution."""
+    from .sources.images import png_images_df, webp_images_df
+
+    cur = webp_images_df(spark, _PSNR_N, seed=5, corrupt_every=_PSNR_CORRUPT_EVERY)
+    ref = png_images_df(spark, _PSNR_N, seed=5)
+    scored = M.psnr_vs_reference(cur, ref, allow_fake=False)
+    status = (
+        F.when(F.col("psnr_db").isNull(), F.lit("pass_lossless"))
+        .when(F.col("psnr_db") >= 40.0, F.lit("pass_psnr_ge_40db"))
+        .otherwise(F.lit("fail_decode_or_psnr"))
+    )
+    return (
+        scored.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+# same plant rule as the PNG invariant: truncated bytes exactly at
+# i % 40 == 7, every intact VP8L row decodes pixel-exactly (lossless)
+SQL_IMAGES_WEBP_PSNR = SQL_IMAGES_DECODE_PSNR
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN over a planted-golden corpus: 10 exact copies of
     each query vector (ids j*1,000,000 + vec_id, j=1..10) are added to the
@@ -1705,6 +1737,7 @@ QUERIES = {
     "images_decode_psnr_invariant": q_images_decode_psnr,
     "images_psnr_lossy": q_images_psnr_lossy,
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
+    "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_uniqueness_skewed": q_images_uniqueness_skewed,
     "skew_profile_orders_custkey": q_skew_profile_custkey,
     "skew_hot_keys_orders_custkey": q_skew_hot_keys_custkey,
@@ -1746,6 +1779,7 @@ ORACLES = {
     "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
     "images_psnr_lossy": SQL_IMAGES_PSNR_LOSSY,
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
+    "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     # xxhash64-keyed signature fast paths, oracled via the salted-vocabulary
     # planted-clone construction (see the block above q_minhash_lsh)
     "dedup_minhash_lsh": SQL_MINHASH_LSH,

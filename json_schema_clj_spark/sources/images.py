@@ -249,6 +249,49 @@ def jpeg_ref_images_df(spark: SparkSession, n_rows: int, seed: int = 5) -> DataF
     )
 
 
+def webp_images_df(
+    spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every: int | None = None
+) -> DataFrame:
+    """REAL lossless-WebP corpus: the SAME deterministic fake-pixel fabric
+    as :func:`png_images_df` (so the PNG reference of the same seed is the
+    pixel-exact other side of the PSNR join) pushed through the pure-numpy
+    VP8L encoder (functions/vp8l.py).  Encoder options cycle
+    per row so the distributed decode exercises every bitstream path —
+    subtract-green transform (i%3==1), color cache (i%5==2), backward
+    references (i%4==0), and any combination when the cycles align.
+    `corrupt_every`: rows with id % corrupt_every == 7 get truncated bytes
+    (planted decode failures with exactly known ids).  VP8L is lossless,
+    so every intact row matches the PNG reference pixel-exactly."""
+    from ..functions.vp8l import encode_webp
+    from ..operators.multimodal import fake_pixels
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                w, h = 24 + int(i) % 9, 16 + int(i) % 7
+                px = fake_pixels(f"{seed}:{i}".encode(), w, h)
+                data = encode_webp(
+                    px,
+                    subtract_green=i % 3 == 1,
+                    cache_bits=6 if i % 5 == 2 else 0,
+                    use_backrefs=i % 4 == 0,
+                )
+                if corrupt_every and i % corrupt_every == 7:
+                    data = data[: len(data) // 2]
+                rows.append((f"img-{i:08d}", data, w, h, "webp", f"caption {i}", int(i)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
 def png_images_df(spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every: int | None = None) -> DataFrame:
     """Small corpus of REAL (decodable, pure-stdlib codec) PNG images — a
     pure function of (seed, id) so any two generations are byte-identical.

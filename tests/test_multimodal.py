@@ -35,8 +35,9 @@ def test_decode_stub_and_fake():
     # (not a stub), and falls back to the deterministic fabric when allowed
     with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xffrest", "jpeg", 4, 4, allow_fake=False)
-    # webp remains the documented stub
-    with pytest.raises(NotImplementedError):
+    # webp now has a REAL (VP8L) decoder: RIFF-prefixed filler with no
+    # VP8L chunk is a parse error, not a stub
+    with pytest.raises(ValueError):
         M.decode_image(b"RIFFxxxxWEBP", "webp", 4, 4, allow_fake=False)
     fake = M.decode_image(b"\xff\xd8\xffrest", "jpeg", 4, 6, allow_fake=True)
     assert fake.shape == (6, 4, 3)

@@ -1,0 +1,173 @@
+"""VP8L lossless WebP codec (functions/vp8l.py): bit-exact round-trips
+across every bitstream feature (simple + full prefix codes, subtract-green
+transform, color cache, backward references), container handling,
+documented-subset errors, corruption fuzz, and the distributed real-WEBP
+PSNR-invariant query with its plant rule."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from json_schema_clj_spark.functions.vp8l import (
+    BitReader,
+    BitWriter,
+    _prefix_decode,
+    _prefix_encode,
+    decode_webp,
+    encode_webp,
+)
+from json_schema_clj_spark.operators.multimodal import (
+    decode_image,
+    fake_pixels,
+    smooth_pixels,
+)
+
+
+def _img(w=31, h=23, seed=b"webp-test"):
+    return fake_pixels(seed, w, h)
+
+
+ALL_OPTS = [
+    {},
+    {"subtract_green": True},
+    {"cache_bits": 6},
+    {"use_backrefs": True},
+    {"subtract_green": True, "cache_bits": 8, "use_backrefs": True},
+]
+
+
+def test_roundtrip_bit_exact_all_features():
+    for opts in ALL_OPTS:
+        for px in (_img(), smooth_pixels(b"s", 24, 16), _img(1, 1), _img(2, 40), _img(40, 1)):
+            out = decode_webp(encode_webp(px, **opts))
+            assert np.array_equal(out, px), (opts, px.shape)
+
+
+def test_flat_image_backrefs_roundtrip():
+    # flat images drive the distance-1 LZ77 run path hardest
+    px = np.full((19, 27, 3), 200, dtype=np.uint8)
+    px[7, :, :] = 13  # one break so not every code is single-symbol
+    for opts in ALL_OPTS:
+        assert np.array_equal(decode_webp(encode_webp(px, **opts)), px)
+
+
+def test_prefix_value_coding_roundtrip():
+    for v in list(range(1, 200)) + [255, 256, 1000, 4095, 4096]:
+        sym, nb, ebv = _prefix_encode(v)
+        assert 0 <= sym < 40
+        bw = BitWriter()
+        bw.write(ebv, nb)
+        br = BitReader(bw.flush() or b"\x00")
+        assert _prefix_decode(sym, br) == v, v
+
+
+def test_determinism():
+    px = _img(30, 20)
+    assert encode_webp(px, cache_bits=6) == encode_webp(px, cache_bits=6)
+
+
+def test_container_shape():
+    data = encode_webp(_img(9, 5))
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP" and data[12:16] == b"VP8L"
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    assert riff_size == len(data) - 8
+    assert len(data) % 2 == 0  # RIFF 2-byte alignment
+
+
+def test_truncated_raises():
+    data = encode_webp(_img(24, 16))
+    with pytest.raises(ValueError):
+        decode_webp(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        decode_webp(b"\x89PNG\r\n\x1a\x0a")  # not a WebP at all
+
+
+def test_lossy_and_extended_chunks_raise_not_implemented():
+    data = bytearray(encode_webp(_img(8, 8)))
+    for tag in (b"VP8 ", b"VP8X"):
+        data[12:16] = tag
+        with pytest.raises(NotImplementedError):
+            decode_webp(bytes(data))
+
+
+def test_unsupported_transform_raises_not_implemented():
+    # craft a stream announcing a PREDICTOR transform (type 0)
+    bw = BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(0, 14)  # w-1
+    bw.write(0, 14)  # h-1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # a transform follows
+    bw.write(0, 2)  # PREDICTOR
+    payload = bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    with pytest.raises(NotImplementedError):
+        decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_corruption_fuzz_never_wrong_silently():
+    """Flipping any single byte of the entropy-coded tail either raises or
+    yields a same-shape image — never a crash outside ValueError /
+    NotImplementedError, and never a silently-truncated array."""
+    px = _img(16, 12)
+    data = bytearray(encode_webp(px, cache_bits=4, use_backrefs=True))
+    h, w = px.shape[:2]
+    for pos in range(20, len(data), 7):
+        mut = bytearray(data)
+        mut[pos] ^= 0x55
+        try:
+            out = decode_webp(bytes(mut))
+        except (ValueError, NotImplementedError):
+            continue
+        assert out.shape == (h, w, 3)
+
+
+def test_decode_image_routes_webp():
+    px = _img(21, 14)
+    data = encode_webp(px, subtract_green=True)
+    out = decode_image(data, "webp", 21, 14, allow_fake=False)
+    assert np.array_equal(out, px)
+    # RIFF-prefixed filler (no VP8L chunk): fake path when allowed, raise otherwise
+    filler = b"RIFF" + b"\x2a\x00\x00\x00" + b"WEBP"
+    fb = decode_image(filler, "webp", 5, 4, allow_fake=True)
+    assert fb.shape == (4, 5, 3)
+    with pytest.raises(Exception):
+        decode_image(filler, "webp", 5, 4, allow_fake=False)
+
+
+def test_corpus_plant_rule_local():
+    """The plant rule the images_webp_psnr_invariant oracle relies on,
+    checked locally over the full corpus id range: every intact row decodes
+    pixel-exactly (VP8L is lossless), every id % 40 == 7 row fails."""
+    seed = 5
+    from json_schema_clj_spark.functions.vp8l import encode_webp as enc
+
+    for i in range(0, 200, 13):  # stride: full range covered by the oracle run
+        w, h = 24 + i % 9, 16 + i % 7
+        px = fake_pixels(f"{seed}:{i}".encode(), w, h)
+        data = enc(
+            px,
+            subtract_green=i % 3 == 1,
+            cache_bits=6 if i % 5 == 2 else 0,
+            use_backrefs=i % 4 == 0,
+        )
+        if i % 40 == 7:
+            with pytest.raises(ValueError):
+                decode_webp(data[: len(data) // 2])
+        else:
+            assert np.array_equal(decode_webp(data), px)
+
+
+def test_distributed_webp_invariant_counts(spark):
+    from json_schema_clj_spark.queries import QUERIES
+
+    rows = {
+        r["status"]: r["n"]
+        for r in QUERIES["images_webp_psnr_invariant"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows == {"pass_lossless": 195, "fail_decode_or_psnr": 5}
