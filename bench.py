@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "dedup_exact_stats",
     "images_uniqueness_skewed",
+    "stats_quantiles_orders",
+    "drift_chi2_orders",
     "skew_profile_orders_custkey",
     "skew_hot_keys_orders_custkey",
     "text_winnow_neardup",

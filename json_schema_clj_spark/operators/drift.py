@@ -74,6 +74,37 @@ def drift_scores(
     )
 
 
+def chi2_scores(
+    baseline_sketch: DataFrame,
+    current_sketch: DataFrame,
+) -> DataFrame:
+    """Per-group Pearson chi-square statistic of the current sample against
+    the baseline distribution (the third drift lens next to KS and PSI —
+    chi2 is the classic goodness-of-fit test on binned data and is the most
+    sensitive of the three to localized bucket shifts).
+
+    chi2 = Σ_b (observed_b − expected_b)² / expected_b  over buckets with
+    baseline mass, where expected_b = tot_cur · (n_base_b / tot_base);
+    `dof` = (#buckets with baseline mass) − 1.  Same scale shape as
+    drift_scores: runs entirely on the |groups|×|buckets| sketch table.
+    """
+    b = baseline_sketch.select("group", "bucket", F.col("n").alias("n_base"))
+    c = current_sketch.select("group", "bucket", F.col("n").alias("n_cur"))
+    j = b.join(c, on=["group", "bucket"], how="full_outer").fillna(
+        {"n_base": 0, "n_cur": 0}
+    )
+    tot = j.groupBy("group").agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_cur").alias("tot_cur")
+    )
+    j = j.join(tot, on="group").where(F.col("n_base") > 0)
+    e = F.col("tot_cur") * F.col("n_base") / F.col("tot_base")
+    term = (F.col("n_cur") - e) * (F.col("n_cur") - e) / e
+    return j.groupBy("group").agg(
+        F.sum(term).alias("chi2"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("dof"),
+    )
+
+
 def detect_drift(
     df: DataFrame,
     value_col: str,

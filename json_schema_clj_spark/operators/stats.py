@@ -43,6 +43,40 @@ def merge_hll_sketches(sketches: DataFrame, sketch_col: str = "sketch") -> DataF
     )
 
 
+def quantile_profile(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One row per column: (column, q25, q50, q75, ...) quantiles.
+
+    All columns' quantiles come from ONE aggregation pass (partial+final,
+    single tiny shuffle).  `exact=False` (the 10^12-row path) uses
+    `percentile_approx` — a mergeable rank sketch, so partial aggregates
+    combine across any executor count without a global sort;
+    `exact=True` uses `percentile` (exact linear interpolation at rank
+    p·(n-1), the same "continuous quantile" definition DuckDB's
+    quantile_cont implements) for oracle comparison at test scale.
+    """
+    aggs = []
+    parr = F.array(*[F.lit(p) for p in probs])
+    for c in cols:
+        col = F.col(c)
+        if exact:
+            aggs.append(F.percentile(col, parr).alias(f"{c}__q"))
+        else:
+            aggs.append(F.percentile_approx(col, list(probs), accuracy).alias(f"{c}__q"))
+    wide = df.agg(*aggs)
+    qnames = [f"q{int(p * 100)}" for p in probs]
+    stack_args = ", ".join(
+        f"'{c}', " + ", ".join(f"`{c}__q`[{i}]" for i in range(len(probs))) for c in cols
+    )
+    expr = f"stack({len(cols)}, {stack_args}) as (column, {', '.join(qnames)})"
+    return wide.select(F.expr(expr))
+
+
 def column_profile(df: DataFrame, cols: list[str] | None = None, exact: bool = False) -> DataFrame:
     """One row per column: (column, n_rows, n_null, null_rate, min_value,
     max_value, n_distinct).  min/max stringified for heterogeneous columns.

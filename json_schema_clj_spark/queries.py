@@ -1700,6 +1700,163 @@ SELECT fmt, count(*) AS n FROM v GROUP BY fmt ORDER BY fmt
 """
 
 
+# ---------------------------------------------------------------------------
+# 22. quantile column profile (stats extension): exact `percentile` for the
+# oracle; the 10^12-row path is percentile_approx (mergeable rank sketch,
+# see operators/stats.py quantile_profile).  Hash-proofing: inputs are
+# integers and probs are quarter fractions, so every interpolated quantile
+# q = a + f·(b−a) with f ∈ {0, .25, .5, .75} is EXACT in IEEE double and
+# q×4 is an integer — both engines emit identical BIGINTs, no float
+# formatting in the compared output at all.
+
+
+def q_stats_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+    )
+    prof = ST.quantile_profile(
+        src, ["o_orderkey", "o_custkey", "totalprice_cents"], probs=(0.25, 0.5, 0.75), exact=True
+    )
+    return prof.select(
+        "column",
+        (F.col("q25") * 4).cast("long").alias("q25_x4"),
+        (F.col("q50") * 4).cast("long").alias("q50_x4"),
+        (F.col("q75") * 4).cast("long").alias("q75_x4"),
+    ).orderBy("column")
+
+
+SQL_STATS_QUANTILES = """
+WITH src AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS "column",
+         CAST(quantile_cont(k, 0.25) * 4 AS BIGINT) AS q25_x4,
+         CAST(quantile_cont(k, 0.5) * 4 AS BIGINT) AS q50_x4,
+         CAST(quantile_cont(k, 0.75) * 4 AS BIGINT) AS q75_x4 FROM src
+  UNION ALL
+  SELECT 'o_custkey',
+         CAST(quantile_cont(c, 0.25) * 4 AS BIGINT),
+         CAST(quantile_cont(c, 0.5) * 4 AS BIGINT),
+         CAST(quantile_cont(c, 0.75) * 4 AS BIGINT) FROM src
+  UNION ALL
+  SELECT 'totalprice_cents',
+         CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT),
+         CAST(quantile_cont(cents, 0.5) * 4 AS BIGINT),
+         CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT) FROM src
+) ORDER BY "column"
+"""
+
+
+# ---------------------------------------------------------------------------
+# 23. chi-square drift (third lens next to KS/PSI): Pearson goodness-of-fit
+# of each group's bucket counts against the pooled-baseline distribution,
+# on the same |groups|×|buckets| sketch table as drift_ks_psi_orders.
+
+
+def q_drift_chi2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "orders")
+    pooled = (
+        DR.histogram_sketch(
+            df.where(F.col("o_orderkey") % 2 == 0),
+            "o_totalprice", "o_orderpriority", _DRIFT_LO, _DRIFT_HI, _DRIFT_BUCKETS,
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    per_group = DR.histogram_sketch(
+        df, "o_totalprice", "o_orderpriority", _DRIFT_LO, _DRIFT_HI, _DRIFT_BUCKETS
+    )
+    groups = per_group.select("group").distinct()
+    base = groups.crossJoin(F.broadcast(pooled))
+    scores = DR.chi2_scores(base, per_group)
+    return scores.select(
+        "group", F.round("chi2", 6).alias("chi2"), "dof"
+    ).orderBy("group")
+
+
+SQL_DRIFT_CHI2 = f"""
+WITH params AS (SELECT {_DRIFT_LO} lo, {_DRIFT_HI} hi, {_DRIFT_BUCKETS} nb),
+bucketed AS (
+  SELECT o_orderpriority AS grp,
+         least(greatest(CAST(floor((o_totalprice - lo) / ((hi - lo) / nb)) AS BIGINT), 0), nb - 1) AS bucket,
+         o_orderkey
+  FROM orders, params WHERE o_totalprice IS NOT NULL
+),
+pooled AS (
+  SELECT bucket, count(*) AS n_base FROM bucketed WHERE o_orderkey % 2 = 0 GROUP BY bucket
+),
+cur AS (
+  SELECT grp, bucket, count(*) AS n_cur FROM bucketed GROUP BY grp, bucket
+),
+groups AS (SELECT DISTINCT grp FROM cur),
+base AS (SELECT g.grp, p.bucket, p.n_base FROM groups g CROSS JOIN pooled p),
+j AS (
+  SELECT coalesce(b.grp, c.grp) AS grp, coalesce(b.bucket, c.bucket) AS bucket,
+         coalesce(b.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+  FROM base b FULL OUTER JOIN cur c ON b.grp = c.grp AND b.bucket = c.bucket
+),
+tot AS (SELECT grp, sum(n_base) tot_base, sum(n_cur) tot_cur FROM j GROUP BY grp),
+f AS (
+  SELECT j.grp, j.n_cur,
+         tot.tot_cur * j.n_base / CAST(tot.tot_base AS DOUBLE) AS e
+  FROM j JOIN tot ON j.grp = tot.grp WHERE j.n_base > 0
+)
+SELECT grp AS "group",
+       round(sum((n_cur - e) * (n_cur - e) / e), 6) AS chi2,
+       count(*) - 1 AS dof
+FROM f GROUP BY grp ORDER BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24. caption byte-equality vs reference (BASELINE.json input_hint: "caption
+# equality" is the other half of the per-row invariant next to decoded-pixel
+# PSNR).  Captions are compared as BINARY (UTF-8 bytes), not collated
+# strings; mutations are planted at i % 25 == 11 so the violating rows are
+# derivable.
+
+
+def q_images_caption_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.images import png_images_df
+
+    cur = png_images_df(spark, _PSNR_N, seed=5).withColumn(
+        "caption",
+        F.when(
+            F.pmod(F.col("phash"), F.lit(25)) == 11,
+            F.concat(F.col("caption"), F.lit(" [ALTERED]")),
+        ).otherwise(F.col("caption")),
+    )
+    ref = png_images_df(spark, _PSNR_N, seed=5)
+    a = cur.select("image_id", F.col("caption").alias("caption_cur"))
+    b = ref.select("image_id", F.col("caption").alias("caption_ref"))
+    return (
+        a.join(b, on="image_id")
+        .where(
+            ~(
+                F.col("caption_cur").cast("binary").eqNullSafe(
+                    F.col("caption_ref").cast("binary")
+                )
+            )
+        )
+        .orderBy("image_id")
+    )
+
+
+SQL_IMAGES_CAPTION_EQUALITY = f"""
+SELECT printf('img-%08d', i) AS image_id,
+       'caption ' || i || ' [ALTERED]' AS caption_cur,
+       'caption ' || i AS caption_ref
+FROM generate_series(0, {_PSNR_N - 1}) t(i)
+WHERE i % 25 = 11
+ORDER BY image_id
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -1738,6 +1895,9 @@ QUERIES = {
     "images_psnr_lossy": q_images_psnr_lossy,
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_webp_psnr_invariant": q_images_webp_psnr,
+    "images_caption_equality": q_images_caption_equality,
+    "stats_quantiles_orders": q_stats_quantiles_orders,
+    "drift_chi2_orders": q_drift_chi2_orders,
     "images_uniqueness_skewed": q_images_uniqueness_skewed,
     "skew_profile_orders_custkey": q_skew_profile_custkey,
     "skew_hot_keys_orders_custkey": q_skew_hot_keys_custkey,
@@ -1780,6 +1940,9 @@ ORACLES = {
     "images_psnr_lossy": SQL_IMAGES_PSNR_LOSSY,
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
+    "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,
+    "stats_quantiles_orders": SQL_STATS_QUANTILES,
+    "drift_chi2_orders": SQL_DRIFT_CHI2,
     # xxhash64-keyed signature fast paths, oracled via the salted-vocabulary
     # planted-clone construction (see the block above q_minhash_lsh)
     "dedup_minhash_lsh": SQL_MINHASH_LSH,

@@ -171,3 +171,47 @@ def test_hot_keys_plan_is_take_ordered_not_global_window(spark):
     df = images_df(spark, N)
     plan = hot_keys(df, ["phash"], top_k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quantile_profile_exact_and_approx(spark):
+    from json_schema_clj_spark.operators.stats import quantile_profile
+
+    # 0..100 → exact quartiles are 25/50/75 with zero interpolation error
+    df = spark.range(101).select(F.col("id").alias("v"))
+    exact = {r["column"]: r for r in quantile_profile(df, ["v"], exact=True).collect()}
+    assert (exact["v"]["q25"], exact["v"]["q50"], exact["v"]["q75"]) == (25.0, 50.0, 75.0)
+    # the scale path (mergeable percentile_approx sketch) lands within the
+    # sketch's rank error of the exact answer
+    approx = {r["column"]: r for r in quantile_profile(df, ["v"], exact=False).collect()}
+    for q in ("q25", "q50", "q75"):
+        assert abs(approx["v"][q] - exact["v"][q]) <= 2.0, (q, approx["v"][q])
+
+
+def test_quantile_interpolation_matches_continuous_definition(spark):
+    from json_schema_clj_spark.operators.stats import quantile_profile
+
+    # 4 values → rank p*(n-1): q25 of [0,10,20,30] = 7.5 (f=0.75 exact)
+    df = spark.createDataFrame([(0,), (10,), (20,), (30,)], ["v"])
+    row = quantile_profile(df, ["v"], exact=True).collect()[0]
+    assert (row["q25"], row["q50"], row["q75"]) == (7.5, 15.0, 22.5)
+
+
+def test_chi2_scores_identical_and_shifted(spark):
+    from json_schema_clj_spark.operators.drift import chi2_scores, histogram_sketch
+
+    rows = [("a", float(i % 10)) for i in range(1000)]
+    shifted = [("b", float((i % 10) if i % 5 else 9.0)) for i in range(1000)]
+    df = spark.createDataFrame(rows + shifted, ["g", "v"])
+    sk = histogram_sketch(df, "v", "g", lo=0.0, hi=10.0, buckets=10)
+    base = sk.where(F.col("group") == "a").drop("group")
+    both = sk
+    import pyspark.sql.functions as SF
+
+    base_rep = (
+        both.select("group").distinct().crossJoin(SF.broadcast(base))
+    )
+    out = {r["group"]: r for r in chi2_scores(base_rep, both).collect()}
+    # identical distribution → chi2 exactly 0; shifted → strictly positive
+    assert out["a"]["chi2"] == 0.0
+    assert out["b"]["chi2"] > 100.0
+    assert out["a"]["dof"] == 9
