@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "skew_profile_orders_custkey",
     "skew_hot_keys_orders_custkey",
     "text_winnow_neardup",
+    "images_phash_neardup",
     "images_curation_funnel",
     "images_magic_conformance",
 ]

@@ -914,6 +914,60 @@ def simhash_md5_candidates(
     return _with_deps(out, sh)
 
 
+def hamming_near_duplicates(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Near-dup pairs on an EXISTING 64-bit fingerprint column (e.g. the
+    images table's `phash` — the image-pipeline analog of SimHash on text):
+    band the int64 into four 16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ at
+    least one chunk equal), bucket-join on (chunk_pos, chunk_value), then
+    verify exact Hamming via bit_count(a XOR b) ≤ max_hamming.
+
+    Scale shape: one explode (4 rows/fingerprint), one shuffle on the
+    narrow (chunk, value) key, broadcast anti-join hot-bucket guard —
+    identical plan family to simhash_candidates but with zero Python and
+    no signature computation (the fingerprint is input data).  Arithmetic
+    shiftright is safe: the 0xFFFF mask strips sign extension."""
+    base = df.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("fp"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+            )
+            for c in range(4)
+        ]
+    )
+    buckets = base.select("id", "fp", F.explode(chunks).alias("c")).select(
+        "id", "fp", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("chunk", "ch")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("chunk", "ch")
+        )
+        buckets = buckets.join(F.broadcast(hot), on=["chunk", "ch"], how="left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",

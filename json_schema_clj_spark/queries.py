@@ -1857,6 +1857,61 @@ ORDER BY image_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 25. phash Hamming near-dup over the image fabric (north star: "uniqueness
+# on image_id and phash"; this is the NEAR-dup half — banded 16-bit chunks,
+# pigeonhole recall for Hamming ≤ 3, exact bit_count verify).  The fabric
+# makes the expected output PROVABLE, not just planted: base fingerprints
+# are 16-bit even-parity codewords repeated 4× (any two distinct bases
+# differ in ≥ 2·4 = 8 bits), clones flip exactly 1 bit — so clone↔base
+# pairs sit at Hamming 1 while every other pair is ≥ 6, and the banding
+# can neither miss a pair (3 of 4 chunks still equal) nor emit a false one.
+
+_PHASH_N_BASE = 30_000  # < 2^15 distinct even-parity codewords
+_PHASH_CLONE_EVERY = 3
+
+
+def _phash_fabric(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    v = F.shiftleft(i, 1).bitwiseOR(F.pmod(F.bit_count(i), F.lit(2)).cast("long"))
+    fp = (
+        F.shiftleft(v, 48)
+        .bitwiseOR(F.shiftleft(v, 32))
+        .bitwiseOR(F.shiftleft(v, 16))
+        .bitwiseOR(v)
+    )
+    base = spark.range(_PHASH_N_BASE).select(i.alias("row_id"), fp.alias("phash"))
+    clone = (
+        spark.range(_PHASH_N_BASE)
+        .where(i % _PHASH_CLONE_EVERY == 0)
+        .select(
+            (i + _PHASH_N_BASE).alias("row_id"),
+            fp.bitwiseXOR(
+                # Python-API shiftleft needs a literal count; SQL takes a column
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(id, 64) AS INT))")
+            ).alias("phash"),
+        )
+    )
+    return base.unionByName(clone)
+
+
+def q_images_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.hamming_near_duplicates(
+        _phash_fabric(spark), "phash", "row_id", max_hamming=3
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a")
+
+
+SQL_IMAGES_PHASH_NEARDUP = f"""
+SELECT i AS id_a, i + {_PHASH_N_BASE} AS id_b, CAST(1 AS INTEGER) AS hamming
+FROM generate_series(0, {_PHASH_N_BASE - 1}) t(i)
+WHERE i % {_PHASH_CLONE_EVERY} = 0
+ORDER BY id_a
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -1896,6 +1951,7 @@ QUERIES = {
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_caption_equality": q_images_caption_equality,
+    "images_phash_neardup": q_images_phash_neardup,
     "stats_quantiles_orders": q_stats_quantiles_orders,
     "drift_chi2_orders": q_drift_chi2_orders,
     "images_uniqueness_skewed": q_images_uniqueness_skewed,
@@ -1941,6 +1997,7 @@ ORACLES = {
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,
+    "images_phash_neardup": SQL_IMAGES_PHASH_NEARDUP,
     "stats_quantiles_orders": SQL_STATS_QUANTILES,
     "drift_chi2_orders": SQL_DRIFT_CHI2,
     # xxhash64-keyed signature fast paths, oracled via the salted-vocabulary

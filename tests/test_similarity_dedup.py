@@ -310,3 +310,39 @@ def test_query_wrappers_carry_release_handle(spark):
     assert deps and all(d.storageLevel.useMemory for d in deps)
     D.release(out)
     assert all(not d.storageLevel.useMemory for d in deps)
+
+
+def test_hamming_near_duplicates_exact_and_guard(spark):
+    from json_schema_clj_spark.operators.dedup import hamming_near_duplicates
+
+    rows = [
+        (1, 0x1111_1111_1111_1111),
+        (2, 0x1111_1111_1111_1110),  # hamming 1 from row 1
+        (3, 0x1111_1111_1111_0000),  # hamming 4 from row 1 (excluded), 3 from row 2
+        (4, -0x0123_4567_89AB_CDF0),  # negative fingerprints are fine
+        (5, -0x0123_4567_89AB_CDF0 ^ 0b101),  # hamming 2 from row 4
+    ]
+    df = spark.createDataFrame(rows, ["row_id", "fp"])
+    out = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_duplicates(df, "fp", "row_id", max_hamming=3).collect()
+    )
+    assert out == [(1, 2, 1), (2, 3, 3), (4, 5, 2)]
+
+    # hot-bucket guard: 10 rows sharing every chunk are dropped before the
+    # self-join when the bucket cap is below the bucket size
+    flat = spark.createDataFrame([(i, 7) for i in range(10)], ["row_id", "fp"])
+    assert hamming_near_duplicates(flat, "fp", "row_id", max_bucket_size=5).count() == 0
+    assert hamming_near_duplicates(flat, "fp", "row_id", max_bucket_size=500).count() == 45
+
+
+def test_hamming_near_duplicates_plan_no_cartesian(spark):
+    from json_schema_clj_spark.operators.dedup import hamming_near_duplicates
+
+    df = spark.range(100).selectExpr("id AS row_id", "xxhash64(id) AS fp")
+    plan = (
+        hamming_near_duplicates(df, "fp", "row_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
