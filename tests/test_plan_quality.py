@@ -172,3 +172,28 @@ def test_incremental_lsh_bucket_join_is_narrow(spark, tmp_path):
     assert len(sig_scans) == 2, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chi2_drift_broadcasts_pooled_baseline(spark):
+    """The pooled-baseline sketch is |buckets| rows — replicating it across
+    groups must be a broadcast, never a shuffled join of the big side."""
+    from json_schema_clj_spark.queries import q_drift_chi2_orders
+
+    plan = executed(q_drift_chi2_orders(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_quantile_profile_single_pass_and_partial_agg(spark):
+    """All columns' quantiles in ONE aggregation over ONE scan: the plan
+    must contain exactly one parquet scan of orders, and the approx path
+    (the 10^12-row configuration) must partial-aggregate map-side."""
+    from json_schema_clj_spark.operators.stats import quantile_profile
+    from json_schema_clj_spark.queries import t
+
+    df = t(spark, SF_DIR, "orders")
+    approx = quantile_profile(df, ["o_orderkey", "o_custkey"], exact=False)
+    plan = executed(approx)
+    assert plan.count("Scan parquet") == 1, plan
+    # partial_percentile_approx below the exchange, merge above it
+    assert "partial_" in plan and "Exchange" in plan, plan
+    assert "Python" not in plan, plan
