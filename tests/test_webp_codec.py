@@ -171,3 +171,63 @@ def test_distributed_webp_invariant_counts(spark):
         for r in QUERIES["images_webp_psnr_invariant"](spark, "/root/testdata/sf0.001").collect()
     }
     assert rows == {"pass_lossless": 195, "fail_decode_or_psnr": 5}
+
+
+def test_property_roundtrip_arbitrary_images():
+    """Property test: ANY uint8 RGB image round-trips bit-exactly under any
+    encoder option combination (hypothesis drives sizes, pixel content,
+    and options together)."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+        flat=st.booleans(),
+        sg=st.booleans(),
+        cache=st.sampled_from([0, 2, 6, 10]),
+        refs=st.booleans(),
+    )
+    def run(w, h, seed, flat, sg, cache, refs):
+        rng = np.random.default_rng(seed)
+        if flat:
+            px = np.full((h, w, 3), int(rng.integers(0, 256)), dtype=np.uint8)
+        else:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = encode_webp(px, subtract_green=sg, cache_bits=cache, use_backrefs=refs)
+        assert np.array_equal(decode_webp(data), px)
+
+    run()
+
+
+def test_property_fuzz_never_hangs():
+    """Bit flips / truncation on a real stream: clean error surface or a
+    same-typed array — nothing else may leak (mirrors the JPEG fuzz)."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    base = encode_webp(_img(20, 14), cache_bits=4, use_backrefs=True)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        pos=st.integers(0, len(base) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(base)),
+    )
+    def run(pos, val, cut):
+        data = bytearray(base)
+        data[pos] = val
+        data = bytes(data)[:cut]
+        try:
+            out = decode_webp(data)
+            assert isinstance(out, np.ndarray)
+        except (ValueError, NotImplementedError, struct.error):
+            pass  # struct.error: RIFF size field mutations on truncation
+
+    run()
