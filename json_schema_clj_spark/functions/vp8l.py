@@ -12,16 +12,22 @@ real encode → decode → pixel round-trip without any image library:
   40-symbol distance prefix code, 120-entry 2-D short-distance map), and
   the color cache ((0x1e35a7bd * argb) >> (32 - bits) insertion on every
   emitted pixel).
-* The SUBTRACT_GREEN transform (type 2).  PREDICTOR / COLOR /
-  COLOR_INDEXING transforms and meta prefix codes are NOT implemented —
-  `decode_webp` raises NotImplementedError on streams that use them (the
-  same documented-subset stance as the RGB8-only PNG codec and the
-  baseline-only JPEG codec in this repo).
+* ALL FOUR transforms: SUBTRACT_GREEN (type 2), PREDICTOR (type 0, all 14
+  spatial predictors with libwebp-exact Select / clamped-add-subtract
+  arithmetic and edge rules), COLOR (type 1, signed cross-channel deltas
+  `(int8(t)*int8(c))>>5` with the restored red feeding red-to-blue), and
+  COLOR_INDEXING (type 3, delta-coded palette + sub-byte pixel bundling
+  for <= 16 colors, with the width reduction applied to every read after
+  the transform).  Transform/element images are themselves entropy-coded
+  images read by the same layer.  Only meta prefix codes raise
+  NotImplementedError (the documented-subset stance this repo also takes
+  for RGB8-only PNG and baseline-only JPEG).
 
 The encoder always produces spec-conformant streams (any conformant VP8L
-decoder can read them); the decoder reads the full non-transformed /
-subtract-green subset including features the default encoder does not
-emit (cache + backrefs are exercised by encoder options in tests).
+decoder can read them); encoder options can emit every transform (uniform
+per-block predictor/color element images, palette bundling), the cache,
+and backward references, so each decoder path is exercised by real
+streams in tests.
 
 Reference parity note: the reference repo (json-schema.clj) has no image
 layer at all — this module serves the BASELINE.json input_hint's per-row
@@ -413,35 +419,21 @@ def _cache_index(argb: int, bits: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# encoder
+# entropy-coded image layer (shared by the main image, predictor mode
+# images, color-transform element images, and palettes)
 
 
-def encode_vp8l(
-    pixels: np.ndarray,
+def _write_entropy_coded_image(
+    bw: BitWriter,
+    argb: np.ndarray,
     *,
-    subtract_green: bool = False,
     cache_bits: int = 0,
     use_backrefs: bool = False,
-) -> bytes:
-    """RGB8 HxWx3 -> VP8L payload bytes (lossless).
-
-    Options exist to exercise decoder paths (transform, color cache,
-    backward references); all combinations round-trip bit-exactly."""
-    h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
-    assert 1 <= w <= (1 << 14) and 1 <= h <= (1 << 14)
-    r = pixels[..., 0].astype(np.int32)
-    g = pixels[..., 1].astype(np.int32)
-    b = pixels[..., 2].astype(np.int32)
-    if subtract_green:
-        r = (r - g) & 0xFF
-        b = (b - g) & 0xFF
-    rr, gg, bb = (x.reshape(-1) for x in (r, g, b))
-    n_px = w * h
-    argb = ((0xFF << 24) | (rr << 16) | (gg << 8) | bb).astype(np.int64)
-
-    # token stream: ('lit', i) | ('ref', length, dist) | ('cache', idx)
-    tokens: list[tuple] = []
+    is_main: bool = False,
+) -> None:
+    """Serialize a flat ARGB array as one spatially-coded VP8L image."""
+    n_px = len(argb)
+    tokens: list[tuple] = []  # ('lit', i) | ('ref', length, dist) | ('cache', idx)
     cache = [-1] * (1 << cache_bits) if cache_bits else None
     i = 0
     while i < n_px:
@@ -468,9 +460,12 @@ def encode_vp8l(
         tokens.append(("lit", i))
         i += 1
 
+    aa = (argb >> 24) & 0xFF
+    rr = (argb >> 16) & 0xFF
+    gg = (argb >> 8) & 0xFF
+    bb = argb & 0xFF
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green_n = 256 + NUM_LENGTH_CODES + cache_size
-    fg = [0] * green_n
+    fg = [0] * (256 + NUM_LENGTH_CODES + cache_size)
     fr = [0] * 256
     fb = [0] * 256
     fa = [0] * 256
@@ -481,7 +476,7 @@ def encode_vp8l(
             fg[int(gg[j])] += 1
             fr[int(rr[j])] += 1
             fb[int(bb[j])] += 1
-            fa[0xFF] += 1
+            fa[int(aa[j])] += 1
         elif tok[0] == "ref":
             lsym, _, _ = _prefix_encode(tok[1])
             fg[256 + lsym] += 1
@@ -490,22 +485,13 @@ def encode_vp8l(
         else:
             fg[256 + NUM_LENGTH_CODES + tok[1]] += 1
 
-    bw = BitWriter()
-    bw.write(0x2F, 8)  # signature
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha_is_used
-    bw.write(0, 3)  # version
-    if subtract_green:
-        bw.write(1, 1)
-        bw.write(2, 2)  # SUBTRACT_GREEN
-    bw.write(0, 1)  # no more transforms
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
-    bw.write(0, 1)  # no meta prefix codes
+    if is_main:
+        bw.write(0, 1)  # no meta prefix codes
     cg = _write_prefix_code(bw, fg)
     cr = _write_prefix_code(bw, fr)
     cb = _write_prefix_code(bw, fb)
@@ -517,7 +503,7 @@ def encode_vp8l(
             bw.write_code(*cg[int(gg[j])])
             bw.write_code(*cr[int(rr[j])])
             bw.write_code(*cb[int(bb[j])])
-            bw.write_code(*ca[0xFF])
+            bw.write_code(*ca[int(aa[j])])
         elif tok[0] == "ref":
             lsym, lx, lv = _prefix_encode(tok[1])
             bw.write_code(*cg[256 + lsym])
@@ -529,29 +515,14 @@ def encode_vp8l(
                 bw.write(dv, dx)
         else:
             bw.write_code(*cg[256 + NUM_LENGTH_CODES + tok[1]])
-    return bw.flush()
 
 
-def decode_vp8l(payload: bytes) -> np.ndarray:
-    """VP8L payload -> RGB8 HxWx3.  Subset: no PREDICTOR/COLOR/
-    COLOR_INDEXING transforms, no meta prefix codes (raises
-    NotImplementedError on those)."""
-    br = BitReader(payload)
-    if br.read(8) != 0x2F:
-        raise ValueError("bad VP8L signature")
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)  # alpha_is_used
-    if br.read(3) != 0:
-        raise ValueError("unknown VP8L version")
-    transforms: list[int] = []
-    while br.read(1):
-        ttype = br.read(2)
-        if ttype != 2:  # SUBTRACT_GREEN carries no extra data
-            raise NotImplementedError(f"VP8L transform {ttype} not supported")
-        transforms.append(ttype)
+def _read_entropy_coded_image(
+    br: BitReader, w: int, h: int, *, is_main: bool = False
+) -> np.ndarray:
+    """Read one spatially-coded image -> flat ARGB int64 array of w*h."""
     cache_bits = br.read(4) if br.read(1) else 0
-    if br.read(1):
+    if is_main and br.read(1):
         raise NotImplementedError("VP8L meta prefix codes not supported")
     cache_size = (1 << cache_bits) if cache_bits else 0
     green = _read_prefix_code(br, 256 + NUM_LENGTH_CODES + cache_size)
@@ -602,17 +573,416 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
                 raise ValueError("VP8L color cache miss")
             out[i] = cache[idx]
             i += 1
+    return out
 
-    r = (out >> 16) & 0xFF
-    g = (out >> 8) & 0xFF
-    b = out & 0xFF
-    for ttype in reversed(transforms):
-        if ttype == 2:
-            r = (r + g) & 0xFF
-            b = (b + g) & 0xFF
+
+# ---------------------------------------------------------------------------
+# predictor transform (type 0) — 14 spatial predictors, libwebp-exact
+
+
+ARGB_BLACK = 0xFF000000
+
+
+def _avg2(p: int, q: int) -> int:
     return (
-        np.stack([r, g, b], axis=-1).astype(np.uint8).reshape(h, w, 3)
+        ((((p >> 24) & 0xFF) + ((q >> 24) & 0xFF)) >> 1) << 24
+        | ((((p >> 16) & 0xFF) + ((q >> 16) & 0xFF)) >> 1) << 16
+        | ((((p >> 8) & 0xFF) + ((q >> 8) & 0xFF)) >> 1) << 8
+        | ((((p & 0xFF) + (q & 0xFF))) >> 1)
     )
+
+
+def _select(t: int, l: int, tl: int) -> int:  # noqa: E741 - spec naming
+    s = 0
+    for sh in (24, 16, 8, 0):
+        a = (t >> sh) & 0xFF
+        b = (l >> sh) & 0xFF
+        c = (tl >> sh) & 0xFF
+        s += abs(b - c) - abs(a - c)
+    return t if s <= 0 else l
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _cas_full(l: int, t: int, tl: int) -> int:  # noqa: E741
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = _clamp255(((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF))
+        out |= c << sh
+    return out
+
+
+def _cas_half(l: int, t: int, tl: int) -> int:  # noqa: E741
+    ave = _avg2(l, t)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (ave >> sh) & 0xFF
+        b = (tl >> sh) & 0xFF
+        # C truncation toward zero for (a - b) / 2
+        half = abs(a - b) >> 1
+        c = _clamp255(a + (half if a >= b else -half))
+        out |= c << sh
+    return out
+
+
+def _predictor_value(mode: int, flat, i: int, x: int, y: int, w: int) -> int:
+    """Predicted ARGB for pixel i=(x,y) from already-final neighbors.
+    Edge rules match libwebp: (0,0)->black, row 0 -> L, column 0 -> T.
+    TR of the last column is flat[i-w+1] == first pixel of the current row."""
+    if y == 0:
+        return ARGB_BLACK if x == 0 else int(flat[i - 1])
+    if x == 0:
+        return int(flat[i - w])
+    L = int(flat[i - 1])  # noqa: N806
+    T = int(flat[i - w])  # noqa: N806
+    TL = int(flat[i - w - 1])  # noqa: N806
+    if mode == 0:
+        return ARGB_BLACK
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return int(flat[i - w + 1])
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, int(flat[i - w + 1])), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, int(flat[i - w + 1]))
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, int(flat[i - w + 1])))
+    if mode == 11:
+        return _select(T, L, TL)
+    if mode == 12:
+        return _cas_full(L, T, TL)
+    if mode == 13:
+        return _cas_half(L, T, TL)
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _add_px(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) + (b >> 24)) & 0xFF) << 24)
+        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+        | (((a + b) & 0xFF))
+    )
+
+
+def _sub_px(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+        | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+        | (((a - b) & 0xFF))
+    )
+
+
+def _predictor_inverse(resid: np.ndarray, modes: np.ndarray, size_bits: int, w: int, h: int) -> np.ndarray:
+    mode_w = (w + (1 << size_bits) - 1) >> size_bits
+    out = np.zeros(w * h, dtype=np.int64)
+    i = 0
+    for y in range(h):
+        for x in range(w):
+            mode = (int(modes[(y >> size_bits) * mode_w + (x >> size_bits)]) >> 8) & 0xFF
+            pred = _predictor_value(mode, out, i, x, y, w)
+            out[i] = _add_px(int(resid[i]), pred)
+            i += 1
+    return out
+
+
+def _predictor_forward(argb: np.ndarray, mode: int, size_bits: int, w: int, h: int) -> np.ndarray:
+    """Residuals for a uniform predictor mode (the encoder emits one mode
+    for every block; the decoder path is fully general)."""
+    out = np.zeros(w * h, dtype=np.int64)
+    i = 0
+    for y in range(h):
+        for x in range(w):
+            pred = _predictor_value(mode, argb, i, x, y, w)
+            out[i] = _sub_px(int(argb[i]), pred)
+            i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# color transform (type 1) — cross-channel decorrelation, libwebp-exact
+
+
+def _s8(v: int) -> int:
+    v &= 0xFF
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    return (_s8(t) * _s8(c)) >> 5
+
+
+def _color_inverse(argb: np.ndarray, elems: np.ndarray, size_bits: int, w: int, h: int) -> np.ndarray:
+    elem_w = (w + (1 << size_bits) - 1) >> size_bits
+    out = np.empty_like(argb)
+    for i in range(len(argb)):
+        y, x = divmod(i, w)
+        code = int(elems[(y >> size_bits) * elem_w + (x >> size_bits)])
+        g2r = code & 0xFF  # blue channel
+        g2b = (code >> 8) & 0xFF  # green channel
+        r2b = (code >> 16) & 0xFF  # red channel
+        v = int(argb[i])
+        g = (v >> 8) & 0xFF
+        r = ((v >> 16) & 0xFF) + _ct_delta(g2r, g)
+        r &= 0xFF
+        b = ((v & 0xFF) + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+        out[i] = (v & ~0xFF00FF) | (r << 16) | b
+    return out
+
+
+def _color_forward(argb: np.ndarray, g2r: int, g2b: int, r2b: int) -> np.ndarray:
+    out = np.empty_like(argb)
+    for i in range(len(argb)):
+        v = int(argb[i])
+        g = (v >> 8) & 0xFF
+        r0 = (v >> 16) & 0xFF
+        r = (r0 - _ct_delta(g2r, g)) & 0xFF
+        b = ((v & 0xFF) - _ct_delta(g2b, g) - _ct_delta(r2b, r0)) & 0xFF
+        out[i] = (v & ~0xFF00FF) | (r << 16) | b
+    return out
+
+
+# ---------------------------------------------------------------------------
+# color indexing transform (type 3) — palette + sub-byte pixel bundling
+
+
+def _palette_width_bits(n_colors: int) -> int:
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def _encode_vp8l_payload(
+    pixels: np.ndarray,
+    *,
+    subtract_green: bool,
+    cache_bits: int,
+    use_backrefs: bool,
+    predictor_mode: int | None,
+    color_transform: tuple[int, int, int] | None,
+    color_indexing: bool,
+) -> bytes:
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    assert 1 <= w <= (1 << 14) and 1 <= h <= (1 << 14)
+    if color_indexing and (subtract_green or predictor_mode is not None or color_transform):
+        raise ValueError("color_indexing composes only with cache/backrefs")
+    r = pixels[..., 0].astype(np.int64).reshape(-1)
+    g = pixels[..., 1].astype(np.int64).reshape(-1)
+    b = pixels[..., 2].astype(np.int64).reshape(-1)
+    argb = (0xFF << 24) | (r << 16) | (g << 8) | b
+
+    bw = BitWriter()
+    bw.write(0x2F, 8)  # signature
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha_is_used
+    bw.write(0, 3)  # version
+
+    # forward transforms, written in application order: the decoder inverts
+    # last-read first, so the last-applied transform must be read last
+    cur_w = w
+    if color_indexing:
+        uniq = sorted(set(int(v) for v in argb))
+        if len(uniq) > 256:
+            raise ValueError("color_indexing needs <= 256 distinct colors")
+        lut = {v: i for i, v in enumerate(uniq)}
+        idx = np.array([lut[int(v)] for v in argb], dtype=np.int64)
+        width_bits = _palette_width_bits(len(uniq))
+        if width_bits:
+            per = 1 << width_bits
+            bits_per = 8 >> width_bits
+            packed_w = (w + per - 1) >> width_bits
+            packed = np.zeros(packed_w * h, dtype=np.int64)
+            for y in range(h):
+                for x in range(w):
+                    packed[y * packed_w + (x >> width_bits)] |= idx[y * w + x] << (
+                        bits_per * (x & (per - 1))
+                    )
+            argb = (0xFF << 24) | (packed << 8)
+            cur_w = packed_w
+        else:
+            argb = (0xFF << 24) | (idx << 8)
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(uniq) - 1, 8)
+        pal = np.array(uniq, dtype=np.int64)
+        deltas = np.empty_like(pal)
+        deltas[0] = pal[0]
+        for i in range(1, len(pal)):
+            deltas[i] = _sub_px(int(pal[i]), int(pal[i - 1]))
+        _write_entropy_coded_image(bw, deltas)
+    if subtract_green:
+        rr = ((argb >> 16) - (argb >> 8)) & 0xFF
+        bb = (argb - (argb >> 8)) & 0xFF
+        argb = (argb & ~np.int64(0xFF00FF)) | (rr << 16) | bb
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN (no extra data)
+    if color_transform is not None:
+        g2r, g2b, r2b = color_transform
+        size_bits = 9  # up to 512px blocks; element image below is uniform
+        ew = (cur_w + (1 << size_bits) - 1) >> size_bits
+        eh = (h + (1 << size_bits) - 1) >> size_bits
+        argb = _color_forward(argb, g2r, g2b, r2b)
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR
+        bw.write(size_bits - 2, 3)
+        elem = np.full(
+            ew * eh,
+            (0xFF << 24) | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF),
+            dtype=np.int64,
+        )
+        _write_entropy_coded_image(bw, elem)
+    if predictor_mode is not None:
+        size_bits = 9
+        mw = (cur_w + (1 << size_bits) - 1) >> size_bits
+        mh = (h + (1 << size_bits) - 1) >> size_bits
+        argb = _predictor_forward(argb, predictor_mode, size_bits, cur_w, h)
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(size_bits - 2, 3)
+        modes = np.full(mw * mh, (0xFF << 24) | (predictor_mode << 8), dtype=np.int64)
+        _write_entropy_coded_image(bw, modes)
+    bw.write(0, 1)  # no more transforms
+
+    _write_entropy_coded_image(
+        bw, argb, cache_bits=cache_bits, use_backrefs=use_backrefs, is_main=True
+    )
+    return bw.flush()
+
+
+def encode_vp8l(
+    pixels: np.ndarray,
+    *,
+    subtract_green: bool = False,
+    cache_bits: int = 0,
+    use_backrefs: bool = False,
+    predictor_mode: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
+    color_indexing: bool = False,
+) -> bytes:
+    """RGB8 HxWx3 -> VP8L payload bytes (lossless).
+
+    Options exercise every decoder path — subtract-green / predictor /
+    color / color-indexing transforms, color cache, backward references;
+    all legal combinations round-trip bit-exactly.  `predictor_mode`
+    (0-13) and `color_transform` ((g2r, g2b, r2b) signed bytes) are
+    emitted as uniform per-block images; `color_indexing` builds the
+    palette (<= 256 colors) with sub-byte bundling for <= 16."""
+    return _encode_vp8l_payload(
+        pixels,
+        subtract_green=subtract_green,
+        cache_bits=cache_bits,
+        use_backrefs=use_backrefs,
+        predictor_mode=predictor_mode,
+        color_transform=color_transform,
+        color_indexing=color_indexing,
+    )
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """VP8L payload -> RGB8 HxWx3.  All four transforms (PREDICTOR, COLOR,
+    SUBTRACT_GREEN, COLOR_INDEXING incl. sub-byte bundling), color cache,
+    and backward references are supported; meta prefix codes raise
+    NotImplementedError."""
+    br = BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha_is_used
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms: list[tuple] = []  # (type, data) in read order
+    seen: set[int] = set()
+    cur_w = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError(f"duplicate VP8L transform {ttype}")
+        seen.add(ttype)
+        if ttype == 2:  # SUBTRACT_GREEN: no extra data
+            transforms.append((2, None))
+        elif ttype in (0, 1):  # PREDICTOR / COLOR: block-size + sub-image
+            size_bits = br.read(3) + 2
+            sw = (cur_w + (1 << size_bits) - 1) >> size_bits
+            sh = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _read_entropy_coded_image(br, sw, sh)
+            transforms.append((ttype, (size_bits, sub, cur_w)))
+        else:  # COLOR_INDEXING: palette + width reduction for later reads
+            n_colors = br.read(8) + 1
+            deltas = _read_entropy_coded_image(br, n_colors, 1)
+            pal = np.empty(n_colors, dtype=np.int64)
+            acc = 0
+            for i in range(n_colors):
+                acc = _add_px(acc, int(deltas[i])) if i else int(deltas[i])
+                pal[i] = acc
+            width_bits = _palette_width_bits(n_colors)
+            transforms.append((3, (pal, width_bits, cur_w)))
+            if width_bits:
+                cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+
+    argb = _read_entropy_coded_image(br, cur_w, h, is_main=True)
+
+    # inverse transforms: last-read first
+    for ttype, data in reversed(transforms):
+        if ttype == 2:
+            gg = (argb >> 8) & 0xFF
+            rr = ((argb >> 16) + gg) & 0xFF
+            bb = (argb + gg) & 0xFF
+            argb = (argb & ~np.int64(0xFF00FF)) | (rr << 16) | bb
+        elif ttype == 0:
+            size_bits, modes, tw = data
+            argb = _predictor_inverse(argb, modes, size_bits, tw, h)
+        elif ttype == 1:
+            size_bits, elems, tw = data
+            argb = _color_inverse(argb, elems, size_bits, tw, h)
+        else:
+            pal, width_bits, orig_w = data
+            if width_bits:
+                per = 1 << width_bits
+                bits_per = 8 >> width_bits
+                mask = (1 << bits_per) - 1
+                packed_w = (orig_w + per - 1) >> width_bits
+                out = np.empty(orig_w * h, dtype=np.int64)
+                for y in range(h):
+                    for x in range(orig_w):
+                        gv = (int(argb[y * packed_w + (x >> width_bits)]) >> 8) & 0xFF
+                        idx = (gv >> (bits_per * (x & (per - 1)))) & mask
+                        if idx >= len(pal):
+                            raise ValueError("VP8L palette index out of range")
+                        out[y * orig_w + x] = pal[idx]
+                argb = out
+            else:
+                idxs = (argb >> 8) & 0xFF
+                if int(idxs.max(initial=0)) >= len(pal):
+                    raise ValueError("VP8L palette index out of range")
+                argb = pal[idxs]
+            cur_w = orig_w
+
+    r = (argb >> 16) & 0xFF
+    g = (argb >> 8) & 0xFF
+    b = argb & 0xFF
+    return np.stack([r, g, b], axis=-1).astype(np.uint8).reshape(h, w, 3)
 
 
 # ---------------------------------------------------------------------------

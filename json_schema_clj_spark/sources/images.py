@@ -258,7 +258,9 @@ def webp_images_df(
     VP8L encoder (functions/vp8l.py).  Encoder options cycle
     per row so the distributed decode exercises every bitstream path —
     subtract-green transform (i%3==1), color cache (i%5==2), backward
-    references (i%4==0), and any combination when the cycles align.
+    references (i%4==0), all 14 spatial predictors (i%7==3 → mode i%14),
+    cross-channel color transform (i%11==4), and any combination when the
+    cycles align.
     `corrupt_every`: rows with id % corrupt_every == 7 get truncated bytes
     (planted decode failures with exactly known ids).  VP8L is lossless,
     so every intact row matches the PNG reference pixel-exactly."""
@@ -278,6 +280,8 @@ def webp_images_df(
                     subtract_green=i % 3 == 1,
                     cache_bits=6 if i % 5 == 2 else 0,
                     use_backrefs=i % 4 == 0,
+                    predictor_mode=int(i) % 14 if i % 7 == 3 else None,
+                    color_transform=(34, -22, 17) if i % 11 == 4 else None,
                 )
                 if corrupt_every and i % corrupt_every == 7:
                     data = data[: len(data) // 2]

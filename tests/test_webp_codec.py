@@ -91,16 +91,18 @@ def test_lossy_and_extended_chunks_raise_not_implemented():
             decode_webp(bytes(data))
 
 
-def test_unsupported_transform_raises_not_implemented():
-    # craft a stream announcing a PREDICTOR transform (type 0)
+def test_meta_prefix_codes_raise_not_implemented():
+    # craft a headerless stream announcing meta prefix codes on the main
+    # image (the one remaining documented-subset boundary)
     bw = BitWriter()
     bw.write(0x2F, 8)
     bw.write(0, 14)  # w-1
     bw.write(0, 14)  # h-1
     bw.write(0, 1)
     bw.write(0, 3)
-    bw.write(1, 1)  # a transform follows
-    bw.write(0, 2)  # PREDICTOR
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix codes present
     payload = bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:
@@ -108,6 +110,30 @@ def test_unsupported_transform_raises_not_implemented():
     body = b"WEBP" + chunk
     with pytest.raises(NotImplementedError):
         decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_all_transform_roundtrips():
+    """Every predictor mode, signed color-transform elements, palette
+    bundling at each width, and legal combinations — all bit-exact."""
+    noise = _img(19, 13)
+    smooth = smooth_pixels(b"s", 18, 12)
+    for mode in range(14):
+        for px in (noise, smooth):
+            assert np.array_equal(decode_webp(encode_webp(px, predictor_mode=mode)), px), mode
+    for ct in [(0, 0, 0), (34, -22, 17), (-128, 127, -1)]:
+        assert np.array_equal(decode_webp(encode_webp(noise, color_transform=ct)), noise), ct
+    # palettes: 2 colors (1-bit bundling), 5 colors (4-bit), 30 colors (none)
+    two = (np.indices((7, 9)).sum(0) % 2 * 200).astype(np.uint8)
+    two = np.repeat(two[..., None], 3, axis=-1)
+    five = (np.arange(11 * 15 * 3).reshape(11, 15, 3) % 5 * 37).astype(np.uint8)
+    many = _img(6, 5)
+    for px in (two, five, many):
+        assert np.array_equal(decode_webp(encode_webp(px, color_indexing=True)), px)
+    combo = encode_webp(
+        noise, subtract_green=True, color_transform=(25, -8, 3),
+        predictor_mode=13, cache_bits=5, use_backrefs=True,
+    )
+    assert np.array_equal(decode_webp(combo), noise)
 
 
 def test_corruption_fuzz_never_wrong_silently():
@@ -191,14 +217,19 @@ def test_property_roundtrip_arbitrary_images():
         sg=st.booleans(),
         cache=st.sampled_from([0, 2, 6, 10]),
         refs=st.booleans(),
+        pred=st.sampled_from([None] + list(range(14))),
+        ct=st.sampled_from([None, (34, -22, 17), (-128, 127, -1)]),
     )
-    def run(w, h, seed, flat, sg, cache, refs):
+    def run(w, h, seed, flat, sg, cache, refs, pred, ct):
         rng = np.random.default_rng(seed)
         if flat:
             px = np.full((h, w, 3), int(rng.integers(0, 256)), dtype=np.uint8)
         else:
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        data = encode_webp(px, subtract_green=sg, cache_bits=cache, use_backrefs=refs)
+        data = encode_webp(
+            px, subtract_green=sg, cache_bits=cache, use_backrefs=refs,
+            predictor_mode=pred, color_transform=ct,
+        )
         assert np.array_equal(decode_webp(data), px)
 
     run()
