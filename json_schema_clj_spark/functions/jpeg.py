@@ -488,11 +488,18 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             fh, fw = struct.unpack(">HH", payload[1:5])
+            if fh == 0 or fw == 0 or fh * fw > 100_000_000:
+                # 0-dim or absurd dims (a flipped SOF byte on adversarial
+                # input must not allocate gigabytes of coefficient arrays)
+                raise ValueError(f"invalid frame dimensions {fw}x{fh}")
             ncomp = payload[5]
             comps = []
             for c in range(ncomp):
                 cid, sf, tq = payload[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
+                hv, vv = sf >> 4, sf & 0xF
+                if not (1 <= hv <= 4 and 1 <= vv <= 4):
+                    raise ValueError(f"invalid sampling factors {hv}x{vv}")
+                comps.append({"id": cid, "h": hv, "v": vv, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline SOF 0x{marker:02x}")
@@ -583,8 +590,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 for bx in range(c["h"]):
                     zz = comp_zz[c["id"]][(my * c["v"] + by) * bw_ + (mx * c["h"] + bx)]
                     s = read_symbol(dct)
+                    if s > 15:
+                        raise ValueError(f"invalid DC category {s}")
                     diff = _extend(reader.receive(s), s) if s else 0
-                    pred[c["id"]] += diff
+                    # wrap to int32 so corrupt streams can't overflow the
+                    # coefficient array (real DC values are <= 12 bits)
+                    pred[c["id"]] = (pred[c["id"]] + diff + 2**31) % 2**32 - 2**31
                     zz[0] = pred[c["id"]]
                     k = 1
                     while k < 64:

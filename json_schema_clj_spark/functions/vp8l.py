@@ -19,9 +19,12 @@ real encode → decode → pixel round-trip without any image library:
   COLOR_INDEXING (type 3, delta-coded palette + sub-byte pixel bundling
   for <= 16 colors, with the width reduction applied to every read after
   the transform).  Transform/element images are themselves entropy-coded
-  images read by the same layer.  Only meta prefix codes raise
-  NotImplementedError (the documented-subset stance this repo also takes
-  for RGB8-only PNG and baseline-only JPEG).
+  images read by the same layer.
+* Meta prefix codes: a recursively entropy-coded meta image assigns each
+  block a prefix-code group ((red<<8)|green), with per-pixel-position
+  group selection — the decoder covers the ENTIRE lossless bitstream
+  spec; only the container-level VP8 (lossy) and VP8X (extended) chunks
+  raise NotImplementedError.
 
 The encoder always produces spec-conformant streams (any conformant VP8L
 decoder can read them); encoder options can emit every transform (uniform
@@ -430,10 +433,20 @@ def _write_entropy_coded_image(
     cache_bits: int = 0,
     use_backrefs: bool = False,
     is_main: bool = False,
+    w: int = 0,
+    h: int = 0,
+    meta_bits: int = 0,
 ) -> None:
-    """Serialize a flat ARGB array as one spatially-coded VP8L image."""
+    """Serialize a flat ARGB array as one spatially-coded VP8L image.
+
+    `meta_bits` (main image only, >= 2): emit meta prefix codes — blocks of
+    2^meta_bits pixels alternate between two prefix-code groups via a
+    recursively entropy-coded meta image, exercising the decoder's
+    group-per-position selection."""
     n_px = len(argb)
-    tokens: list[tuple] = []  # ('lit', i) | ('ref', length, dist) | ('cache', idx)
+    # tokens carry their start position so the per-position group is known:
+    # ('lit', i) | ('ref', i, length, dist) | ('cache', i, idx)
+    tokens: list[tuple] = []
     cache = [-1] * (1 << cache_bits) if cache_bits else None
     i = 0
     while i < n_px:
@@ -443,7 +456,7 @@ def _write_entropy_coded_image(
             while i + run < n_px and argb[i + run] == argb[i - 1] and run < 4096:
                 run += 1
             if run >= 3:
-                tokens.append(("ref", run, 1))
+                tokens.append(("ref", i, run, 1))
                 if cache is not None:
                     v = int(argb[i - 1])
                     cache[_cache_index(v, cache_bits)] = v
@@ -453,37 +466,52 @@ def _write_entropy_coded_image(
         if cache is not None:
             idx = _cache_index(v, cache_bits)
             if cache[idx] == v:
-                tokens.append(("cache", idx))
+                tokens.append(("cache", i, idx))
                 i += 1
                 continue
             cache[idx] = v
         tokens.append(("lit", i))
         i += 1
 
+    n_groups = 1
+    meta_w = 0
+    if is_main and meta_bits:
+        assert meta_bits >= 2 and w and h
+        meta_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        meta_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        n_groups = min(2, meta_w * meta_h)
+
+    def group_of(i: int) -> int:
+        if n_groups == 1:
+            return 0
+        y, x = divmod(i, w)
+        return ((y >> meta_bits) * meta_w + (x >> meta_bits)) % n_groups
+
     aa = (argb >> 24) & 0xFF
     rr = (argb >> 16) & 0xFF
     gg = (argb >> 8) & 0xFF
     bb = argb & 0xFF
     cache_size = (1 << cache_bits) if cache_bits else 0
-    fg = [0] * (256 + NUM_LENGTH_CODES + cache_size)
-    fr = [0] * 256
-    fb = [0] * 256
-    fa = [0] * 256
-    fd = [0] * NUM_DISTANCE_CODES
+    fg = [[0] * (256 + NUM_LENGTH_CODES + cache_size) for _ in range(n_groups)]
+    fr = [[0] * 256 for _ in range(n_groups)]
+    fb = [[0] * 256 for _ in range(n_groups)]
+    fa = [[0] * 256 for _ in range(n_groups)]
+    fd = [[0] * NUM_DISTANCE_CODES for _ in range(n_groups)]
     for tok in tokens:
+        g = group_of(tok[1])
         if tok[0] == "lit":
             j = tok[1]
-            fg[int(gg[j])] += 1
-            fr[int(rr[j])] += 1
-            fb[int(bb[j])] += 1
-            fa[int(aa[j])] += 1
+            fg[g][int(gg[j])] += 1
+            fr[g][int(rr[j])] += 1
+            fb[g][int(bb[j])] += 1
+            fa[g][int(aa[j])] += 1
         elif tok[0] == "ref":
-            lsym, _, _ = _prefix_encode(tok[1])
-            fg[256 + lsym] += 1
-            dsym, _, _ = _prefix_encode(tok[2] + 120)  # linear distance code
-            fd[dsym] += 1
+            lsym, _, _ = _prefix_encode(tok[2])
+            fg[g][256 + lsym] += 1
+            dsym, _, _ = _prefix_encode(tok[3] + 120)  # linear distance code
+            fd[g][dsym] += 1
         else:
-            fg[256 + NUM_LENGTH_CODES + tok[1]] += 1
+            fg[g][256 + NUM_LENGTH_CODES + tok[2]] += 1
 
     if cache_bits:
         bw.write(1, 1)
@@ -491,13 +519,28 @@ def _write_entropy_coded_image(
     else:
         bw.write(0, 1)
     if is_main:
-        bw.write(0, 1)  # no meta prefix codes
-    cg = _write_prefix_code(bw, fg)
-    cr = _write_prefix_code(bw, fr)
-    cb = _write_prefix_code(bw, fb)
-    ca = _write_prefix_code(bw, fa)
-    cd = _write_prefix_code(bw, fd)
+        if meta_bits:
+            bw.write(1, 1)  # meta prefix codes present
+            bw.write(meta_bits - 2, 3)
+            # block b -> group b % n_groups, matching group_of exactly
+            meta_idx = np.arange(meta_w * meta_h, dtype=np.int64) % n_groups
+            meta_px = (0xFF << 24) | ((meta_idx >> 8) << 16) | ((meta_idx & 0xFF) << 8)
+            _write_entropy_coded_image(bw, meta_px)
+        else:
+            bw.write(0, 1)  # no meta prefix codes
+    codes = []
+    for g in range(n_groups):
+        codes.append(
+            (
+                _write_prefix_code(bw, fg[g]),
+                _write_prefix_code(bw, fr[g]),
+                _write_prefix_code(bw, fb[g]),
+                _write_prefix_code(bw, fa[g]),
+                _write_prefix_code(bw, fd[g]),
+            )
+        )
     for tok in tokens:
+        cg, cr, cb, ca, cd = codes[group_of(tok[1])]
         if tok[0] == "lit":
             j = tok[1]
             bw.write_code(*cg[int(gg[j])])
@@ -505,31 +548,52 @@ def _write_entropy_coded_image(
             bw.write_code(*cb[int(bb[j])])
             bw.write_code(*ca[int(aa[j])])
         elif tok[0] == "ref":
-            lsym, lx, lv = _prefix_encode(tok[1])
+            lsym, lx, lv = _prefix_encode(tok[2])
             bw.write_code(*cg[256 + lsym])
             if lx:
                 bw.write(lv, lx)
-            dsym, dx, dv = _prefix_encode(tok[2] + 120)
+            dsym, dx, dv = _prefix_encode(tok[3] + 120)
             bw.write_code(*cd[dsym])
             if dx:
                 bw.write(dv, dx)
         else:
-            bw.write_code(*cg[256 + NUM_LENGTH_CODES + tok[1]])
+            bw.write_code(*cg[256 + NUM_LENGTH_CODES + tok[2]])
 
 
 def _read_entropy_coded_image(
     br: BitReader, w: int, h: int, *, is_main: bool = False
 ) -> np.ndarray:
-    """Read one spatially-coded image -> flat ARGB int64 array of w*h."""
+    """Read one spatially-coded image -> flat ARGB int64 array of w*h.
+
+    For the main image (`is_main`) the meta-prefix-code machinery is
+    supported: a recursively entropy-coded meta image assigns each
+    2^bits-sized block a prefix-code GROUP index ((red<<8)|green of the
+    meta pixel); each group carries its own five codes, selected per
+    pixel position.  The color cache is shared across groups (spec)."""
     cache_bits = br.read(4) if br.read(1) else 0
+    meta = None
+    meta_bits = 0
+    meta_w = 0
+    n_groups = 1
     if is_main and br.read(1):
-        raise NotImplementedError("VP8L meta prefix codes not supported")
+        meta_bits = br.read(3) + 2
+        meta_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        meta_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_raw = _read_entropy_coded_image(br, meta_w, meta_h)
+        meta = ((meta_raw >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta.max(initial=0)) + 1
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green = _read_prefix_code(br, 256 + NUM_LENGTH_CODES + cache_size)
-    red = _read_prefix_code(br, 256)
-    blue = _read_prefix_code(br, 256)
-    alpha = _read_prefix_code(br, 256)
-    dist = _read_prefix_code(br, NUM_DISTANCE_CODES)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, 256 + NUM_LENGTH_CODES + cache_size),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, NUM_DISTANCE_CODES),
+            )
+        )
 
     n_px = w * h
     out = np.zeros(n_px, dtype=np.int64)
@@ -539,8 +603,15 @@ def _read_entropy_coded_image(
         if cache is not None:
             cache[_cache_index(v, cache_bits)] = v
 
+    def group_at(i: int):
+        if meta is None:
+            return groups[0]
+        y, x = divmod(i, w)
+        return groups[int(meta[(y >> meta_bits) * meta_w + (x >> meta_bits)])]
+
     i = 0
     while i < n_px:
+        green, red, blue, alpha, dist = group_at(i)
         s = green.read(br)
         if s < 256:
             rv = red.read(br)
@@ -779,6 +850,7 @@ def _encode_vp8l_payload(
     predictor_mode: int | None,
     color_transform: tuple[int, int, int] | None,
     color_indexing: bool,
+    meta_bits: int,
 ) -> bytes:
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
@@ -864,7 +936,8 @@ def _encode_vp8l_payload(
     bw.write(0, 1)  # no more transforms
 
     _write_entropy_coded_image(
-        bw, argb, cache_bits=cache_bits, use_backrefs=use_backrefs, is_main=True
+        bw, argb, cache_bits=cache_bits, use_backrefs=use_backrefs, is_main=True,
+        w=cur_w, h=h, meta_bits=meta_bits,
     )
     return bw.flush()
 
@@ -878,6 +951,7 @@ def encode_vp8l(
     predictor_mode: int | None = None,
     color_transform: tuple[int, int, int] | None = None,
     color_indexing: bool = False,
+    meta_bits: int = 0,
 ) -> bytes:
     """RGB8 HxWx3 -> VP8L payload bytes (lossless).
 
@@ -886,7 +960,9 @@ def encode_vp8l(
     all legal combinations round-trip bit-exactly.  `predictor_mode`
     (0-13) and `color_transform` ((g2r, g2b, r2b) signed bytes) are
     emitted as uniform per-block images; `color_indexing` builds the
-    palette (<= 256 colors) with sub-byte bundling for <= 16."""
+    palette (<= 256 colors) with sub-byte bundling for <= 16;
+    `meta_bits` (>= 2) emits meta prefix codes with two alternating
+    per-block code groups."""
     return _encode_vp8l_payload(
         pixels,
         subtract_green=subtract_green,
@@ -895,14 +971,15 @@ def encode_vp8l(
         predictor_mode=predictor_mode,
         color_transform=color_transform,
         color_indexing=color_indexing,
+        meta_bits=meta_bits,
     )
 
 
 def decode_vp8l(payload: bytes) -> np.ndarray:
-    """VP8L payload -> RGB8 HxWx3.  All four transforms (PREDICTOR, COLOR,
-    SUBTRACT_GREEN, COLOR_INDEXING incl. sub-byte bundling), color cache,
-    and backward references are supported; meta prefix codes raise
-    NotImplementedError."""
+    """VP8L payload -> RGB8 HxWx3.  Full lossless bitstream coverage: all
+    four transforms (PREDICTOR, COLOR, SUBTRACT_GREEN, COLOR_INDEXING
+    incl. sub-byte bundling), color cache, backward references, and meta
+    prefix codes."""
     br = BitReader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("bad VP8L signature")

@@ -14,12 +14,12 @@ In this container no image libraries exist, so:
   reconstruction error.
 * **WEBP (lossless/VP8L) is REAL**: a pure-numpy VP8L codec
   (functions/vp8l.py — canonical prefix codes, color cache, backward
-  references, and all four transforms: subtract-green, all-14-mode
-  predictor, cross-channel color, palette color-indexing with sub-byte
-  bundling).  VP8 lossy / VP8X extended files and meta prefix codes raise
-  NotImplementedError (documented subset, same stance as baseline-only
-  JPEG); undecodable bytes take the deterministic fake-pixel fallback
-  when `allow_fake=True`.
+  references, meta prefix codes, and all four transforms: subtract-green,
+  all-14-mode predictor, cross-channel color, palette color-indexing with
+  sub-byte bundling — the complete lossless bitstream spec).  VP8 lossy /
+  VP8X extended files raise NotImplementedError (documented subset, same
+  stance as baseline-only JPEG); undecodable bytes take the deterministic
+  fake-pixel fallback when `allow_fake=True`.
 
 All UDFs are `mapInPandas` / pandas UDFs over Arrow batches: bytes cross
 the JVM↔Python boundary once per batch, never per row.

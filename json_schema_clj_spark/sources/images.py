@@ -282,6 +282,7 @@ def webp_images_df(
                     use_backrefs=i % 4 == 0,
                     predictor_mode=int(i) % 14 if i % 7 == 3 else None,
                     color_transform=(34, -22, 17) if i % 11 == 4 else None,
+                    meta_bits=3 if i % 13 == 6 else 0,
                 )
                 if corrupt_every and i % corrupt_every == 7:
                     data = data[: len(data) // 2]

@@ -91,25 +91,17 @@ def test_lossy_and_extended_chunks_raise_not_implemented():
             decode_webp(bytes(data))
 
 
-def test_meta_prefix_codes_raise_not_implemented():
-    # craft a headerless stream announcing meta prefix codes on the main
-    # image (the one remaining documented-subset boundary)
-    bw = BitWriter()
-    bw.write(0x2F, 8)
-    bw.write(0, 14)  # w-1
-    bw.write(0, 14)  # h-1
-    bw.write(0, 1)
-    bw.write(0, 3)
-    bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no color cache
-    bw.write(1, 1)  # meta prefix codes present
-    payload = bw.flush()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) % 2:
-        chunk += b"\x00"
-    body = b"WEBP" + chunk
-    with pytest.raises(NotImplementedError):
-        decode_webp(b"RIFF" + struct.pack("<I", len(body)) + body)
+def test_meta_prefix_codes_roundtrip():
+    """Meta prefix codes: two per-block code groups selected through a
+    recursively entropy-coded meta image — full-spec decoder coverage."""
+    for px in (_img(33, 21), smooth_pixels(b"n", 24, 16), _img(3, 3), _img(40, 1)):
+        for mb in (2, 3, 4):
+            assert np.array_equal(decode_webp(encode_webp(px, meta_bits=mb)), px), mb
+    combo = encode_webp(
+        _img(25, 17), meta_bits=3, subtract_green=True,
+        predictor_mode=11, cache_bits=5, use_backrefs=True,
+    )
+    assert np.array_equal(decode_webp(combo), _img(25, 17))
 
 
 def test_all_transform_roundtrips():
