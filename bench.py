@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "window_top_event_per_user",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
+    "dedup_exact_substring",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_incremental",
     "dedup_minhash_md5",

@@ -344,8 +344,10 @@ def connected_components_star(
 # shingles
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as md5 hex hashes (array<string>)."""
+def word_shingles(text: Column, k: int = 3, hasher=None) -> Column:
+    """Distinct k-word shingles, hashed (default md5 hex → array<string>;
+    pass ``hasher=F.xxhash64`` for narrow bigint keys on the scale path)."""
+    hasher = hasher or F.md5
     words = F.split(normalized(text), " ")
     # zip k shifted copies of the word array instead of slicing per index:
     # `slice(words, i, k)` inside a transform lambda re-evaluates the split
@@ -360,7 +362,7 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             z,
             lambda s: F.when(
                 s[last].isNotNull(),
-                F.md5(F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])),
+                hasher(F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])),
             ),
         ),
         lambda x: x.isNotNull(),
@@ -414,6 +416,53 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+    use_xxhash: bool = True,
+    max_window_freq: int | None = 50,
+) -> DataFrame:
+    """Exact n-token substring duplication: pairs of documents sharing at
+    least `min_shared` distinct n-token windows, with the count.
+
+    This is the training-data "exact substring dedup" semantics (two docs
+    containing the same verbatim n-token run are near-dups even when their
+    overall Jaccard is low — boilerplate headers, quoted passages, license
+    blocks).  The suffix-array formulation of that dedup is inherently
+    sequential; the Spark-first plan is a shingle-hash join, identical in
+    output for window granularity n:
+
+      distinct (id, window_hash) → repartition by hash → hot-window guard
+      (windows in > max_window_freq docs are boilerplate, no dedup signal,
+      and would make the self-join quadratic in the hottest key) →
+      self-join on hash → count shared windows per pair.
+
+    `use_xxhash=True` shuffles narrow bigint keys (the 100 TB path);
+    False uses md5 hex — bit-reproducible in ANSI SQL for the oracle twin.
+    Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    hasher = F.xxhash64 if use_xxhash else F.md5
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n, hasher=hasher)).alias("wh"),
+    )
+    ex = ex.repartition(df.sparkSession.sparkContext.defaultParallelism, "wh").persist()
+    if max_window_freq is not None:
+        hot = ex.groupBy("wh").count().where(F.col("count") > max_window_freq).select("wh")
+        ex = ex.join(F.broadcast(hot), on="wh", how="left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.wh") == F.col("b.wh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return _with_deps(pairs, ex)
 
 
 # ---------------------------------------------------------------------------

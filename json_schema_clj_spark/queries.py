@@ -761,6 +761,70 @@ ORDER BY id_a, id_b
 """
 
 
+_XSUB_N = 8  # window width for the xxhash64 exact-substring query
+
+
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-token substring dedup, xxhash64 fast path, over the
+    salted-clone corpus: disjoint per-doc vocabularies make cross-doc
+    window collisions impossible, so the only expected pairs are the
+    planted clones — and each clone pair shares exactly the doc's own
+    distinct-window count, which the oracle derives from the raw table."""
+    corpus = _salted_clone_corpus(t(spark, sf_dir, "documents"))
+    op = D.exact_substring_pairs(corpus, n=_XSUB_N, use_xxhash=True, max_window_freq=50)
+    return D.carry_deps(op.orderBy("id_a", "id_b"), op)
+
+
+# a per-doc constant salt prefix on every word preserves window equality
+# within a doc, so the clone pair's shared-window count equals the raw
+# doc's distinct n-window count — derivable without re-deriving the salt
+SQL_EXACT_SUBSTRING = rf"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+win AS (
+  SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+{_XSUB_N - 1}], ' ')) AS n_shared
+  FROM words, unnest(generate_series(1, len(ws) - {_XSUB_N - 1})) AS u(i)
+  WHERE len(ws) >= {_XSUB_N}
+  GROUP BY doc_id
+)
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, n_shared
+FROM win ORDER BY id_a, id_b
+"""
+
+
+def q_exact_substring_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 twin of the exact-substring detector on the raw documents table:
+    every stage (normalize, window, hash, guard, join) replicated in ANSI
+    SQL, so the oracle is bit-exact on arbitrary shared-vocabulary text."""
+    docs = t(spark, sf_dir, "documents")
+    op = D.exact_substring_pairs(docs, n=5, use_xxhash=False, max_window_freq=50)
+    return D.carry_deps(op.orderBy("id_a", "id_b"), op)
+
+
+SQL_EXACT_SUBSTRING_MD5 = r"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+win0 AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS wh
+  FROM words, unnest(generate_series(1, len(ws) - 4)) AS u(i)
+  WHERE len(ws) >= 5
+),
+win AS (
+  SELECT * FROM win0 WHERE wh NOT IN (
+    SELECT wh FROM win0 GROUP BY wh HAVING count(*) > 50
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM win a JOIN win b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # 13. text profile (tokens, quality, lang-ID, fingerprint)
 
@@ -1933,6 +1997,8 @@ QUERIES = {
     "dedup_exact_documents": q_dedup_exact,
     "dedup_exact_stats": q_dedup_stats,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_exact_substring": q_exact_substring,
+    "dedup_exact_substring_md5": q_exact_substring_md5,
     "text_profile_documents": q_text_profile,
     "text_quality_funnel": q_text_quality_funnel,
     "ann_cosine_topk": q_ann_topk,
@@ -1984,6 +2050,8 @@ ORACLES = {
     "dedup_exact_documents": SQL_DEDUP_EXACT,
     "dedup_exact_stats": SQL_DEDUP_STATS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_exact_substring": SQL_EXACT_SUBSTRING,
+    "dedup_exact_substring_md5": SQL_EXACT_SUBSTRING_MD5,
     "dedup_minhash_md5": SQL_MINHASH_MD5,
     "dedup_cluster_components": SQL_DEDUP_CLUSTERS,
     "dedup_simhash_md5": SQL_SIMHASH_MD5,

@@ -346,3 +346,43 @@ def test_hamming_near_duplicates_plan_no_cartesian(spark):
     )
     assert "Cartesian" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_exact_substring_pairs_planted_runs(spark):
+    # doc 1 and 2 share one verbatim 5-token run ("lorem ipsum dolor sit
+    # amet") inside otherwise-disjoint text; doc 3 shares nothing 5 tokens
+    # long; doc 4 repeats doc 1 verbatim (shares ALL its windows).
+    rows = [
+        (1, "alpha beta lorem ipsum dolor sit amet gamma delta"),
+        (2, "one two three lorem ipsum dolor sit amet four"),
+        (3, "lorem ipsum dolor completely different tail here now"),
+        (4, "alpha beta lorem ipsum dolor sit amet gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for use_xxhash in (True, False):
+        out = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in D.exact_substring_pairs(df, n=5, use_xxhash=use_xxhash).collect()
+        }
+        # doc1 has 5 distinct 5-windows; the shared run gives 1 window
+        assert out[(1, 4)] == 5
+        assert out[(1, 2)] == 1
+        assert out[(2, 4)] == 1
+        assert (1, 3) not in out and (2, 3) not in out and (3, 4) not in out
+
+
+def test_exact_substring_hot_window_guard_and_plan(spark):
+    # 60 docs all containing the same 5-token boilerplate: with the guard
+    # at 50 the window is dropped (no quadratic blowup, no pairs)
+    boiler = [(i, f"uniq{i}a uniq{i}b shared one two three four uniq{i}c") for i in range(60)]
+    df = spark.createDataFrame(boiler, ["doc_id", "text"])
+    assert D.exact_substring_pairs(df, n=5, max_window_freq=50).count() == 0
+    guarded = D.exact_substring_pairs(df, n=5, max_window_freq=None)
+    assert guarded.count() == 60 * 59 // 2
+
+    plan = (
+        D.exact_substring_pairs(df, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
