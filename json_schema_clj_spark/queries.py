@@ -826,6 +826,73 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# 12b. audio features (multimodal binary columns, WAV leg)
+
+_AUDIO_N = 200
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row audio features over opaque WAV binary columns via an
+    Arrow-batched decode (sources/audio.py square-wave corpus).  Every
+    feature is an integer-exact closed form of the plant constants —
+    amplitude, half-period, cycle count are pure functions of the row id —
+    so the oracle derives all of them (including the FFT dominant bin,
+    which for an m-cycle square wave is bin m) from arithmetic alone."""
+    from .operators import audio as AU
+    from .sources.audio import audio_df
+
+    return AU.audio_features(audio_df(spark, _AUDIO_N)).orderBy("audio_id")
+
+
+SQL_AUDIO_FEATURES = f"""
+WITH base AS (
+  SELECT i,
+         CASE WHEN i % 25 = 9 THEN 32767
+              WHEN i % 25 = 16 THEN 0
+              ELSE 1000 + (i % 20) * 1500 END AS amp,
+         2 + (i % 5) AS p2,
+         3 + (i % 4) AS m
+  FROM generate_series(0, {_AUDIO_N - 1}) t(i)
+)
+SELECT i AS audio_id,
+       CASE WHEN i % 40 = 21 THEN NULL ELSE m * 2 * p2 END AS n_samples,
+       CASE WHEN i % 40 = 21 THEN NULL ELSE amp END AS peak,
+       CASE WHEN i % 40 = 21 THEN NULL ELSE amp * amp * m * 2 * p2 END AS sum_sq,
+       CASE WHEN i % 40 = 21 THEN NULL WHEN amp = 0 THEN 0 ELSE 2 * m - 1 END AS zero_crossings,
+       CASE WHEN i % 40 = 21 THEN NULL WHEN amp = 32767 THEN m * 2 * p2 ELSE 0 END AS clipped,
+       CASE WHEN i % 40 = 21 THEN NULL ELSE m * 2 * p2 * 125 END AS duration_us,
+       CASE WHEN i % 40 = 21 THEN NULL WHEN amp = 0 THEN 0 ELSE m END AS dominant_bin,
+       CASE WHEN i % 40 = 21 THEN 'fail_parse'
+            WHEN amp = 32767 THEN 'clipped'
+            WHEN amp = 0 THEN 'silent'
+            ELSE 'ok' END AS status
+FROM base ORDER BY audio_id
+"""
+
+
+def q_audio_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality gate over the decoded audio features: counts
+    per status class (ok / clipped / silent / fail_parse) — the audio
+    analog of the image curation funnel."""
+    from .operators import audio as AU
+    from .sources.audio import audio_df
+
+    feats = AU.audio_features(audio_df(spark, _AUDIO_N))
+    return feats.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+
+
+SQL_AUDIO_QUALITY_FUNNEL = f"""
+SELECT CASE WHEN i % 40 = 21 THEN 'fail_parse'
+            WHEN i % 25 = 9 THEN 'clipped'
+            WHEN i % 25 = 16 THEN 'silent'
+            ELSE 'ok' END AS status,
+       count(*) AS n
+FROM generate_series(0, {_AUDIO_N - 1}) t(i)
+GROUP BY 1 ORDER BY status
+"""
+
+
+# ---------------------------------------------------------------------------
 # 13. text profile (tokens, quality, lang-ID, fingerprint)
 
 
@@ -1999,6 +2066,8 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_exact_substring": q_exact_substring,
     "dedup_exact_substring_md5": q_exact_substring_md5,
+    "audio_features": q_audio_features,
+    "audio_quality_funnel": q_audio_quality_funnel,
     "text_profile_documents": q_text_profile,
     "text_quality_funnel": q_text_quality_funnel,
     "ann_cosine_topk": q_ann_topk,
@@ -2052,6 +2121,10 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_exact_substring": SQL_EXACT_SUBSTRING,
     "dedup_exact_substring_md5": SQL_EXACT_SUBSTRING_MD5,
+    # synthetic audio corpus: features are integer-exact closed forms of
+    # the plant constants (square waves — see sources/audio.py)
+    "audio_features": SQL_AUDIO_FEATURES,
+    "audio_quality_funnel": SQL_AUDIO_QUALITY_FUNNEL,
     "dedup_minhash_md5": SQL_MINHASH_MD5,
     "dedup_cluster_components": SQL_DEDUP_CLUSTERS,
     "dedup_simhash_md5": SQL_SIMHASH_MD5,
