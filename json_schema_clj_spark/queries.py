@@ -893,6 +893,63 @@ GROUP BY 1 ORDER BY status
 
 
 # ---------------------------------------------------------------------------
+# 12c. video frame sampling (multimodal binary columns, y4m leg)
+
+_VIDEO_N = 150
+
+
+def q_video_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip container stats over opaque y4m binary columns: header
+    parse, frame walk, exact duration, truncation verdicts.  Geometry,
+    fps and frame counts are pure functions of the row id (sources/
+    video.py plant rules), so the oracle derives every value."""
+    from .operators import video as V
+    from .sources.video import videos_df
+
+    return V.video_stats(videos_df(spark, _VIDEO_N)).orderBy("video_id")
+
+
+SQL_VIDEO_PARSE_STATS = f"""
+SELECT i AS video_id,
+       CASE WHEN i % 40 = 13 THEN NULL ELSE 8 + (i % 3) * 4 END AS w,
+       CASE WHEN i % 40 = 13 THEN NULL ELSE 8 END AS h,
+       CASE WHEN i % 40 = 13 THEN NULL ELSE 5 + (i % 4) END AS fps,
+       CASE WHEN i % 40 = 13 THEN NULL ELSE 4 + (i % 7) END AS n_frames,
+       CASE WHEN i % 40 = 13 THEN NULL
+            ELSE (4 + (i % 7)) * 1000000 // (5 + (i % 4)) END AS duration_us,
+       CASE WHEN i % 40 = 13 THEN 'fail_parse' ELSE 'ok' END AS status
+FROM generate_series(0, {_VIDEO_N - 1}) t(i)
+ORDER BY video_id
+"""
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride frame-sampling (every 2nd frame) with per-frame integer mean
+    luma — the pipeline stage that thins clips before per-frame models.
+    Constant-luma plant frames make each sampled frame's mean the closed
+    form (i*31 + f*7) % 251, so the oracle enumerates the exact expected
+    (clip, frame, luma) rows."""
+    from .operators import video as V
+    from .sources.video import videos_df
+
+    frames = V.sample_frames(videos_df(spark, _VIDEO_N), every_k=2)
+    return frames.orderBy("video_id", "frame_idx")
+
+
+SQL_VIDEO_FRAME_SAMPLE = f"""
+WITH base AS (
+  SELECT i, 4 + (i % 7) AS n_frames
+  FROM generate_series(0, {_VIDEO_N - 1}) t(i)
+  WHERE i % 40 <> 13
+)
+SELECT i AS video_id, f AS frame_idx, (i * 31 + f * 7) % 251 AS mean_luma
+FROM base, unnest(generate_series(0, n_frames - 1)) AS u(f)
+WHERE f % 2 = 0
+ORDER BY video_id, frame_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # 13. text profile (tokens, quality, lang-ID, fingerprint)
 
 
@@ -2068,6 +2125,8 @@ QUERIES = {
     "dedup_exact_substring_md5": q_exact_substring_md5,
     "audio_features": q_audio_features,
     "audio_quality_funnel": q_audio_quality_funnel,
+    "video_parse_stats": q_video_parse_stats,
+    "video_frame_sample": q_video_frame_sample,
     "text_profile_documents": q_text_profile,
     "text_quality_funnel": q_text_quality_funnel,
     "ann_cosine_topk": q_ann_topk,
@@ -2125,6 +2184,10 @@ ORACLES = {
     # the plant constants (square waves — see sources/audio.py)
     "audio_features": SQL_AUDIO_FEATURES,
     "audio_quality_funnel": SQL_AUDIO_QUALITY_FUNNEL,
+    # synthetic y4m corpus: geometry/fps/frame-luma are closed forms of
+    # the plant constants (see sources/video.py)
+    "video_parse_stats": SQL_VIDEO_PARSE_STATS,
+    "video_frame_sample": SQL_VIDEO_FRAME_SAMPLE,
     "dedup_minhash_md5": SQL_MINHASH_MD5,
     "dedup_cluster_components": SQL_DEDUP_CLUSTERS,
     "dedup_simhash_md5": SQL_SIMHASH_MD5,
