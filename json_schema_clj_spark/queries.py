@@ -826,6 +826,137 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# 11b. documents curation pipeline (quality gate + exact dedup + near-dup)
+
+
+def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict per document — the composition a
+    training-data run executes, not just its pieces: exact dedup
+    (md5-normalized groups, min-id keeper), near-dup drop (3-gram Jaccard
+    ≥ 0.6 against any smaller id — greedy min-neighbor, no iterative CC
+    needed), and the quality-filter battery, with fixed reason precedence
+    empty > exact_dup > near_dup > quality gates > kept.
+
+    The corpus plants both failure modes on top of the raw table: an
+    exact clone (+200000) of every doc_id % 20 == 0, and a one-token-
+    appended near clone (+300000) of every doc_id % 30 == 1 (Jaccard
+    ≥ 0.72 for ≥10-token docs).  Every stage is replicated in the oracle
+    SQL, so the verdicts are bit-exact — including plants whose source
+    doc is too short to shingle."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_plant = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near_plant = docs.where(F.col("doc_id") % 30 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(exact_plant).unionByName(near_plant)
+
+    tcol = F.col("text")
+    non_empty = corpus.where(tcol.isNotNull() & (F.trim(tcol) != ""))
+    # exact groups: min-id keeper per normalized-text hash
+    hashed = non_empty.select("doc_id", D.text_hash(tcol).alias("th"))
+    keepers = hashed.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    exact_dropped = (
+        hashed.join(keepers, "th").where(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    )
+    # near-dup: drop the larger id of every qualifying pair
+    pairs = D.ngram_jaccard_pairs(non_empty, k=3, threshold=0.6, max_shingle_freq=50)
+    near_dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+
+    flagged = corpus.join(
+        exact_dropped.withColumn("is_exact", F.lit(True)), "doc_id", "left"
+    ).join(near_dropped.withColumn("is_near", F.lit(True)), "doc_id", "left")
+    n_tok = TX.token_count(tcol)
+    punct = TX.punct_ratio(tcol)
+    mwl = TX.mean_word_length(tcol)
+    reason = (
+        F.when(tcol.isNull() | (F.trim(tcol) == ""), F.lit("empty"))
+        .when(F.col("is_exact"), F.lit("exact_dup"))
+        .when(F.col("is_near"), F.lit("near_dup"))
+        .when(n_tok < 15, F.lit("too_short"))
+        .when(n_tok > 90, F.lit("too_long"))
+        .when(punct > 0.2, F.lit("too_much_punct"))
+        .when((mwl < 4.0) | (mwl > 5.2), F.lit("bad_word_len"))
+        .otherwise(F.lit("kept"))
+    )
+    verdict = F.when(reason == "kept", F.lit("keep")).otherwise(F.lit("drop"))
+    return (
+        flagged.select("doc_id", verdict.alias("verdict"), reason.alias("reason"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOCUMENTS_CURATION = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 300000, coalesce(text, '') || ' zzz' FROM documents WHERE doc_id % 30 = 1
+),
+norm AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+  FROM corpus
+),
+ne AS (SELECT * FROM norm WHERE text IS NOT NULL AND trim(text) <> ''),
+keepers AS (SELECT md5(n) AS th, min(doc_id) AS keep_id FROM ne GROUP BY 1),
+exact_dropped AS (
+  SELECT doc_id FROM ne JOIN keepers ON md5(ne.n) = keepers.th
+  WHERE doc_id <> keep_id
+),
+words AS (SELECT doc_id, string_split(n, ' ') AS ws FROM ne),
+sh0 AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS sh
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (
+    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_dropped AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE shared / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.6
+),
+m AS (
+  SELECT c.doc_id, c.text,
+         len(string_split(n.n, ' ')) AS n_tokens,
+         length(regexp_replace(c.text, '[^.,;:!?]', '', 'g'))
+           / CAST(greatest(length(c.text), 1) AS DOUBLE) AS punct,
+         list_sum(list_transform(string_split(n.n, ' '), t -> length(t)))
+           / CAST(greatest(len(string_split(n.n, ' ')), 1) AS DOUBLE) AS mwl
+  FROM corpus c JOIN norm n USING (doc_id)
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+              WHEN doc_id IN (SELECT doc_id FROM exact_dropped) THEN 'exact_dup'
+              WHEN doc_id IN (SELECT doc_id FROM near_dropped) THEN 'near_dup'
+              WHEN n_tokens < 15 THEN 'too_short'
+              WHEN n_tokens > 90 THEN 'too_long'
+              WHEN punct > 0.2 THEN 'too_much_punct'
+              WHEN mwl < 4.0 OR mwl > 5.2 THEN 'bad_word_len'
+              ELSE 'kept' END AS reason
+  FROM m
+)
+SELECT doc_id,
+       CASE WHEN reason = 'kept' THEN 'keep' ELSE 'drop' END AS verdict,
+       reason
+FROM r ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 12b. audio features (multimodal binary columns, WAV leg)
 
 _AUDIO_N = 200
@@ -2123,6 +2254,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_exact_substring": q_exact_substring,
     "dedup_exact_substring_md5": q_exact_substring_md5,
+    "documents_curation_verdicts": q_documents_curation,
     "audio_features": q_audio_features,
     "audio_quality_funnel": q_audio_quality_funnel,
     "video_parse_stats": q_video_parse_stats,
@@ -2180,6 +2312,7 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_exact_substring": SQL_EXACT_SUBSTRING,
     "dedup_exact_substring_md5": SQL_EXACT_SUBSTRING_MD5,
+    "documents_curation_verdicts": SQL_DOCUMENTS_CURATION,
     # synthetic audio corpus: features are integer-exact closed forms of
     # the plant constants (square waves — see sources/audio.py)
     "audio_features": SQL_AUDIO_FEATURES,

@@ -215,3 +215,40 @@ def test_chi2_scores_identical_and_shifted(spark):
     assert out["a"]["chi2"] == 0.0
     assert out["b"]["chi2"] > 100.0
     assert out["a"]["dof"] == 9
+
+
+def test_curation_pipeline_reason_precedence(spark):
+    """Hand-built corpus hitting every verdict branch with known ids."""
+    from json_schema_clj_spark.queries import q_documents_curation
+    import json_schema_clj_spark.queries as Q
+    from pyspark.sql import functions as F
+
+    long_ok = " ".join(f"word{i:02d}" for i in range(20))  # 20 toks, mwl 6.0 -> bad_word_len
+    good = " ".join(["alpha bravo cedar delta ember"] * 4)  # 20 toks, mwl 5.0 -> kept
+    other = " ".join(["quark xenon maple onyx raven"] * 4)  # disjoint vocab, kept-shaped
+    rows = [
+        (1, good),                # kept
+        (20, other),              # source of exact plant (id 200020); unrelated to doc 1
+        (31, long_ok),            # doc_id%30==1 -> near plant 300031; itself bad_word_len
+        (3, None),                # empty
+        (4, "   "),               # empty
+        (5, "tiny doc"),          # too_short
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig_t = Q.t
+    Q.t = lambda _s, _d, _n: df
+    try:
+        out = {r["doc_id"]: (r["verdict"], r["reason"])
+               for r in q_documents_curation(spark, "ignored").collect()}
+    finally:
+        Q.t = orig_t
+    assert out[1] == ("keep", "kept")
+    assert out[3] == ("drop", "empty") and out[4] == ("drop", "empty")
+    assert out[5] == ("drop", "too_short")
+    assert out[31] == ("drop", "bad_word_len")
+    # exact plant of 20: identical text, larger id -> exact_dup
+    assert out[200020] == ("drop", "exact_dup")
+    # near plant of 31: one appended token, jaccard (20-1)/(20+2) ~ 0.86 -> near_dup
+    assert out[300031][1] == "near_dup"
+    # the originals survive their own plants
+    assert out[20][1] not in ("exact_dup", "near_dup")
