@@ -465,6 +465,89 @@ def exact_substring_pairs(
     return _with_deps(pairs, ex)
 
 
+def positional_windows(text: Column, n: int, hasher=None) -> Column:
+    """All n-word windows WITH their 0-based token position:
+    array<struct<pos:int, wh>> (not distinct — runs need every position)."""
+    hasher = hasher or F.md5
+    words = F.split(normalized(text), " ")
+    shifted = [F.slice(words, i + 1, 1 << 30).alias(f"w{i}") for i in range(n)]
+    z = F.arrays_zip(*shifted)
+    last = f"w{n - 1}"
+    win = F.transform(
+        z,
+        lambda s, i: F.when(
+            s[last].isNotNull(),
+            F.struct(
+                i.cast("int").alias("pos"),
+                hasher(F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])).alias("wh"),
+            ),
+        ),
+    )
+    return F.filter(win, lambda x: x.isNotNull())
+
+
+def shared_run_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    use_xxhash: bool = True,
+    max_window_freq: int | None = 50,
+) -> DataFrame:
+    """Longest shared verbatim token run per document pair — the span
+    length that decides WHAT to cut in exact-substring dedup, not just
+    which pairs collide.
+
+    Diagonal-run formulation (the distributed stand-in for a suffix-array
+    local alignment): anchor matches are window-hash equijoins carrying
+    both positions; a verbatim run of r consecutive shared windows lies
+    on one diagonal d = pos_b - pos_a as r consecutive pos_a values, so
+    gaps-and-islands (pos_a - row_number() over the (pair, diagonal)
+    partition) recovers r exactly, and the longest shared token span is
+    max(r) + n - 1.  Shuffles: one on window hash (the join), one on the
+    (pair, diagonal) key (the window function) — both bounded by matched
+    anchors, which the hot-window guard keeps non-quadratic.
+
+    Returns (id_a, id_b, max_run_tokens, n_diagonals) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    hasher = F.xxhash64 if use_xxhash else F.md5
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(positional_windows(F.col(text_col), n, hasher=hasher)).alias("w"),
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    ex = ex.repartition(df.sparkSession.sparkContext.defaultParallelism, "wh").persist()
+    if max_window_freq is not None:
+        # guard counts DOCS per window (a window repeated inside one doc is
+        # not boilerplate)
+        hot = (
+            ex.select("wh", "id").distinct()
+            .groupBy("wh").count()
+            .where(F.col("count") > max_window_freq)
+            .select("wh")
+        )
+        ex = ex.join(F.broadcast(hot), on="wh", how="left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    anchors = a.join(b, (F.col("a.wh") == F.col("b.wh")) & (F.col("a.id") < F.col("b.id"))).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    islands = anchors.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    runs = (
+        islands.groupBy("id_a", "id_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run_windows"))
+    )
+    out = runs.groupBy("id_a", "id_b").agg(
+        (F.max("run_windows") + F.lit(n - 1)).alias("max_run_tokens"),
+        F.count_distinct("diag").alias("n_diagonals"),
+    )
+    return _with_deps(out, ex)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

@@ -825,6 +825,71 @@ ORDER BY id_a, id_b
 """
 
 
+def q_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared verbatim token run, xxhash64 path, salted-clone
+    corpus: a clone's diagonal-0 run covers the whole document, and no
+    longer run can exist, so max_run_tokens equals the doc's token count —
+    derived by the oracle from the raw table."""
+    corpus = _salted_clone_corpus(t(spark, sf_dir, "documents"))
+    op = D.shared_run_pairs(corpus, n=_XSUB_N, use_xxhash=True)
+    return D.carry_deps(
+        op.select("id_a", "id_b", "max_run_tokens").orderBy("id_a", "id_b"), op
+    )
+
+
+SQL_SHARED_RUNS = rf"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+)
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, len(ws) AS max_run_tokens
+FROM words WHERE len(ws) >= {_XSUB_N}
+ORDER BY id_a, id_b
+"""
+
+
+def q_shared_runs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 twin of the diagonal-run detector on the raw documents table:
+    anchor join, gaps-and-islands, run aggregation all replicated in ANSI
+    SQL — bit-exact on arbitrary shared-vocabulary text."""
+    docs = t(spark, sf_dir, "documents")
+    op = D.shared_run_pairs(docs, n=5, use_xxhash=False, max_window_freq=50)
+    return D.carry_deps(op.orderBy("id_a", "id_b"), op)
+
+
+SQL_SHARED_RUNS_MD5 = r"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ws[i:i+4], ' ')) AS wh
+  FROM words, unnest(generate_series(1, len(ws) - 4)) AS u(i)
+  WHERE len(ws) >= 5
+),
+hot AS (
+  SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM win)
+  GROUP BY wh HAVING count(*) > 50
+),
+w2 AS (SELECT * FROM win WHERE wh NOT IN (SELECT wh FROM hot)),
+anchors AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos - a.pos AS diag
+  FROM w2 a JOIN w2 b ON a.wh = b.wh AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT id_a, id_b, diag,
+         pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+  FROM anchors
+),
+runs AS (
+  SELECT id_a, id_b, diag, island, count(*) AS r FROM isl GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, max(r) + 4 AS max_run_tokens, count(DISTINCT diag) AS n_diagonals
+FROM runs GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # 11b. documents curation pipeline (quality gate + exact dedup + near-dup)
 
@@ -2254,6 +2319,8 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_exact_substring": q_exact_substring,
     "dedup_exact_substring_md5": q_exact_substring_md5,
+    "dedup_shared_runs": q_shared_runs,
+    "dedup_shared_runs_md5": q_shared_runs_md5,
     "documents_curation_verdicts": q_documents_curation,
     "audio_features": q_audio_features,
     "audio_quality_funnel": q_audio_quality_funnel,
@@ -2312,6 +2379,8 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_exact_substring": SQL_EXACT_SUBSTRING,
     "dedup_exact_substring_md5": SQL_EXACT_SUBSTRING_MD5,
+    "dedup_shared_runs": SQL_SHARED_RUNS,
+    "dedup_shared_runs_md5": SQL_SHARED_RUNS_MD5,
     "documents_curation_verdicts": SQL_DOCUMENTS_CURATION,
     # synthetic audio corpus: features are integer-exact closed forms of
     # the plant constants (square waves — see sources/audio.py)

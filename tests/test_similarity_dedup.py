@@ -386,3 +386,36 @@ def test_exact_substring_hot_window_guard_and_plan(spark):
     )
     assert "Cartesian" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_shared_run_pairs_span_semantics(spark):
+    # docs share a verbatim 7-token run; one also shares a separate
+    # 5-token run on a different diagonal
+    run7 = "one two three four five six seven"
+    run5 = "red green blue cyan magenta"
+    rows = [
+        (1, f"aa bb {run7} cc dd {run5}"),
+        (2, f"xx {run7} yy zz"),          # shares the 7-run only
+        (3, f"{run5} pp qq rr ss tt"),    # shares the 5-run only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for use_xxhash in (True, False):
+        out = {
+            (r["id_a"], r["id_b"]): (r["max_run_tokens"], r["n_diagonals"])
+            for r in D.shared_run_pairs(df, n=5, use_xxhash=use_xxhash).collect()
+        }
+        # 7-token run = 3 consecutive 5-windows -> span 3 + 4 = 7
+        assert out[(1, 2)] == (7, 1)
+        # 5-token run = single 5-window -> span 5
+        assert out[(1, 3)] == (5, 1)
+        assert (2, 3) not in out
+
+
+def test_shared_run_pairs_identical_docs_full_span(spark):
+    text = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    out = D.shared_run_pairs(df, n=5).collect()
+    assert len(out) == 1 and out[0]["max_run_tokens"] == 12
+
+    plan = D.shared_run_pairs(df, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
