@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_exact_substring",
+    "dedup_shared_runs",
+    "documents_curation_verdicts",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_incremental",
     "dedup_minhash_md5",

@@ -947,9 +947,10 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
     )
     verdict = F.when(reason == "kept", F.lit("keep")).otherwise(F.lit("drop"))
-    return (
+    return D.carry_deps(
         flagged.select("doc_id", verdict.alias("verdict"), reason.alias("reason"))
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        pairs,
     )
 
 
