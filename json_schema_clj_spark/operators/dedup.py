@@ -548,6 +548,53 @@ def shared_run_pairs(
     return _with_deps(out, ex)
 
 
+def cross_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    use_xxhash: bool = True,
+    max_window_freq: int | None = 50,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least one
+    verbatim n-token window with ANY benchmark document — the standard
+    test-set-overlap filter a pretraining corpus runs before training.
+
+    Asymmetric by construction: the benchmark side is thousands of docs
+    against a 100 TB train side, so its distinct window set is collected
+    into a broadcast hash join — the train scan streams once, shuffle-free
+    on the probe.  The hot-window guard is computed on the TRAIN side
+    (boilerplate lives there) and also drops those windows from the bench
+    set, keeping the match signal-bearing.
+
+    Returns per-train-doc (doc_id, n_shared_windows, n_bench_docs):
+    distinct contaminating windows and distinct benchmark docs hit.
+    """
+    hasher = F.xxhash64 if use_xxhash else F.md5
+    tw = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n, hasher=hasher)).alias("wh"),
+    )
+    bw = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), n, hasher=hasher)).alias("wh"),
+    )
+    if max_window_freq is not None:
+        hot = (
+            tw.groupBy("wh").count()
+            .where(F.col("count") > max_window_freq)
+            .select("wh")
+        )
+        tw = tw.join(F.broadcast(hot), on="wh", how="left_anti")
+        bw = bw.join(F.broadcast(hot), on="wh", how="left_anti")
+    hits = tw.join(F.broadcast(bw), on="wh")
+    return hits.groupBy(F.col("id").alias(id_col)).agg(
+        F.count_distinct("wh").alias("n_shared_windows"),
+        F.count_distinct("bench_id").alias("n_bench_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

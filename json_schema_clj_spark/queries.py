@@ -890,6 +890,68 @@ ORDER BY id_a, id_b
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, xxhash64 broadcast path, salted corpus:
+    the benchmark set is a re-idded copy of every doc_id % 25 == 3 doc, so
+    the contaminated train docs are exactly those originals, each sharing
+    its full distinct-window set with exactly one benchmark doc."""
+    base = _salted_clone_corpus(t(spark, sf_dir, "documents")).where(F.col("doc_id") < 100_000)
+    bench = base.where(F.col("doc_id") % 25 == 3).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    out = D.cross_contamination(base, bench, n=_XSUB_N, use_xxhash=True)
+    return out.orderBy("doc_id")
+
+
+SQL_DECONTAMINATION = rf"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       count(DISTINCT array_to_string(ws[i:i+{_XSUB_N - 1}], ' ')) AS n_shared_windows,
+       CAST(1 AS BIGINT) AS n_bench_docs
+FROM words, unnest(generate_series(1, len(ws) - {_XSUB_N - 1})) AS u(i)
+WHERE doc_id % 25 = 3 AND len(ws) >= {_XSUB_N}
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_decontamination_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 twin on the raw table: docs with doc_id % 25 == 3 act as the
+    held-out benchmark, the rest as the training corpus; every stage
+    (normalize, window, train-side hot guard, broadcast probe, distinct
+    counts) is replicated in ANSI SQL."""
+    docs = t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 25 != 3)
+    bench = docs.where(F.col("doc_id") % 25 == 3)
+    out = D.cross_contamination(train, bench, n=4, use_xxhash=False, max_window_freq=50)
+    return out.orderBy("doc_id")
+
+
+SQL_DECONTAMINATION_MD5 = r"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+3], ' ')) AS wh
+  FROM words, unnest(generate_series(1, len(ws) - 3)) AS u(i)
+  WHERE len(ws) >= 4
+),
+train_w AS (SELECT doc_id, wh FROM sh0 WHERE doc_id % 25 <> 3),
+bench_w AS (SELECT doc_id AS bench_id, wh FROM sh0 WHERE doc_id % 25 = 3),
+hot AS (SELECT wh FROM train_w GROUP BY wh HAVING count(*) > 50),
+t2 AS (SELECT * FROM train_w WHERE wh NOT IN (SELECT wh FROM hot)),
+b2 AS (SELECT * FROM bench_w WHERE wh NOT IN (SELECT wh FROM hot))
+SELECT t2.doc_id AS doc_id,
+       count(DISTINCT t2.wh) AS n_shared_windows,
+       count(DISTINCT b2.bench_id) AS n_bench_docs
+FROM t2 JOIN b2 USING (wh)
+GROUP BY 1 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 11b. documents curation pipeline (quality gate + exact dedup + near-dup)
 
@@ -2320,6 +2382,8 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_exact_substring": q_exact_substring,
     "dedup_exact_substring_md5": q_exact_substring_md5,
+    "decontamination": q_decontamination,
+    "decontamination_md5": q_decontamination_md5,
     "dedup_shared_runs": q_shared_runs,
     "dedup_shared_runs_md5": q_shared_runs_md5,
     "documents_curation_verdicts": q_documents_curation,
@@ -2380,6 +2444,8 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_exact_substring": SQL_EXACT_SUBSTRING,
     "dedup_exact_substring_md5": SQL_EXACT_SUBSTRING_MD5,
+    "decontamination": SQL_DECONTAMINATION,
+    "decontamination_md5": SQL_DECONTAMINATION_MD5,
     "dedup_shared_runs": SQL_SHARED_RUNS,
     "dedup_shared_runs_md5": SQL_SHARED_RUNS_MD5,
     "documents_curation_verdicts": SQL_DOCUMENTS_CURATION,

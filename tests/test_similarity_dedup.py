@@ -419,3 +419,36 @@ def test_shared_run_pairs_identical_docs_full_span(spark):
 
     plan = D.shared_run_pairs(df, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_cross_contamination_semantics_and_plan(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated training text about spark engines"),
+            (3, "quick brown fox jumps over nothing else shared here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox jumps over things")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_shared_windows"], r["n_bench_docs"])
+        for r in D.cross_contamination(train, bench, n=5).collect()
+    }
+    # doc1 shares "the quick brown fox jumps" + "quick brown fox jumps over"
+    assert out[1] == (2, 1)
+    # doc3 shares only "quick brown fox jumps over"
+    assert out[3] == (1, 1)
+    assert 2 not in out
+
+    plan = (
+        D.cross_contamination(train, bench, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the benchmark window set must probe via broadcast, never shuffle the
+    # train side on the window key
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan
