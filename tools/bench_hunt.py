@@ -53,10 +53,12 @@ def merge(result: dict) -> dict:
     merged["meta"] = {
         k: result[k] for k in ("sf", "cpus", "images_rows") if k in result
     }
-    if "images_rows_per_sec" in result:
-        prev = merged["meta"].get("images_rows_per_sec", 0)
-        merged["meta"]["images_rows_per_sec"] = max(
-            prev, result["images_rows_per_sec"]
+    # derive rows/sec from the MERGED flagship minimum (the old max-of-runs
+    # read its prev from the just-overwritten meta dict — always 0)
+    flag = merged["queries"].get("images_flagship_validate")
+    if flag and "images_rows" in merged["meta"]:
+        merged["meta"]["images_rows_per_sec"] = round(
+            merged["meta"]["images_rows"] / flag
         )
     merged["total_of_minima"] = round(sum(merged["queries"].values()), 3)
     merged["ts"] = round(time.time())
