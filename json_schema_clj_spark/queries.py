@@ -1085,6 +1085,76 @@ FROM r ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# 12a2. image feature-extract + resize (oracled via the solid-color corpus)
+
+_SOLID_N, _SOLID_CORRUPT_EVERY = 200, 40
+
+
+def _solid_features(feats: DataFrame) -> DataFrame:
+    return feats.select(
+        "image_id",
+        F.col("decoded").alias("ok"),
+        F.col("dec_w").cast("long").alias("dec_w"),
+        F.col("dec_h").cast("long").alias("dec_h"),
+        F.col("mean_r").cast("long").alias("mean_r"),
+        F.col("mean_g").cast("long").alias("mean_g"),
+        F.col("mean_b").cast("long").alias("mean_b"),
+    ).orderBy("image_id")
+
+
+def q_images_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image decoded features (dims + per-channel means) over REAL PNG
+    bytes via the Arrow decode UDF.  The solid-color corpus makes every
+    mean an exact integer closed form of the row id; planted truncations
+    (i % 40 == 7) exercise the decode-failure surface (allow_fake=False —
+    failures must surface, not fall back)."""
+    from .sources.images import solid_png_images_df
+
+    corpus = solid_png_images_df(spark, _SOLID_N, corrupt_every=_SOLID_CORRUPT_EVERY)
+    return _solid_features(M.image_features(corpus, allow_fake=False))
+
+
+SQL_IMAGES_FEATURE_EXTRACT = f"""
+SELECT printf('img-%08d', i) AS image_id,
+       i % {_SOLID_CORRUPT_EVERY} <> 7 AS ok,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE 8 + i % 5 END AS dec_w,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE 6 + i % 3 END AS dec_h,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE (i * 7) % 256 END AS mean_r,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE (i * 13) % 256 END AS mean_g,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE (i * 29) % 256 END AS mean_b
+FROM generate_series(0, {_SOLID_N - 1}) t(i)
+ORDER BY image_id
+"""
+
+
+def q_images_resize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize → re-decode chain: nearest-neighbor resize to 5×4 re-encodes
+    through the real PNG writer (binary in, binary out), then the feature
+    UDF decodes the RESIZED bytes.  Constant pixels survive any
+    resampling, so the oracle pins dims = (5, 4) and unchanged channel
+    means; planted truncations propagate as ok = false through the
+    chain."""
+    from .sources.images import solid_png_images_df
+
+    corpus = solid_png_images_df(spark, _SOLID_N, corrupt_every=_SOLID_CORRUPT_EVERY)
+    resized = M.resize_images(corpus, 5, 4, allow_fake=False).withColumn("fmt", F.lit("png"))
+    return _solid_features(M.image_features(resized, allow_fake=False))
+
+
+SQL_IMAGES_RESIZE_CHAIN = f"""
+SELECT printf('img-%08d', i) AS image_id,
+       i % {_SOLID_CORRUPT_EVERY} <> 7 AS ok,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE 5 END AS dec_w,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE 4 END AS dec_h,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE (i * 7) % 256 END AS mean_r,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE (i * 13) % 256 END AS mean_g,
+       CASE WHEN i % {_SOLID_CORRUPT_EVERY} = 7 THEN NULL ELSE (i * 29) % 256 END AS mean_b
+FROM generate_series(0, {_SOLID_N - 1}) t(i)
+ORDER BY image_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 12b. audio features (multimodal binary columns, WAV leg)
 
 _AUDIO_N = 200
@@ -2387,6 +2457,8 @@ QUERIES = {
     "dedup_shared_runs": q_shared_runs,
     "dedup_shared_runs_md5": q_shared_runs_md5,
     "documents_curation_verdicts": q_documents_curation,
+    "images_feature_extract": q_images_feature_extract,
+    "images_resize_chain": q_images_resize_chain,
     "audio_features": q_audio_features,
     "audio_quality_funnel": q_audio_quality_funnel,
     "video_parse_stats": q_video_parse_stats,
@@ -2449,6 +2521,9 @@ ORACLES = {
     "dedup_shared_runs": SQL_SHARED_RUNS,
     "dedup_shared_runs_md5": SQL_SHARED_RUNS_MD5,
     "documents_curation_verdicts": SQL_DOCUMENTS_CURATION,
+    # solid-color PNG corpus: decoded dims/means are closed forms
+    "images_feature_extract": SQL_IMAGES_FEATURE_EXTRACT,
+    "images_resize_chain": SQL_IMAGES_RESIZE_CHAIN,
     # synthetic audio corpus: features are integer-exact closed forms of
     # the plant constants (square waves — see sources/audio.py)
     "audio_features": SQL_AUDIO_FEATURES,

@@ -330,3 +330,35 @@ def png_images_df(spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every
         gen,
         "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
     )
+
+
+def solid_png_images_df(spark: SparkSession, n_rows: int, corrupt_every: int | None = None) -> DataFrame:
+    """Solid-color REAL PNGs whose geometry and channel values are closed
+    forms of the row id — the oracle-derivable corpus for the
+    feature-extract and resize operators (constant pixels survive any
+    resampling, so per-channel means are exact integers before AND after
+    a resize).  Plant rules: w = 8 + i%5, h = 6 + i%3, (r,g,b) =
+    (i*7, i*13, i*29) mod 256; `corrupt_every`: id % corrupt_every == 7
+    rows get truncated bytes (decode failures)."""
+    from ..operators.multimodal import encode_png
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 3
+                px = np.empty((h, w, 3), np.uint8)
+                px[..., 0], px[..., 1], px[..., 2] = (i * 7) % 256, (i * 13) % 256, (i * 29) % 256
+                data = encode_png(px)
+                if corrupt_every and i % corrupt_every == 7:
+                    data = data[: len(data) // 2]
+                rows.append((f"img-{i:08d}", data, w, h, "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return spark.range(n_rows).mapInPandas(
+        gen, "image_id string, bytes binary, w int, h int, fmt string"
+    )
