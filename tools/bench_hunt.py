@@ -67,7 +67,11 @@ def merge(result: dict) -> dict:
     return merged
 
 
-def loop(max_runs: int = 6, gate: float = 1.3) -> None:
+def loop(max_runs: int = 6, gate: float = 1.45) -> None:
+    # gate loosened 1.3 -> 1.45: merge keeps per-query MINIMA, so a
+    # slightly-degraded run can only fail to improve the record, never
+    # worsen it — while a too-tight gate starves the merge of runs when
+    # the floor was set in an exceptionally clean window.
     # gate on the LOCAL[32] workload probe: bench runs at local[32], and the
     # 32-thread memory-bandwidth degradation is invisible to both the
     # pure-CPU calibration and the local[8] probe (hunt32's lesson — two
