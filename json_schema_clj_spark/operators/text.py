@@ -129,3 +129,33 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         detect_lang(t).alias("lang_detected"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def sample_hash_bucket(key: Column, seed: str = "s1") -> Column:
+    """Deterministic per-row sampling bucket in [0, 65536): the first 4 hex
+    chars of md5(seed || key), compared as an integer.  Engine-portable —
+    any SQL engine with md5 reproduces the exact row set — and stable
+    across runs, partitionings, and cluster sizes (no RNG state), which is
+    what corpus-mixing reproducibility requires."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 4), 16, 10).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    seed: str = "s1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-mixing primitive: keep
+    each row iff its hash bucket falls under its stratum's rate (rates are
+    quantized to 1/65536).  A pure per-row predicate over the scan: no
+    shuffle, no RNG, fully pushdown-friendly, identical output at any
+    parallelism (the property the two-cluster-size scaling evidence needs
+    from every sampled stage)."""
+    bucket = sample_hash_bucket(F.col(key_col), seed)
+    thr = F.lit(int(default_rate * 65536))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * 65536))).otherwise(thr)
+    return df.where(bucket < thr)

@@ -952,6 +952,40 @@ GROUP BY 1 ORDER BY doc_id
 """
 
 
+_MIX_RATES = {
+    "1-URGENT": 0.50,
+    "2-HIGH": 0.25,
+    "3-MEDIUM": 0.10,
+    "4-NOT SPECIFIED": 0.05,
+    "5-LOW": 0.02,
+}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (the corpus-mixing primitive):
+    per-stratum keep rates applied via an md5 hash-bucket predicate — no
+    RNG, no shuffle, identical row set at any parallelism, and exactly
+    reproducible by any SQL engine with md5 (the oracle keeps the same
+    rows, not just the same counts)."""
+    orders = t(spark, sf_dir, "orders")
+    kept = TX.stratified_sample(
+        orders, _MIX_RATES, stratum_col="o_orderpriority", key_col="o_orderkey"
+    )
+    return kept.select("o_orderkey", "o_orderpriority").orderBy("o_orderkey")
+
+
+_MIX_CASE = " ".join(
+    f"WHEN o_orderpriority = '{s}' THEN {int(r * 65536)}" for s, r in sorted(_MIX_RATES.items())
+)
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE ('0x' || substr(md5('s1' || CAST(o_orderkey AS VARCHAR)), 1, 4))::INTEGER
+      < CASE {_MIX_CASE} ELSE 0 END
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # 11b. documents curation pipeline (quality gate + exact dedup + near-dup)
 
@@ -1738,6 +1772,37 @@ FROM embeddings ORDER BY id_a, id_b
 """
 
 
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs resolved into clusters: LSH-bucketed cosine
+    pairs → large-star/small-star connected components → per-cluster sizes.
+    Two planted copies of every vec_id % 10 == 0 vector (one copy of the
+    rest) make the expected clusters non-trivial (triangles, not just
+    pairs) while staying exactly derivable: identical vectors are the only
+    cos ≥ 0.95 neighbors in this corpus (max natural cosine ≈ 0.60)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clone1 = emb.select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding")
+    clone2 = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clone1).unionByName(clone2)
+    op = S.embedding_near_duplicates(corpus, threshold=0.95)
+    cc = D.connected_components_star(op.select(F.col("id_a"), F.col("id_b")))
+    out = (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+    out._persisted_deps = getattr(op, "_persisted_deps", []) + getattr(cc, "_persisted_deps", [])
+    return out
+
+
+SQL_EMBEDDING_DEDUP_CLUSTERS = """
+SELECT vec_id AS cluster_id,
+       CAST(CASE WHEN vec_id % 10 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_members
+FROM embeddings ORDER BY cluster_id
+"""
+
+
 def q_images_flagship_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship image-table validation → per-partition verdicts.
 
@@ -2457,6 +2522,7 @@ QUERIES = {
     "dedup_shared_runs": q_shared_runs,
     "dedup_shared_runs_md5": q_shared_runs_md5,
     "documents_curation_verdicts": q_documents_curation,
+    "sample_stratified_orders": q_sample_stratified,
     "images_feature_extract": q_images_feature_extract,
     "images_resize_chain": q_images_resize_chain,
     "audio_features": q_audio_features,
@@ -2474,6 +2540,7 @@ QUERIES = {
     "dedup_simhash": q_simhash_candidates,
     "dedup_simhash_md5": q_simhash_md5,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_dedup_clusters": q_embedding_dedup_clusters,
     "ann_lsh_topk": q_lsh_ann_topk,
     "images_flagship_verdicts": q_images_flagship_verdicts,
     "images_decode_psnr_invariant": q_images_decode_psnr,
@@ -2521,6 +2588,7 @@ ORACLES = {
     "dedup_shared_runs": SQL_SHARED_RUNS,
     "dedup_shared_runs_md5": SQL_SHARED_RUNS_MD5,
     "documents_curation_verdicts": SQL_DOCUMENTS_CURATION,
+    "sample_stratified_orders": SQL_SAMPLE_STRATIFIED,
     # solid-color PNG corpus: decoded dims/means are closed forms
     "images_feature_extract": SQL_IMAGES_FEATURE_EXTRACT,
     "images_resize_chain": SQL_IMAGES_RESIZE_CHAIN,
@@ -2540,6 +2608,7 @@ ORACLES = {
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_dedup_clusters": SQL_EMBEDDING_DEDUP_CLUSTERS,
     "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
     "images_psnr_lossy": SQL_IMAGES_PSNR_LOSSY,
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,

@@ -252,3 +252,27 @@ def test_curation_pipeline_reason_precedence(spark):
     assert out[300031][1] == "near_dup"
     # the originals survive their own plants
     assert out[20][1] not in ("exact_dup", "near_dup")
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    from json_schema_clj_spark.operators.text import stratified_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    rates = {"a": 0.5, "b": 0.1}
+    kept = stratified_sample(df, rates, stratum_col="s", key_col="k")
+    counts = {r["s"]: r["n"] for r in kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform: expect rate +- 3 percentage points per stratum
+    assert abs(counts["a"] / 10_000 - 0.5) < 0.03
+    assert abs(counts["b"] / 10_000 - 0.1) < 0.03
+    # deterministic: identical row set on re-evaluation and at another
+    # parallelism (no RNG state — the scaling-evidence requirement)
+    ids1 = sorted(r["k"] for r in kept.collect())
+    ids2 = sorted(r["k"] for r in stratified_sample(df.repartition(13), rates, "s", "k").collect())
+    assert ids1 == ids2
+    # unknown stratum -> default_rate 0 -> dropped
+    extra = spark.createDataFrame([(999_999, "zzz")], ["k", "s"])
+    assert stratified_sample(extra, rates, "s", "k").count() == 0
