@@ -174,7 +174,10 @@ def autoloop(levels: tuple[int, ...] = (8, 2, 32), gate: float = 1.4,
 PROBE32_MIN_FILE = os.path.join(REPO, "BENCH", "probe32_min_r3v2.json")
 
 
-def hunt32(gate: float = 1.3, sleep_s: int = 75, max_samples: int = 4) -> None:
+def hunt32(gate: float = 1.45, sleep_s: int = 75, max_samples: int = 4) -> None:
+    # gate loosened 1.3 -> 1.45 (same argument as bench_hunt): the report
+    # takes per-level MINIMA, so a slightly-degraded sample can only fail
+    # to improve the record, never worsen it.
     """Probe-gated local[32] sampler.  Neither the pure-CPU cal32 (measured
     1.21 s — clean — while the full workload ran 234.9 s, 3.8x degraded)
     nor the local[8] workload probe sees the 32-thread memory-bandwidth
