@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_exact_substring",
     "dedup_shared_runs",
     "documents_curation_verdicts",
+    "decontamination",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_incremental",
     "dedup_minhash_md5",
