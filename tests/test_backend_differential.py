@@ -64,13 +64,22 @@ def rand_subschema(rng: random.Random, col: str):
             {"items": {"minLength": rng.randint(0, 3)}},
             {"contains": {"const": "x"}},
         ]
+    if isinstance(t, T.StringType) and rng.random() < 0.15:
+        opts.append({"format": rng.choice(["email", "ipv4", "hostname", "date"])})
     sub = {}
     for _ in range(rng.randint(1, 2)):
         sub.update(rng.choice(opts))
-    if rng.random() < 0.2:
+    r = rng.random()
+    if r < 0.15:
         sub = {"anyOf": [sub, rng.choice(opts)]}
-    elif rng.random() < 0.15:
+    elif r < 0.27:
+        sub = {"allOf": [sub, rng.choice(opts)]}
+    elif r < 0.37:
+        sub = {"oneOf": [sub, rng.choice(opts)]}
+    elif r < 0.47:
         sub = {"not": sub}
+    elif r < 0.55:
+        sub = {"if": rng.choice(opts), "then": sub, "else": rng.choice(opts)}
     return sub
 
 
@@ -83,6 +92,19 @@ def rand_schema(rng: random.Random):
     if rng.random() < 0.3:
         a, b = rng.sample(list(COLS), k=2)
         schema["dependencies"] = {a: [b]}
+    if rng.random() < 0.2:
+        # $data cross-field bound: age >= score read from the sibling value
+        # (relative pointer: up one level from /age, down to /score)
+        schema.setdefault("properties", {}).setdefault("age", {})
+        schema["properties"]["age"] = dict(schema["properties"]["age"])
+        schema["properties"]["age"]["minimum"] = {"$data": "1/score"}
+    if rng.random() < 0.15:
+        schema = {
+            "switch": [
+                {"if": {"required": ["flag"]}, "then": schema, "continue": False},
+                {"then": True},
+            ]
+        }
     return schema
 
 
