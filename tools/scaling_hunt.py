@@ -131,7 +131,7 @@ def probe(cpus: int = 8) -> float:
 def _foreign_spark_work_running() -> bool:
     """True while the driver's bench or a pytest run owns the machine —
     sampling then both contaminates our minima AND slows the graded run."""
-    out = subprocess.run(["pgrep", "-af", "bench.py|pytest|check_oracles"],
+    out = subprocess.run(["pgrep", "-af", "bench.py|pytest|check_oracles|fuzz_differential"],
                          capture_output=True, text=True)
     me = str(os.getpid())
     for line in out.stdout.splitlines():
