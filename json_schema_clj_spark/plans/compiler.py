@@ -362,11 +362,13 @@ def make_comparator(
             exclusive = schema.get("exclusiveFormat" + keyword[6:])
         if isinstance(exclusive, dict):
             raise ColumnBackendUnsupported("$data exclusive flag needs the Python backend")
+        # a non-boolean exclusive flag is a broken schema: EVERY value errors,
+        # even non-applicable ones — core.clj:116-117 checks it before
+        # value-applicability (draft-4 flag form vs a draft-6 numeric sibling)
+        broken_flag = exclusive is not None and not isinstance(exclusive, bool)
         eff_op = op
         if exclusive is True:
             eff_op = {"ge": "gt", "le": "lt"}[op]
-        if ctx.dtype is not None and not applicable_dtypes(ctx.dtype):
-            return None  # non-applicable values pass (comparator ladder)
         data = _maybe_data(value, ctx)
         v = value_expr(target)
 
@@ -381,12 +383,21 @@ def make_comparator(
 
         if data is not None:
             bound_col, bound_dt = data
+            # cond order mirrors core.clj:106-117: a null runtime bound
+            # passes before the broken-bound/broken-flag errors fire
             if bound_dt is not None and not bound_is_ok_dtype(bound_dt, bound_is_ok):
                 return simple_check(
-                    F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
+                    bound_col.isNull(), ctx.schema_path, ctx.instance_path, keyword,
                     F.concat(F.lit(" could not compare with "), F.coalesce(bound_col.cast("string"), F.lit("null"))),
                     sev,
                 )
+            if broken_flag:
+                return simple_check(
+                    bound_col.isNull(), ctx.schema_path, ctx.instance_path, keyword,
+                    F.lit(f"exclusive flag should be boolean, got {exclusive}"), sev,
+                )
+            if ctx.dtype is not None and not applicable_dtypes(ctx.dtype):
+                return None  # non-applicable values pass (comparator ladder)
             ok = F.when(bound_col.isNull() | target.isNull(), F.lit(True)).otherwise(cmp(bound_col))
             msg = F.concat(F.lit(f"expected{message} "), v.cast("string"), F.lit(f" {_op_sym(eff_op)} "), bound_col.cast("string"))
             return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword, msg, sev)
@@ -397,6 +408,13 @@ def make_comparator(
                 F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
                 f" could not compare with {value}", sev,
             )
+        if broken_flag:
+            return simple_check(
+                F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
+                f"exclusive flag should be boolean, got {exclusive}", sev,
+            )
+        if ctx.dtype is not None and not applicable_dtypes(ctx.dtype):
+            return None  # non-applicable values pass (comparator ladder)
         bound_col = F.lit(value)
         ok = F.when(target.isNull(), F.lit(True)).otherwise(cmp(bound_col))
         msg = F.concat(F.lit(f"expected{message} "), v.cast("string"), F.lit(f" {_op_sym(eff_op)} {value}"))
@@ -453,8 +471,18 @@ def _exclusive_numeric(keyword: str, op: str, absorbed_by: str):
     1040-1055)."""
 
     def fn(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
-        if absorbed_by in schema or isinstance(value, bool):
+        if absorbed_by in schema:
             return None
+        if isinstance(value, bool):
+            # bare draft-4 flag with no absorbing bound: the reference
+            # compiles a comparator whose BOUND is the boolean, which fails
+            # bound-applicability on every value (core.clj:1006-1023,113-114;
+            # it tags the error :maximum/:minimum — we keep the keyword's own
+            # name, consistent with our numeric-standalone tagging)
+            return simple_check(
+                F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
+                f" could not compare with {str(value).lower()}", ctx.severity(keyword),
+            )
         return make_comparator(keyword, op, _is_numeric, _ident, _is_number_py, "")(
             value, schema, target, ctx
         )

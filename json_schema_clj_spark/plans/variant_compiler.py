@@ -271,6 +271,14 @@ def _v_comparator(keyword: str, op: str, applicable, value_expr, bound_check, me
                 F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
                 f" could not compare with {value}", sev,
             ) if value is not None else None
+        if exclusive is not None and not isinstance(exclusive, bool):
+            # broken draft-4 flag (e.g. numeric exclusiveMaximum riding a
+            # maximum): EVERY value errors, before value-applicability
+            # (core.clj:116-117)
+            return simple_check(
+                F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
+                f"exclusive flag should be boolean, got {exclusive}", sev,
+            )
         cv = value_expr(v)
         b = F.lit(value)
         cmpc = {"ge": cv >= b, "gt": cv > b, "le": cv <= b, "lt": cv < b}[eff_op]
@@ -335,8 +343,15 @@ VARIANT_COMPILERS["formatMaximum"] = _v_format_bound("formatMaximum", "le")
 
 def _v_exclusive(keyword, op, absorbed_by):
     def fn(value, schema, v: Column, ctx: Ctx) -> Optional[Compiled]:
-        if absorbed_by in schema or isinstance(value, bool):
+        if absorbed_by in schema:
             return None
+        if isinstance(value, bool):
+            # bare draft-4 flag, no absorbing bound: boolean bound fails
+            # bound-applicability on every value (core.clj:1006-1023,113-114)
+            return simple_check(
+                F.lit(False), ctx.schema_path, ctx.instance_path, keyword,
+                f" could not compare with {str(value).lower()}", ctx.severity(keyword),
+            )
         return _v_comparator(keyword, op, is_number, as_double, _is_num_py)(
             value, schema, v, ctx
         )

@@ -588,8 +588,18 @@ def _exclusive_standalone(name, direction):
 
     def compile_kw(value, schema, cc):
         absorbed_by = "minimum" if name == "exclusiveMinimum" else "maximum"
-        if absorbed_by in schema or isinstance(value, bool):
+        if absorbed_by in schema:
             return None
+        if isinstance(value, bool):
+            # bare draft-4 flag, no absorbing bound: the reference compiles
+            # a comparator whose BOUND is the boolean, which fails
+            # bound-applicability on every value (core.clj:1006-1023,113-114)
+            bval = "true" if value else "false"
+
+            def vfn(v, path, run):
+                _add_error(run, name, path, f" could not compare with {bval}")
+
+            return vfn
         op = " > " if name == "exclusiveMinimum" else " < "
         return make_comparator(
             name, is_number, lambda v: v, is_number, value,

@@ -44,6 +44,10 @@ def rand_subschema(rng: random.Random, col: str):
             {"maximum": rng.randint(-5, 5)},
             {"minimum": rng.randint(-5, 5), "exclusiveMinimum": True},
             {"exclusiveMaximum": rng.randint(-5, 5)},
+            # broken forms the reference rejects per-value: a numeric flag
+            # riding its bound, and a bare boolean flag (no absorbing bound)
+            {"maximum": rng.randint(-5, 5), "exclusiveMaximum": rng.randint(-5, 5)},
+            {"exclusiveMinimum": rng.choice([True, False])},
             {"multipleOf": rng.randint(1, 4)},
             {"enum": rng.sample([0, 1, 2, 3, -1], k=rng.randint(1, 3))},
         ]
