@@ -70,6 +70,25 @@ BROKEN_SCHEMAS = [
 ]
 
 
+def test_data_zero_divisor_runtime(spark):
+    """multipleOf with a $data divisor that is ZERO at runtime for some rows:
+    the CaseWhen guard keeps ANSI mode from evaluating the remainder on those
+    rows, and the verdicts match the Python backend (only v == 0 passes)."""
+    table = T.StructType(
+        [T.StructField("age", T.LongType()), T.StructField("score", T.DoubleType())]
+    )
+    rows = [(4, 2.0), (4, 0.0), (0, 0.0), (None, 0.0), (6, None), (9, 3.0)]
+    docs = [{k: v for k, v in zip(("age", "score"), r) if v is not None} for r in rows]
+    schema = {"properties": {"age": {"multipleOf": {"$data": "1/score"}}}}
+    v = engine.compile(schema)
+    py_valid = [not v(d)["errors"] for d in docs]
+    col_valid = [
+        r["valid"]
+        for r in engine.with_validation(spark.createDataFrame(rows, table), schema).collect()
+    ]
+    assert col_valid == py_valid == [True, False, True, True, True, True]
+
+
 @pytest.mark.parametrize("schema", BROKEN_SCHEMAS, ids=lambda s: json.dumps(s)[:70])
 def test_broken_schema_backends_agree(spark, schema):
     v = engine.compile(schema)
