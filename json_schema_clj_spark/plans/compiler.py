@@ -153,17 +153,30 @@ def _resolve_data_pointer(ref: str, ctx: Ctx):
     dt = ctx.root_dtype
     for seg in full:
         if isinstance(seg, (Column, int)):
-            idx = (seg + F.lit(1)) if isinstance(seg, Column) else F.lit(int(seg) + 1)
-            col = F.element_at(col, idx)
+            if dt is not None and not isinstance(dt, T.ArrayType):
+                # numeric seg into a non-array: statically absent -> the
+                # reference resolves the pointer to nil (json-pointer get-in)
+                return F.lit(None), None
+            # F.get is 0-based and null-safe: an out-of-range index is a nil
+            # bound (reference get-in), not an ANSI INVALID_ARRAY_INDEX abort
+            idx = seg if isinstance(seg, Column) else F.lit(int(seg))
+            col = F.get(col, idx)
             dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+        elif isinstance(dt, T.StructType):
+            if seg not in dt.fieldNames():
+                # absent sibling field: a nil bound, NOT a plan-time
+                # FIELD_NOT_FOUND — every $data consumer passes on nil
+                return F.lit(None), None
+            col = col.getField(seg)
+            dt = dt[seg].dataType
+        elif isinstance(dt, T.MapType):
+            col = F.element_at(col, F.lit(seg))
+            dt = dt.valueType
+        elif dt is None:
+            col = col.getField(seg)  # unknown shape: best-effort
         else:
-            col = col.getField(seg) if not isinstance(dt, T.MapType) else F.element_at(col, F.lit(seg))
-            if isinstance(dt, T.StructType) and seg in dt.fieldNames():
-                dt = dt[seg].dataType
-            elif isinstance(dt, T.MapType):
-                dt = dt.valueType
-            else:
-                dt = None
+            # walking a key into a scalar: statically absent -> nil bound
+            return F.lit(None), None
     return col, dt
 
 
@@ -295,9 +308,19 @@ def _compile_enum(value, schema, target: Column, ctx: Ctx) -> Compiled:
         ref_col, ref_dt = data
         if ref_dt is not None and not isinstance(ref_dt, T.ArrayType):
             return _const_fail(ctx, "enum", f"could not enum by {value['$data']}")
-        ok = F.when(ref_col.isNull(), F.lit(True)).otherwise(
-            F.coalesce(F.array_contains(ref_col, target), F.lit(False))
-        )
+        if (
+            isinstance(ref_dt, T.ArrayType)
+            and ctx.dtype is not None
+            and ref_dt.elementType != ctx.dtype
+            and not (_is_numeric(ref_dt.elementType) and _is_numeric(ctx.dtype))
+        ):
+            # statically incompatible JSON types are never enum members —
+            # array_contains would be a plan-time DATATYPE_MISMATCH abort
+            ok = F.when(ref_col.isNull(), F.lit(True)).otherwise(F.lit(False))
+        else:
+            ok = F.when(ref_col.isNull(), F.lit(True)).otherwise(
+                F.coalesce(F.array_contains(ref_col, target), F.lit(False))
+            )
         # no _null_pass here: a null target = missing property, and the
         # properties/patternProperties compilers already null-pass their
         # children (fixture: data_structures.json "missing target property

@@ -70,6 +70,35 @@ BROKEN_SCHEMAS = [
 ]
 
 
+DATA_EDGE_SCHEMAS = [
+    # wrong-typed runtime bounds -> per-row "could not compare" (nil passes)
+    {"properties": {"age": {"minimum": {"$data": "1/name"}}}},
+    {"properties": {"age": {"maximum": {"$data": "1/flag"}}}},
+    {"properties": {"name": {"minLength": {"$data": "1/name"}}}},
+    # statically absent sibling -> nil bound, not plan-time FIELD_NOT_FOUND
+    {"properties": {"age": {"maximum": {"$data": "1/missing"}}}},
+    # pointer walking a key into a scalar -> nil bound
+    {"properties": {"age": {"minimum": {"$data": "1/name/deeper"}}}},
+    # array-index pointer: out-of-range index on short/empty arrays is a nil
+    # bound, not an ANSI INVALID_ARRAY_INDEX abort
+    {"properties": {"age": {"maximum": {"$data": "1/tags/0"}}}},
+    {"properties": {"name": {"const": {"$data": "1/tags/1"}}}},
+    # enum from a $data array whose element type can't equal the target:
+    # statically not-a-member, not plan-time DATATYPE_MISMATCH
+    {"properties": {"age": {"enum": {"$data": "1/tags"}}}},
+    {"properties": {"name": {"enum": {"$data": "1/tags"}}}},
+]
+
+
+@pytest.mark.parametrize("schema", DATA_EDGE_SCHEMAS, ids=lambda s: json.dumps(s)[:70])
+def test_data_pointer_edges_backends_agree(spark, schema):
+    v = engine.compile(schema)
+    py_valid = [not v(d)["errors"] for d in DOCS]
+    df = spark.createDataFrame(ROWS, TABLE_SCHEMA)
+    col_valid = [r["valid"] for r in engine.with_validation(df, schema).collect()]
+    assert col_valid == py_valid, f"Column backend disagrees on {schema}"
+
+
 def test_data_zero_divisor_runtime(spark):
     """multipleOf with a $data divisor that is ZERO at runtime for some rows:
     the CaseWhen guard keeps ANSI mode from evaluating the remainder on those
