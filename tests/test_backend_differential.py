@@ -14,12 +14,17 @@ from pyspark.sql import types as T
 
 from json_schema_clj_spark import engine
 
+META_SCHEMA = T.StructType(
+    [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+)
+
 COLS = {
     "name": T.StringType(),
     "age": T.LongType(),
     "score": T.DoubleType(),
     "flag": T.BooleanType(),
     "tags": T.ArrayType(T.StringType()),
+    "meta": META_SCHEMA,
 }
 
 TABLE_SCHEMA = T.StructType([T.StructField(k, v) for k, v in COLS.items()])
@@ -28,6 +33,35 @@ TABLE_SCHEMA = T.StructType([T.StructField(k, v) for k, v in COLS.items()])
 def rand_subschema(rng: random.Random, col: str):
     t = COLS[col]
     opts = []
+    if isinstance(t, T.StructType):
+        # nested object: properties over the struct fields (exercises the
+        # Column backend's struct traversal + nested $data base paths)
+        inner = {}
+        if rng.random() < 0.8:
+            inner["a"] = rng.choice(
+                [
+                    {"type": "integer"},
+                    {"minimum": rng.randint(-4, 4)},
+                    {"maximum": rng.randint(-4, 4)},
+                    {"enum": rng.sample([0, 1, 2, -3], k=2)},
+                    {"minimum": {"$data": "2/age"}},
+                ]
+            )
+        if rng.random() < 0.6:
+            inner["b"] = rng.choice(
+                [
+                    {"type": "string"},
+                    {"minLength": rng.randint(0, 3)},
+                    {"pattern": rng.choice(["^m", "[ab]"])},
+                    {"const": {"$data": "2/name"}},
+                ]
+            )
+        sub = {"type": "object", "properties": inner or {"a": {"type": "integer"}}}
+        if rng.random() < 0.3:
+            sub["required"] = rng.sample(["a", "b"], k=rng.randint(1, 2))
+        if rng.random() < 0.2:
+            sub = {"anyOf": [sub, {"required": ["a", "b"]}]}
+        return sub
     if isinstance(t, T.StringType):
         opts = [
             {"type": "string"},
@@ -117,16 +151,20 @@ def rand_row(rng: random.Random):
         return None if rng.random() < 0.25 else v
 
     return (
-        maybe(rng.choice(["a", "bb", "ccc", "", "  ", "xcd", "zz"])),
+        maybe(rng.choice(["a", "bb", "ccc", "", "  ", "xcd", "zz", "m1"])),
         maybe(rng.randint(-6, 6)),
         maybe(rng.choice([-2.5, 0.0, 1.5, 3.5])),
         maybe(rng.choice([True, False])),
         maybe(rng.choice([[], ["x"], ["a", "a"], ["x", "y", "z", "w"]])),
+        maybe((maybe(rng.randint(-4, 4)), maybe(rng.choice(["m1", "bb", "", "zz"])))),
     )
 
 
 def row_to_doc(row):
     d = dict(zip(COLS, row))
+    if d.get("meta") is not None:
+        # struct null fields conflate with absent (module docstring): drop them
+        d["meta"] = {k: v for k, v in zip(("a", "b"), d["meta"]) if v is not None}
     return {k: v for k, v in d.items() if v is not None}
 
 
