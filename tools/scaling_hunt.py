@@ -368,10 +368,10 @@ engine speeds up from local[8] to local[32] (pure-CPU host ceiling for
 {stage_tbl}
 
 (raw samples: BENCH/scaling_stage_samples_r3.jsonl; collector:
-`python tools/scaling_hunt.py stages <cpus>`).  Stages whose minimum is
-under ~2.5 s (uniq_phash, sink_read) are job-scheduling-overhead-bound
-at this input size — a per-JOB constant, not a per-row cost, so it
-vanishes at real data scale.  This pins the whole-job 8->32 shortfall on
+`python tools/scaling_hunt.py stages <cpus>`).  Stages whose minima are
+a few seconds (uniq_phash, drift, sink_read) are
+job-scheduling-overhead-bound at this input size — a per-JOB constant,
+not a per-row cost, so it vanishes at real data scale.  This pins the whole-job 8->32 shortfall on
 clean-window-catching probability — a ~40 s 32-thread run almost always
 intersects a degradation burst — not on any stage of the engine
 anti-scaling.
