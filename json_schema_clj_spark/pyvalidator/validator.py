@@ -121,7 +121,21 @@ def canon(v):
 
 def _is_divider(v, d) -> bool:
     """Exact-rational multipleOf test (is-divider?, core.clj:419-421).
-    Float operands are taken at their printed decimal value."""
+    Float operands are taken at their printed decimal value.
+
+    Deliberate divergence from the reference on two untested boundaries:
+    the reference regex-matches the PRINTED double quotient against
+    ^\\d+(\\.0)?$, so (a) float-noise quotients — Java prints 0.3/0.1 as
+    2.9999999999999996 — and (b) integer-valued quotients large enough for
+    Java's E-notation (>= 1e7, printed "7.5E10") are both INVALID there.
+    Exact-rational at the printed decimal value calls both VALID.  No
+    reference test pins either class (the official draft suites pass under
+    both definitions); the exact form is kept because the reference's
+    answer is an artifact of Double.toString formatting, and bit-agreement
+    across this repo's three backends (JVM SQL, Arrow Python, driver
+    Python) requires a formatting-independent definition.  The
+    non-negative-quotient quirk the regex DOES encode (a -6/3 quotient
+    prints "-2.0" and fails the match) is mirrored via q >= 0."""
     if d == 0:
         return False
     fv = Fraction(str(v)) if isinstance(v, float) else Fraction(v)

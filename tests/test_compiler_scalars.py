@@ -91,6 +91,25 @@ def test_multiple_of(spark):
     assert vm == {"a": True, "b": False}
 
 
+def test_multiple_of_exact_rational_boundary(spark):
+    # Pins the documented divergence from is-divider? (core.clj:419-421):
+    # the reference matches the printed double quotient, so 0.3/0.1
+    # (printed 2.9999999999999996) is invalid there; exact-rational at the
+    # printed decimal value (0.3/0.1 = 3 exactly) is valid here, and the
+    # Column backend and driver backend must agree with EACH OTHER.
+    from json_schema_clj_spark.pyvalidator.validator import compile_schema
+
+    schema = {"properties": {"x": {"multipleOf": 0.1}}}
+    vm = _valid_map(
+        spark, [("a", 0.3), ("b", 0.35), ("c", 7.5e10)], "k string, x double", schema
+    )
+    assert vm == {"a": True, "b": False, "c": True}
+    v = compile_schema(schema)
+    assert not v({"x": 0.3})["errors"]
+    assert v({"x": 0.35})["errors"]
+    assert not v({"x": 7.5e10})["errors"]
+
+
 def test_length_codepoints(spark):
     # codepoint length parity: 😀 is ONE codepoint (core.clj:1060-1062)
     schema = {"properties": {"s": {"minLength": 2, "maxLength": 3}}}

@@ -7,8 +7,12 @@ engine's behavior — including its deliberate quirks (blank strings are not
 valid strings, 1.0 is not an integer, nil counts as missing for required).
 Cases the reference's own skip-lists exclude (ECMA-262 regex dialect,
 numeric-type unification, ref-overrides-siblings, multiple extends, array
-of schemas for items in draft3's sense, allOf with base schema) are simply
-not generated.
+of schemas for items in draft3's sense, allOf with base schema) are not
+generated in the official suite's form — but where the reference's focus
+tests pin its ALTERNATE behavior on a skipped boundary (multiple-extends
+merge, JVM regex dialect, $ref-with-siblings), draft3 carries authored
+groups pinned to that focus-test behavior (extends.json,
+format_regex_dialect.json, ref_siblings.json).
 
 Run: python tools/gen_draft_fixtures.py   (writes JSON, idempotent)
 """
@@ -499,6 +503,43 @@ DRAFT3 = {
           ("mismatch extends", {"bar": 2}, False),
           ("mismatch extended", {"foo": "baz"}, False),
           ("wrong type", {"foo": "baz", "bar": "quux"}, False)),
+        # the official "multiple extends" group is in the reference's skip
+        # list, but its focus test (v3_test.clj focus-3-test-a) pins the
+        # array form as a merge of every extended schema — both sides of
+        # that skip boundary, pinned to the focus test's semantics:
+        g("multiple extends merge every schema (v3_test.clj focus-3-test-a)",
+          {"properties": {"bar": {"type": "integer", "required": True}},
+           "extends": [{"properties": {"foo": {"type": "string", "required": True}}},
+                       {"properties": {"baz": {"type": "string", "required": True}}}]},
+          ("all merged requirements met", {"foo": "quux", "bar": 2, "baz": "foo"}, True),
+          ("first extended schema unmet", {"bar": 2, "baz": "foo"}, False),
+          ("second extended schema unmet", {"foo": "quux", "bar": 2}, False),
+          ("base schema unmet", {"foo": "quux", "baz": "foo"}, False)),
+    ],
+    "ref_siblings.json": [
+        # the official "ref overrides any sibling keywords" group is skipped
+        # by the reference (v3_test.clj/v4_test.clj) because its compiler
+        # treats $ref as one keyword among the others (core.clj schema-key
+        # dispatch) — siblings VALIDATE alongside the resolved ref.  Pin
+        # that actual behavior:
+        g("$ref siblings validate alongside the ref (reference semantics)",
+          {"$ref": "#/definitions/reffed", "maxItems": 2,
+           "definitions": {"reffed": {"type": "array"}}},
+          ("ref valid, sibling maxItems satisfied", ["a", "b"], True),
+          ("ref valid, sibling maxItems violated", ["a", "b", "c"], False),
+          ("ref itself violated", "not-an-array", False)),
+    ],
+    "format_regex_dialect.json": [
+        # the official "ECMA 262 regex dialect recognition" group is skipped
+        # by the reference: it compiles format:regex with java.util.regex,
+        # whose dialect accepts lookbehind (focus-3-test-a pins the
+        # unclosed-group case as invalid).  Pin the JVM-dialect boundary:
+        g("format regex uses the JVM dialect, not ECMA 262",
+          {"format": "regex"},
+          ("plain regex is valid", "a+b*c?", True),
+          ("lookbehind is valid in the JVM dialect", "(?<=foo)bar", True),
+          ("unclosed group is invalid (v3_test.clj focus-3-test-a)", "(?<=foobar", False),
+          ("unbalanced bracket is invalid", "[a-z", False)),
     ],
     "disallow.json": [
         g("disallow", {"disallow": "integer"},
@@ -519,6 +560,15 @@ DRAFT3 = {
           ("int by int", 10, True),
           ("int by int fail", 7, False),
           ("ignores non-numbers", "foo", True)),
+        g("by number (official draft-3 case, v3_test.clj focus-3-test-a)",
+          {"divisibleBy": 1.5},
+          ("zero is divisible by anything", 0, True),
+          ("4.5 is divisible by 1.5", 4.5, True),
+          ("35 is not divisible by 1.5", 35, False)),
+        g("by small number (official draft-3 case)",
+          {"divisibleBy": 0.0001},
+          ("0.0075 is divisible by 0.0001", 0.0075, True),
+          ("0.00751 is not divisible by 0.0001", 0.00751, False)),
     ],
     "required_boolean.json": [
         g("required draft-3 boolean form",
