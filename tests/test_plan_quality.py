@@ -197,3 +197,57 @@ def test_quantile_profile_single_pass_and_partial_agg(spark):
     # partial_percentile_approx below the exchange, merge above it
     assert "partial_" in plan and "Exchange" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_decontamination_broadcasts_bench_side(spark):
+    # the benchmark window set is thousands of rows against a 100 TB train
+    # side: the contamination probe must be a broadcast hash join (train
+    # streams shuffle-free), and the hot-window guard's anti-join must
+    # broadcast too — any SortMergeJoin here shuffles the train corpus
+    from json_schema_clj_spark.queries import q_decontamination
+
+    plan = executed(q_decontamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_exact_substring_no_cartesian_guard_broadcast(spark):
+    # the shingle-hash self-join must be an equi-join on the window hash
+    # (cartesian would be corpus² at scale) and the hot-window guard an
+    # anti broadcast join
+    from json_schema_clj_spark.queries import q_exact_substring
+
+    plan = executed(q_exact_substring(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_shared_runs_single_window_shuffle(spark):
+    # gaps-and-islands must sort WITHIN the (pair, diagonal) hash
+    # partitioning — a Window node over hashpartitioning, no global
+    # (rangepartitioning) sort, no cartesian anchor join.  Audited on the
+    # raw operator: the query wrapper adds a final orderBy for oracle
+    # determinism whose range exchange is not part of the island plan.
+    from json_schema_clj_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = D.shared_run_pairs(docs, n=5)
+    plan = executed(out)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(id_a" in plan, plan
+    D.release(out)
+
+
+def test_phash_neardup_banded_join_pure_catalyst(spark):
+    # banded 16-bit-chunk candidate join: equi-join on (chunk index, chunk
+    # value), exact Hamming verify via bit_count — all JVM, no Python
+    # nodes, no cartesian
+    from json_schema_clj_spark.queries import QUERIES
+
+    plan = executed(QUERIES["images_phash_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
