@@ -59,6 +59,22 @@ def rand_subschema(rng: random.Random, col: str):
         sub = {"type": "object", "properties": inner or {"a": {"type": "integer"}}}
         if rng.random() < 0.3:
             sub["required"] = rng.sample(["a", "b"], k=rng.randint(1, 2))
+        r = rng.random()
+        if r < 0.1:
+            # only the declared keys are allowed; a doc carrying the other
+            # meta field must fail
+            sub["additionalProperties"] = False
+        elif r < 0.2:
+            sub["patternProperties"] = {"^b": rng.choice(
+                [{"type": "string"}, {"minLength": 2}]
+            )}
+        elif r < 0.28:
+            sub["propertyNames"] = {"pattern": rng.choice(["^a$", "^[ab]$"])}
+        elif r < 0.36:
+            sub["maxProperties"] = rng.randint(0, 2)
+        elif r < 0.42:
+            # v5 patternGroups: count-bounded match groups over struct keys
+            sub["patternGroups"] = {"^[ab]": {"minimum": rng.randint(1, 2)}}
         if rng.random() < 0.2:
             sub = {"anyOf": [sub, {"required": ["a", "b"]}]}
         return sub
@@ -101,6 +117,11 @@ def rand_subschema(rng: random.Random, col: str):
             {"uniqueItems": True},
             {"items": {"minLength": rng.randint(0, 3)}},
             {"contains": {"const": "x"}},
+            # tuple form + additionalItems (draft-3/4 array semantics)
+            {"items": [{"const": "x"}, {"minLength": 1}],
+             "additionalItems": rng.choice([False, {"maxLength": 1}])},
+            # custom subset keyword: every element from the allowed set
+            {"subset": rng.sample(["x", "y", "z", "w", "a"], k=rng.randint(2, 4))},
         ]
     if isinstance(t, T.StringType) and rng.random() < 0.15:
         opts.append({"format": rng.choice(["email", "ipv4", "hostname", "date"])})
@@ -143,6 +164,23 @@ def rand_schema(rng: random.Random):
                 {"then": True},
             ]
         }
+    r = rng.random()
+    if r < 0.12:
+        # internal $ref through definitions — the pointer-decode + registry
+        # path on an otherwise random schema
+        schema = {"definitions": {"root": schema}, "$ref": "#/definitions/root"}
+    elif r < 0.22:
+        # draft-3 extends: conjunction with an extra required column
+        schema = dict(schema)
+        schema["extends"] = {"required": [rng.choice(list(COLS))]}
+    elif r < 0.3:
+        # schema-form dependencies: presence of one column imposes a schema
+        a, b = rng.sample(list(COLS), k=2)
+        schema = dict(schema)
+        schema["dependencies"] = {a: {"required": [b]}}
+    elif r < 0.36:
+        # draft-3 disallow of a random type union member
+        schema = {"allOf": [schema, {"disallow": rng.choice(["string", "boolean"])}]}
     return schema
 
 
