@@ -1,0 +1,308 @@
+"""Schema inference & constraint suggestion — the inverse operator.
+
+The reference validates documents against a GIVEN schema (core.clj
+validate/compile); at 10^12 rows the schema is often unknown or stale, so
+a validation engine also needs the profile→schema direction (what Deequ's
+ConstraintSuggestion / Great Expectations' profiler do): derive a draft-7
+JSON-Schema plus suggested constraints FROM the data, then feed the result
+straight back into this engine's compilers (`engine.validate_table` /
+`validate_json_column`) — inference and validation close the loop inside
+one system.
+
+Scale design
+------------
+* `constraint_profile` is TWO aggregation passes, both map-side partial +
+  one tiny shuffle: pass 1 reuses `stats.column_profile` (null counts,
+  min/max, distinct — HLL on the 10^12-row path); pass 2 collects enum
+  candidates ONLY for columns whose pass-1 distinct estimate is below the
+  enum threshold, so `collect_set` state is bounded by `enum_max+1` values
+  per column regardless of table size (a safety cap guards HLL
+  underestimates).  The driver only ever sees |columns| rows.
+* `suggest_constraints` / `schema_from_profile` run on the |columns|-row
+  profile — pure column expressions / driver-side dict building, no scan.
+* `infer_json_paths` discovers the shape of a dynamic JSON column in one
+  pass: parse_json → variant_explode (pure Catalyst, no Python) → group by
+  (path, runtime type).  Output feeds `schema_from_json_paths`, whose
+  result validates green through the variant backend by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .stats import column_profile
+
+# Spark dtype → JSON-Schema type keyword (the engine's own type table,
+# compiler.py `_type_ok`, accepts these on typed columns)
+_NUMERIC = (T.FloatType, T.DoubleType, T.DecimalType)
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def json_type_of(dt: T.DataType) -> str:
+    if isinstance(dt, _INTEGRAL):
+        return "integer"
+    if isinstance(dt, _NUMERIC):
+        return "number"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "datetime"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    return "string"
+
+
+def constraint_profile(
+    df: DataFrame,
+    cols: Optional[list[str]] = None,
+    enum_max: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """One row per column: (column, json_type, n_rows, n_null, required,
+    unique, min_value, max_value, n_distinct, enum_values).
+
+    `required`   — no NULLs observed (suggest `required` + non-null check).
+    `unique`     — every non-null value distinct (suggest a uniqueness
+                   check; with `exact=False` this is an HLL estimate and
+                   marked only when the estimate covers ≥ the non-null
+                   count — advisory, like Deequ's suggestion mode).
+    `enum_values`— ','-joined sorted distinct values when the column's
+                   cardinality ≤ `enum_max`, else NULL.  Values are
+                   stringified, so the output row shape is hash-stable
+                   across engines.
+    """
+    cols = cols or [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, T.BinaryType)
+    ]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    prof = column_profile(df, cols, exact=exact)
+
+    # pass-1 result is |cols| rows — driver-sized by construction
+    by_col = {r["column"]: r for r in prof.collect()}
+
+    # pass 2: enum candidates only where pass 1 says the cardinality is
+    # small.  The cap at 2*enum_max+1 values inside collect_set guards the
+    # approximate path: if HLL underestimated and the real cardinality is
+    # huge, slice() bounds what reaches the driver and the > enum_max check
+    # drops the column's enum anyway.
+    low_card = [c for c in cols if by_col[c]["n_distinct"] <= enum_max]
+    enums: dict[str, Optional[str]] = {c: None for c in cols}
+    if low_card:
+        aggs = [
+            F.slice(
+                F.sort_array(F.collect_set(F.col(c).cast("string"))), 1, 2 * enum_max + 1
+            ).alias(c)
+            for c in low_card
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for c in low_card:
+            vals = row[c]
+            if vals is not None and 0 < len(vals) <= enum_max:
+                enums[c] = ",".join(vals)
+
+    spark = df.sparkSession
+    out_rows = []
+    for c in cols:
+        r = by_col[c]
+        non_null = r["n_rows"] - r["n_null"]
+        out_rows.append(
+            (
+                c,
+                json_type_of(dtypes[c]),
+                r["n_rows"],
+                r["n_null"],
+                bool(r["n_null"] == 0),
+                bool(non_null > 0 and r["n_distinct"] >= non_null),
+                r["min_value"],
+                r["max_value"],
+                r["n_distinct"],
+                enums[c],
+            )
+        )
+    schema = (
+        "column string, json_type string, n_rows long, n_null long, "
+        "required boolean, unique boolean, min_value string, max_value string, "
+        "n_distinct long, enum_values string"
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+def suggest_constraints(profile: DataFrame) -> DataFrame:
+    """Deequ-style suggestion rows (column, keyword, value) from a
+    `constraint_profile` result: `type` always; `required` when no NULLs;
+    `enum` when cardinality is small; `minimum`/`maximum` for numeric
+    columns; `unique` when all non-null values are distinct.  Runs on the
+    |columns|-row profile — stack + filter, no data scan."""
+    num = F.col("json_type").isin("integer", "number")
+    stacked = profile.select(
+        "column",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("type").alias("keyword"), F.col("json_type").alias("value")),
+                    F.struct(
+                        F.lit("required").alias("keyword"),
+                        F.when(F.col("required"), F.lit("true")).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("unique").alias("keyword"),
+                        F.when(F.col("unique"), F.lit("true")).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("enum").alias("keyword"),
+                        F.col("enum_values").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("minimum").alias("keyword"),
+                        F.when(num, F.col("min_value")).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("maximum").alias("keyword"),
+                        F.when(num, F.col("max_value")).alias("value"),
+                    ),
+                ),
+                lambda s: s["value"].isNotNull(),
+            )
+        ).alias("s"),
+    )
+    return stacked.select("column", F.col("s.keyword").alias("keyword"), F.col("s.value").alias("value"))
+
+
+def schema_from_profile(profile: DataFrame, enum_as_strings: bool = False) -> dict:
+    """Build a draft-7 object schema from a `constraint_profile` result
+    (driver-side over |columns| rows).  The output compiles on the Column
+    backend, so `engine.validate_table(df, schema_from_profile(...))` is
+    green on the profiled data by construction — the closure test.
+
+    Numeric bounds parse back from the stringified min/max; enum members
+    keep their column's type unless `enum_as_strings`."""
+    props: dict = {}
+    required: list[str] = []
+    for r in profile.collect():
+        c = r["column"]
+        jt = r["json_type"]
+        sub: dict = {}
+        if jt in ("integer", "number", "string", "boolean", "datetime"):
+            sub["type"] = jt
+        if jt in ("integer", "number") and r["min_value"] is not None:
+            cast = int if jt == "integer" else float
+            sub["minimum"] = cast(r["min_value"])
+            sub["maximum"] = cast(r["max_value"])
+        if r["enum_values"] is not None:
+            vals = r["enum_values"].split(",")
+            if jt == "integer" and not enum_as_strings:
+                sub["enum"] = [int(v) for v in vals]
+            elif jt == "number" and not enum_as_strings:
+                sub["enum"] = [float(v) for v in vals]
+            else:
+                sub["enum"] = vals
+        if r["required"]:
+            required.append(c)
+        props[c] = sub
+    out: dict = {"type": "object", "properties": props}
+    if required:
+        out["required"] = sorted(required)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dynamic JSON column → per-path type histogram → object schema
+
+# schema_of_variant renders the runtime type of each variant value; map its
+# spellings onto JSON-Schema type keywords.  DECIMAL covers variant's exact
+# decimal renderings of JSON floats.
+_VARIANT_TYPE_CASE = """
+CASE
+  WHEN vt IN ('BIGINT', 'INT', 'SMALLINT', 'TINYINT') THEN 'integer'
+  WHEN vt = 'DOUBLE' OR vt = 'FLOAT' OR vt LIKE 'DECIMAL%' THEN 'number'
+  WHEN vt = 'STRING' THEN 'string'
+  WHEN vt = 'BOOLEAN' THEN 'boolean'
+  WHEN vt = 'VOID' THEN 'null'
+  WHEN vt LIKE 'ARRAY%' THEN 'array'
+  ELSE 'object'
+END
+"""
+
+
+def infer_json_paths(df: DataFrame, json_col: str) -> DataFrame:
+    """(path, json_type, n_present, min_num, max_num): one row per
+    top-level key × runtime JSON type over a raw-JSON string column.
+
+    Single distributed pass, pure Catalyst: parse_json once, lateral
+    variant_explode (no Python, no schema_of_json sampling on the driver —
+    this is exact over ALL rows, not an inferred sample), then one
+    partial+final hash agg keyed by (path, type).  The key space — paths ×
+    types actually present — is what bounds the shuffle, not the row
+    count.  min/max_num carry numeric ranges (NULL for non-numeric types)
+    as fixed-scale strings so downstream comparison is format-proof."""
+    spark = df.sparkSession
+    parsed = df.where(F.col(json_col).isNotNull()).select(
+        F.parse_json(F.col(json_col)).alias("v")
+    )
+    # variant_explode is a table-valued generator in Spark 4 — invoke it
+    # through the lateral-join form (spark.tvf + outer column reference);
+    # it is not resolvable as a scalar expression inside select()
+    exploded = parsed.lateralJoin(
+        spark.tvf.variant_explode(F.col("v").outer())
+    ).select(
+        F.col("key").alias("path"),
+        F.expr("schema_of_variant(value)").alias("vt"),
+        F.expr("try_cast(cast(value AS string) AS double)").alias("num"),
+    )
+    return (
+        exploded.select(
+            "path",
+            F.expr(_VARIANT_TYPE_CASE).alias("json_type"),
+            "num",
+        )
+        .groupBy("path", "json_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.round(F.min("num"), 6).cast("decimal(18,6)").cast("string").alias("min_num"),
+            F.round(F.max("num"), 6).cast("decimal(18,6)").cast("string").alias("max_num"),
+        )
+        .orderBy("path", "json_type")
+    )
+
+
+def schema_from_json_paths(paths: DataFrame, n_docs: int) -> dict:
+    """Object schema from an `infer_json_paths` result (driver-side over
+    |paths × types| rows).  A path present in all `n_docs` documents is
+    required; a path observed with several runtime types gets a union
+    `type` list (the reference's draft-3 union-type form, which all three
+    backends compile); numeric paths get observed [minimum, maximum]."""
+    by_path: dict[str, list] = {}
+    for r in paths.collect():
+        by_path.setdefault(r["path"], []).append(r)
+    props: dict = {}
+    required = []
+    for path, rows in sorted(by_path.items()):
+        types = sorted({r["json_type"] for r in rows} - {"null"})
+        sub: dict = {}
+        if len(types) == 1:
+            sub["type"] = types[0]
+        elif types:
+            sub["type"] = types
+        nums = [r for r in rows if r["json_type"] in ("integer", "number")]
+        if nums and len(types) == 1:
+            mins = [float(r["min_num"]) for r in nums if r["min_num"] is not None]
+            maxs = [float(r["max_num"]) for r in nums if r["max_num"] is not None]
+            if mins and maxs:
+                cast = int if types == ["integer"] else float
+                sub["minimum"] = cast(min(mins))
+                sub["maximum"] = cast(max(maxs))
+        if sum(r["n_present"] for r in rows) >= n_docs:
+            required.append(path)
+        props[path] = sub
+    out: dict = {"type": "object", "properties": props}
+    if required:
+        out["required"] = sorted(required)
+    return out

@@ -2494,6 +2494,162 @@ ORDER BY id_a
 """
 
 
+# ---------------------------------------------------------------------------
+# Schema inference — the profile→schema inverse direction (operators/infer).
+# Three oracled views: Deequ-style constraint suggestions over typed columns,
+# exact JSON-path/type discovery through parse_json + variant_explode, and
+# the infer→validate closure (a schema profiled from a key-range sample,
+# enforced on the full table — out-of-sample rows violate the learned
+# bounds, and the violation counts are pure DuckDB arithmetic).
+
+_INFER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_infer_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.infer import constraint_profile, suggest_constraints
+
+    prof = constraint_profile(t(spark, sf_dir, "orders"), _INFER_COLS, exact=True)
+    return suggest_constraints(prof).orderBy("column", "keyword")
+
+
+SQL_INFER_CONSTRAINTS_ORDERS = """
+WITH s AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+    min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+    count(DISTINCT o_orderkey) AS k_d,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+    min(o_custkey) AS c_min, max(o_custkey) AS c_max,
+    count(DISTINCT o_custkey) AS c_d,
+    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
+    count(DISTINCT o_orderstatus) AS st_d,
+    string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS st_enum,
+    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+    count(DISTINCT o_orderpriority) AS p_d,
+    string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS p_enum
+  FROM orders
+)
+SELECT "column", keyword, value FROM (
+  SELECT 'o_orderkey' AS "column", 'type' AS keyword, 'integer' AS value FROM s
+  UNION ALL SELECT 'o_orderkey', 'required', 'true' FROM s WHERE k_nulls = 0
+  UNION ALL SELECT 'o_orderkey', 'unique', 'true' FROM s
+    WHERE n - k_nulls > 0 AND k_d >= n - k_nulls
+  UNION ALL SELECT 'o_orderkey', 'enum', CAST(NULL AS VARCHAR) FROM s WHERE k_d <= 8
+  UNION ALL SELECT 'o_orderkey', 'minimum', CAST(k_min AS VARCHAR) FROM s
+  UNION ALL SELECT 'o_orderkey', 'maximum', CAST(k_max AS VARCHAR) FROM s
+  UNION ALL SELECT 'o_custkey', 'type', 'integer' FROM s
+  UNION ALL SELECT 'o_custkey', 'required', 'true' FROM s WHERE c_nulls = 0
+  UNION ALL SELECT 'o_custkey', 'unique', 'true' FROM s
+    WHERE n - c_nulls > 0 AND c_d >= n - c_nulls
+  UNION ALL SELECT 'o_custkey', 'enum', CAST(NULL AS VARCHAR) FROM s WHERE c_d <= 8
+  UNION ALL SELECT 'o_custkey', 'minimum', CAST(c_min AS VARCHAR) FROM s
+  UNION ALL SELECT 'o_custkey', 'maximum', CAST(c_max AS VARCHAR) FROM s
+  UNION ALL SELECT 'o_orderstatus', 'type', 'string' FROM s
+  UNION ALL SELECT 'o_orderstatus', 'required', 'true' FROM s WHERE st_nulls = 0
+  UNION ALL SELECT 'o_orderstatus', 'unique', 'true' FROM s
+    WHERE n - st_nulls > 0 AND st_d >= n - st_nulls
+  UNION ALL SELECT 'o_orderstatus', 'enum', st_enum FROM s WHERE st_d <= 8
+  UNION ALL SELECT 'o_orderpriority', 'type', 'string' FROM s
+  UNION ALL SELECT 'o_orderpriority', 'required', 'true' FROM s WHERE p_nulls = 0
+  UNION ALL SELECT 'o_orderpriority', 'unique', 'true' FROM s
+    WHERE n - p_nulls > 0 AND p_d >= n - p_nulls
+  UNION ALL SELECT 'o_orderpriority', 'enum', p_enum FROM s WHERE p_d <= 8
+) WHERE value IS NOT NULL
+ORDER BY "column", keyword
+"""
+
+
+# derived JSON corpus: every doc carries k (int) and s (string); m flips
+# runtime type on key parity (the union-type path); opt appears only on
+# multiples of 5 (the sparse-path / required logic)
+_INFER_JSON_EXPR = """concat(
+  '{"k":', o_orderkey, ',"s":"', o_orderstatus, '"',
+  CASE WHEN o_orderkey % 2 = 0 THEN concat(',"m":', o_custkey)
+       ELSE concat(',"m":"', o_orderpriority, '"') END,
+  CASE WHEN o_orderkey % 5 = 0 THEN concat(',"opt":', o_orderkey % 7) ELSE '' END,
+  '}')"""
+
+
+def q_infer_json_paths_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.infer import infer_json_paths
+
+    docs = t(spark, sf_dir, "orders").select(F.expr(_INFER_JSON_EXPR).alias("j"))
+    return infer_json_paths(docs, "j")
+
+
+SQL_INFER_JSON_PATHS_ORDERS = """
+SELECT path, json_type, n_present, min_num, max_num FROM (
+  SELECT 'k' AS path, 'integer' AS json_type, count(*) AS n_present,
+         CAST(CAST(round(min(o_orderkey), 6) AS DECIMAL(18,6)) AS VARCHAR) AS min_num,
+         CAST(CAST(round(max(o_orderkey), 6) AS DECIMAL(18,6)) AS VARCHAR) AS max_num
+  FROM orders
+  UNION ALL
+  SELECT 'm', 'integer', count(*),
+         CAST(CAST(round(min(o_custkey), 6) AS DECIMAL(18,6)) AS VARCHAR),
+         CAST(CAST(round(max(o_custkey), 6) AS DECIMAL(18,6)) AS VARCHAR)
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'm', 'string', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'opt', 'integer', count(*),
+         CAST(CAST(round(min(o_orderkey % 7), 6) AS DECIMAL(18,6)) AS VARCHAR),
+         CAST(CAST(round(max(o_orderkey % 7), 6) AS DECIMAL(18,6)) AS VARCHAR)
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT 's', 'string', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM orders
+) ORDER BY path, json_type
+"""
+
+
+def q_infer_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infer a schema from the o_orderkey<12000 key range, enforce it on
+    the FULL table: out-of-sample rows violate the learned bounds."""
+    from .operators.infer import constraint_profile, schema_from_profile
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = t(spark, sf_dir, "orders").select(*cols)
+    sample = orders.where(F.col("o_orderkey") < 12000)
+    schema = schema_from_profile(constraint_profile(sample, cols, exact=True))
+    validated = with_validation(orders, schema)
+    return keyword_breakdown(validated, prefilter=~F.col("valid")).orderBy("keyword_path")
+
+
+SQL_INFER_ROUNDTRIP_ORDERS = """
+WITH s AS (
+  SELECT max(o_orderkey) AS k_max, min(o_orderkey) AS k_min,
+         min(o_totalprice) AS t_min, max(o_totalprice) AS t_max,
+         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS st_enum
+  FROM orders WHERE o_orderkey < 12000
+)
+SELECT keyword_path, keyword, severity, n_violations FROM (
+  SELECT 'properties/o_orderkey/maximum' AS keyword_path, 'maximum' AS keyword,
+         'error' AS severity,
+         (SELECT count(*) FROM orders, s
+          WHERE o_orderkey IS NOT NULL AND o_orderkey > s.k_max) AS n_violations
+  UNION ALL
+  SELECT 'properties/o_orderkey/minimum', 'minimum', 'error',
+         (SELECT count(*) FROM orders, s
+          WHERE o_orderkey IS NOT NULL AND o_orderkey < s.k_min)
+  UNION ALL
+  SELECT 'properties/o_totalprice/maximum', 'maximum', 'error',
+         (SELECT count(*) FROM orders, s
+          WHERE o_totalprice IS NOT NULL AND o_totalprice > s.t_max)
+  UNION ALL
+  SELECT 'properties/o_totalprice/minimum', 'minimum', 'error',
+         (SELECT count(*) FROM orders, s
+          WHERE o_totalprice IS NOT NULL AND o_totalprice < s.t_min)
+  UNION ALL
+  SELECT 'properties/o_orderstatus/enum', 'enum', 'error',
+         (SELECT count(*) FROM orders, s
+          WHERE o_orderstatus IS NOT NULL
+            AND NOT list_contains(string_split(s.st_enum, ','), o_orderstatus))
+) WHERE n_violations > 0
+ORDER BY keyword_path
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -2555,6 +2711,10 @@ QUERIES = {
     "skew_profile_orders_custkey": q_skew_profile_custkey,
     "skew_hot_keys_orders_custkey": q_skew_hot_keys_custkey,
     "text_winnow_neardup": q_text_winnow_neardup,
+    # schema inference (profile→schema inverse direction)
+    "infer_constraints_orders": q_infer_constraints_orders,
+    "infer_json_paths_orders": q_infer_json_paths_orders,
+    "infer_roundtrip_orders": q_infer_roundtrip_orders,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -2634,6 +2794,10 @@ ORACLES = {
     "skew_hot_keys_orders_custkey": SQL_SKEW_HOT_KEYS_CUSTKEY,
     # winnow sketch over the salted-clone corpus (see q_minhash_lsh block)
     "text_winnow_neardup": SQL_TEXT_WINNOW_NEARDUP,
+    # schema inference suggestions / JSON-path discovery / infer→validate closure
+    "infer_constraints_orders": SQL_INFER_CONSTRAINTS_ORDERS,
+    "infer_json_paths_orders": SQL_INFER_JSON_PATHS_ORDERS,
+    "infer_roundtrip_orders": SQL_INFER_ROUNDTRIP_ORDERS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

@@ -1,0 +1,144 @@
+"""Schema inference & constraint suggestion (operators/infer.py).
+
+The closure property is the headline contract: a schema inferred FROM a
+table must validate green back ON that table through the engine's own
+compilers — inference and validation agree on semantics by construction.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark.engine import validate_json_column
+from json_schema_clj_spark.operators.infer import (
+    constraint_profile,
+    infer_json_paths,
+    json_type_of,
+    schema_from_json_paths,
+    schema_from_profile,
+    suggest_constraints,
+)
+from json_schema_clj_spark.operators.validate import with_validation
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", 10.5, "a", True),
+            (2, "bob", -3.25, "b", False),
+            (3, None, 99.0, "a", True),
+            (4, "dave", 0.0, "c", None),
+        ],
+        "id long, name string, score double, grade string, flag boolean",
+    )
+
+
+def test_constraint_profile_exact(spark, tbl):
+    prof = {r["column"]: r for r in constraint_profile(tbl, exact=True).collect()}
+    assert prof["id"]["json_type"] == "integer"
+    assert prof["id"]["required"] and prof["id"]["unique"]
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+    assert prof["name"]["n_null"] == 1 and not prof["name"]["required"]
+    # name has 3 distinct non-null values out of 3 non-null rows → unique
+    assert prof["name"]["unique"]
+    assert prof["grade"]["enum_values"] == "a,b,c"
+    assert not prof["grade"]["unique"]
+    assert prof["score"]["json_type"] == "number"
+    assert prof["flag"]["enum_values"] == "false,true"
+
+
+def test_constraint_profile_enum_cap(spark, tbl):
+    # enum_max below the cardinality → no enum suggested
+    prof = {r["column"]: r for r in constraint_profile(tbl, enum_max=2, exact=True).collect()}
+    assert prof["grade"]["enum_values"] is None
+    assert prof["flag"]["enum_values"] == "false,true"
+
+
+def test_constraint_profile_approx_path(spark, tbl):
+    # HLL path: same row shape; unique stays advisory but must hold here
+    prof = {r["column"]: r for r in constraint_profile(tbl, exact=False).collect()}
+    assert prof["id"]["unique"]
+    assert prof["grade"]["enum_values"] == "a,b,c"
+
+
+def test_suggest_constraints_stack(spark, tbl):
+    sugg = suggest_constraints(constraint_profile(tbl, exact=True))
+    rows = {(r["column"], r["keyword"]): r["value"] for r in sugg.collect()}
+    assert rows[("id", "type")] == "integer"
+    assert rows[("id", "required")] == "true"
+    assert rows[("id", "unique")] == "true"
+    assert rows[("id", "minimum")] == "1"
+    assert rows[("grade", "enum")] == "a,b,c"
+    assert ("name", "required") not in rows
+    assert ("grade", "minimum") not in rows  # non-numeric
+
+
+def test_schema_from_profile_closure(spark, tbl):
+    schema = schema_from_profile(constraint_profile(tbl, exact=True))
+    assert schema["properties"]["id"]["minimum"] == 1
+    assert isinstance(schema["properties"]["id"]["minimum"], int)
+    assert schema["properties"]["score"]["maximum"] == 99.0
+    assert schema["properties"]["grade"]["enum"] == ["a", "b", "c"]
+    assert "name" not in schema.get("required", [])
+    # the closure: inferred schema validates green on the data it came from
+    out = with_validation(tbl, schema)
+    assert out.where(~F.col("valid")).count() == 0
+    # and it actually rejects out-of-profile rows
+    bad = spark.createDataFrame(
+        [(99, "zed", 1000.0, "z", True)],
+        "id long, name string, score double, grade string, flag boolean",
+    )
+    assert with_validation(bad, schema).where(~F.col("valid")).count() == 1
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            ('{"a": 1, "b": "x", "c": 1.5}',),
+            ('{"a": 2, "b": "y"}',),
+            ('{"a": "three", "b": "z", "d": [1, 2]}',),
+            ('{"a": 4, "b": "w", "e": {"f": 1}}',),
+        ],
+        "j string",
+    )
+
+
+def test_infer_json_paths(spark, docs):
+    rows = infer_json_paths(docs, "j").collect()
+    got = {(r["path"], r["json_type"]): r for r in rows}
+    assert got[("a", "integer")]["n_present"] == 3
+    assert got[("a", "string")]["n_present"] == 1
+    assert got[("b", "string")]["n_present"] == 4
+    assert ("c", "number") in got
+    assert ("d", "array") in got
+    assert ("e", "object") in got
+    assert float(got[("a", "integer")]["min_num"]) == 1.0
+    assert float(got[("a", "integer")]["max_num"]) == 4.0
+    assert got[("d", "array")]["min_num"] is None
+
+
+def test_schema_from_json_paths_closure(spark, docs):
+    paths = infer_json_paths(docs, "j")
+    schema = schema_from_json_paths(paths, n_docs=docs.count())
+    # union type for the mixed path, required only for all-docs paths
+    assert sorted(schema["properties"]["a"]["type"]) == ["integer", "string"]
+    assert schema["properties"]["b"]["type"] == "string"
+    assert schema["required"] == ["a", "b"]
+    # single-typed numeric path carries observed bounds
+    assert schema["properties"]["c"]["minimum"] == 1.5
+    # closure through the JSON/variant validation path
+    out = validate_json_column(docs, schema, json_col="j")
+    assert out.where(~F.col("valid")).count() == 0
+    bad = spark.createDataFrame([('{"a": 1}',)], "j string")  # missing b
+    assert validate_json_column(bad, schema, json_col="j").where(~F.col("valid")).count() == 1
+
+
+def test_json_type_of_table():
+    from pyspark.sql import types as T
+
+    assert json_type_of(T.LongType()) == "integer"
+    assert json_type_of(T.DecimalType(10, 2)) == "number"
+    assert json_type_of(T.ArrayType(T.LongType())) == "array"
+    assert json_type_of(T.MapType(T.StringType(), T.LongType())) == "object"
+    assert json_type_of(T.TimestampType()) == "datetime"
