@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "images_phash_neardup",
     "images_curation_funnel",
     "images_magic_conformance",
+    "infer_constraints_orders",
+    "infer_json_paths_orders",
+    "infer_roundtrip_orders",
+    "fd_discovery_orders",
 ]
 
 

@@ -306,3 +306,73 @@ def schema_from_json_paths(paths: DataFrame, n_docs: int) -> dict:
     if required:
         out["required"] = sorted(required)
     return out
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency discovery (the key/uniqueness generalization)
+
+def fd_candidates(
+    df: DataFrame,
+    cols: Optional[list[str]] = None,
+    exact: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Discover column-level functional dependencies a→b: a determines b
+    iff every (non-null) a value maps to exactly one b value, i.e.
+    n_distinct(a) == n_distinct((a, b)).  Output: one row per ordered
+    column pair `(determinant, dependent, n_lhs, n_pair, holds)` — the
+    multi-column generalization of the `unique` suggestion (a key column
+    determines every other column).
+
+    Scale design: the approximate path (default) computes ALL |cols|²
+    cardinalities in ONE aggregation pass using HLL sketches
+    (`approx_count_distinct` is a true partial aggregate — no expand), so
+    the scan cost is independent of the pair count and the driver sees a
+    single row; `holds` is then advisory (Deequ suggestion mode) within
+    HLL error `rsd`.  The exact path runs one 2-column count-distinct per
+    pair — each a column-pruned scan — because Spark rewrites multi
+    count_distinct through an Expand node that multiplies rows by the
+    aggregate count (|pairs|× shuffle amplification at 10^12 rows); use it
+    only to confirm advisories on a sample or at oracle scale.
+
+    NULL contract: rows with a NULL determinant are excluded from both
+    sides (count(DISTINCT a) ignores NULLs, and the pair struct is nulled
+    when a is), so a NULL lhs neither proves nor breaks a dependency.
+    """
+    cols = cols or [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, T.BinaryType)
+    ]
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    spark = df.sparkSession
+
+    def pair_col(a: str, b: str):
+        return F.when(F.col(a).isNotNull(), F.struct(F.col(a), F.col(b)))
+
+    counts: dict = {}
+    if exact:
+        for a in cols:
+            counts[a] = df.agg(F.count_distinct(F.col(a)).alias("n")).collect()[0]["n"]
+        for a, b in pairs:
+            counts[(a, b)] = df.agg(
+                F.count_distinct(pair_col(a, b)).alias("n")
+            ).collect()[0]["n"]
+    else:
+        aggs = [F.approx_count_distinct(F.col(a), rsd).alias(f"l_{i}") for i, a in enumerate(cols)]
+        aggs += [
+            F.approx_count_distinct(pair_col(a, b), rsd).alias(f"p_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for i, a in enumerate(cols):
+            counts[a] = row[f"l_{i}"]
+        for i, (a, b) in enumerate(pairs):
+            counts[(a, b)] = row[f"p_{i}"]
+
+    out = [
+        (a, b, counts[a], counts[(a, b)], bool(counts[(a, b)] <= counts[a]))
+        for a, b in pairs
+    ]
+    return spark.createDataFrame(
+        out,
+        "determinant string, dependent string, n_lhs long, n_pair long, holds boolean",
+    )

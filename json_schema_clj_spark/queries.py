@@ -2650,6 +2650,37 @@ ORDER BY keyword_path
 """
 
 
+def q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.infer import fd_candidates
+
+    fds = fd_candidates(t(spark, sf_dir, "orders"), _INFER_COLS, exact=True)
+    return fds.orderBy("determinant", "dependent")
+
+
+def _fd_oracle_sql(cols: list[str]) -> str:
+    lhs = ",\n    ".join(
+        f"count(DISTINCT {c}) AS l_{i}" for i, c in enumerate(cols)
+    )
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    pair_aggs = ",\n    ".join(
+        f"count(DISTINCT CASE WHEN {a} IS NOT NULL THEN ({a}, {b}) END) AS p_{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT '{a}' AS determinant, '{b}' AS dependent, l_{cols.index(a)} AS n_lhs, "
+        f"p_{i} AS n_pair, p_{i} <= l_{cols.index(a)} AS holds FROM s"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        f"WITH s AS (\n  SELECT\n    {lhs},\n    {pair_aggs}\n  FROM orders\n)\n"
+        f"SELECT determinant, dependent, n_lhs, n_pair, holds FROM (\n  {rows}\n)\n"
+        f"ORDER BY determinant, dependent"
+    )
+
+
+SQL_FD_DISCOVERY_ORDERS = _fd_oracle_sql(_INFER_COLS)
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -2715,6 +2746,7 @@ QUERIES = {
     "infer_constraints_orders": q_infer_constraints_orders,
     "infer_json_paths_orders": q_infer_json_paths_orders,
     "infer_roundtrip_orders": q_infer_roundtrip_orders,
+    "fd_discovery_orders": q_fd_discovery_orders,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -2798,6 +2830,7 @@ ORACLES = {
     "infer_constraints_orders": SQL_INFER_CONSTRAINTS_ORDERS,
     "infer_json_paths_orders": SQL_INFER_JSON_PATHS_ORDERS,
     "infer_roundtrip_orders": SQL_INFER_ROUNDTRIP_ORDERS,
+    "fd_discovery_orders": SQL_FD_DISCOVERY_ORDERS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

@@ -142,3 +142,47 @@ def test_json_type_of_table():
     assert json_type_of(T.ArrayType(T.LongType())) == "array"
     assert json_type_of(T.MapType(T.StringType(), T.LongType())) == "object"
     assert json_type_of(T.TimestampType()) == "datetime"
+
+
+def test_fd_candidates_exact(spark):
+    from json_schema_clj_spark.operators.infer import fd_candidates
+
+    df = spark.createDataFrame(
+        [
+            (1, "us", "north america"),
+            (2, "us", "north america"),
+            (3, "fr", "europe"),
+            (4, "de", "europe"),
+            (5, None, "unknown"),
+        ],
+        "id long, country string, region string",
+    )
+    fds = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_candidates(df, exact=True).collect()
+    }
+    # id is a key → determines everything
+    assert fds[("id", "country")]["holds"] and fds[("id", "region")]["holds"]
+    # country → region holds (each country maps to one region; NULL lhs excluded)
+    assert fds[("country", "region")]["holds"]
+    assert fds[("country", "region")]["n_lhs"] == 3
+    assert fds[("country", "region")]["n_pair"] == 3
+    # region → country fails (europe maps to fr and de)
+    assert not fds[("region", "country")]["holds"]
+    # low-cardinality columns never determine the key
+    assert not fds[("country", "id")]["holds"]
+
+
+def test_fd_candidates_approx_agrees(spark):
+    from json_schema_clj_spark.operators.infer import fd_candidates
+
+    df = spark.range(2000).selectExpr(
+        "id", "id % 100 AS a", "(id % 100) * 2 AS b", "id % 7 AS c"
+    )
+    approx = {
+        (r["determinant"], r["dependent"]): r["holds"]
+        for r in fd_candidates(df, ["a", "b", "c"]).collect()
+    }
+    # a ↔ b bijection holds both ways; a→c and c→a fail (100 vs 700 pairs)
+    assert approx[("a", "b")] and approx[("b", "a")]
+    assert not approx[("a", "c")] and not approx[("c", "a")]
