@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "infer_json_paths_orders",
     "infer_roundtrip_orders",
     "fd_discovery_orders",
+    "schema_drift_orders",
 ]
 
 

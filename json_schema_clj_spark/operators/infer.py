@@ -376,3 +376,111 @@ def fd_candidates(
         out,
         "determinant string, dependent string, n_lhs long, n_pair long, holds boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# profile drift — where the data stopped matching its (inferred) schema
+
+def profile_drift(prof_a: DataFrame, prof_b: DataFrame) -> DataFrame:
+    """Compare two `constraint_profile` results (baseline vs current) and
+    emit one row per constraint-level change: `(column, change, before,
+    after)`.  This is the schema-space analog of the value-space drift
+    operators (KS/PSI/chi2): it answers "which inferred constraints would
+    break if the baseline schema were enforced on the current slice".
+
+    Detected changes: `column_added`/`column_removed` (outer-join misses),
+    `type_changed`, `required_lost` (nulls appeared), `unique_lost`,
+    `min_extended`/`max_extended` (numeric range grew past the baseline —
+    exactly the rows the roundtrip query flags as minimum/maximum
+    violations), `enum_new_values` (values outside the baseline enum).
+
+    Scale: both inputs are |columns|-row profiles, so this is a tiny
+    sort-merge join + column expressions — the expensive scans already
+    happened inside `constraint_profile`, one bounded pass per side.
+    """
+    a = prof_a.alias("a")
+    b = prof_b.alias("b")
+    j = a.join(b, F.col("a.column") == F.col("b.column"), "full_outer")
+    num = F.col("a.json_type").isin("integer", "number") & F.col(
+        "b.json_type"
+    ).isin("integer", "number")
+    a_min = F.col("a.min_value").cast("double")
+    a_max = F.col("a.max_value").cast("double")
+    b_min = F.col("b.min_value").cast("double")
+    b_max = F.col("b.max_value").cast("double")
+    enum_new = F.array_join(
+        F.array_sort(
+            F.array_except(
+                F.split(F.col("b.enum_values"), ","),
+                F.split(F.coalesce(F.col("a.enum_values"), F.lit("")), ","),
+            )
+        ),
+        ",",
+    )
+    changes = F.array(
+        F.struct(
+            F.lit("column_added").alias("change"),
+            F.when(F.col("a.column").isNull(), F.lit("absent")).alias("before"),
+            F.col("b.column").alias("after"),
+        ),
+        F.struct(
+            F.lit("column_removed").alias("change"),
+            F.when(F.col("b.column").isNull(), F.col("a.column")).alias("before"),
+            F.lit("absent").alias("after"),
+        ),
+        F.struct(
+            F.lit("type_changed").alias("change"),
+            F.when(
+                F.col("a.json_type") != F.col("b.json_type"), F.col("a.json_type")
+            ).alias("before"),
+            F.col("b.json_type").alias("after"),
+        ),
+        F.struct(
+            F.lit("required_lost").alias("change"),
+            F.when(F.col("a.required") & ~F.col("b.required"), F.lit("required")).alias(
+                "before"
+            ),
+            F.lit("nullable").alias("after"),
+        ),
+        F.struct(
+            F.lit("unique_lost").alias("change"),
+            F.when(F.col("a.unique") & ~F.col("b.unique"), F.lit("unique")).alias(
+                "before"
+            ),
+            F.lit("duplicated").alias("after"),
+        ),
+        F.struct(
+            F.lit("min_extended").alias("change"),
+            F.when(num & (b_min < a_min), F.col("a.min_value")).alias("before"),
+            F.col("b.min_value").alias("after"),
+        ),
+        F.struct(
+            F.lit("max_extended").alias("change"),
+            F.when(num & (b_max > a_max), F.col("a.max_value")).alias("before"),
+            F.col("b.max_value").alias("after"),
+        ),
+        F.struct(
+            F.lit("enum_new_values").alias("change"),
+            # only for columns present on both sides: an added column is
+            # reported structurally (column_added), not as an enum delta
+            F.when(
+                F.col("a.column").isNotNull()
+                & F.col("b.enum_values").isNotNull()
+                & (enum_new != F.lit("")),
+                F.coalesce(F.col("a.enum_values"), F.lit("")),
+            ).alias("before"),
+            enum_new.alias("after"),
+        ),
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.column"), F.col("b.column")).alias("column"),
+            F.explode(F.filter(changes, lambda s: s["before"].isNotNull())).alias("s"),
+        )
+        .select(
+            "column",
+            F.col("s.change").alias("change"),
+            F.col("s.before").alias("before"),
+            F.col("s.after").alias("after"),
+        )
+    )

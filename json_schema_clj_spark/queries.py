@@ -2650,6 +2650,95 @@ ORDER BY keyword_path
 """
 
 
+def q_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-space drift: profile a baseline key range, profile a
+    *shifted* current slice (custkey range extended on a plant rule, one
+    out-of-enum status value injected), diff the two profiles.  The same
+    plant transformation is applied in the oracle, so every emitted
+    change row is derivable arithmetic."""
+    from .operators.infer import constraint_profile, profile_drift
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") < 7500).select(*_INFER_COLS)
+    cur = orders.where(F.col("o_orderkey") >= 7500).select(
+        F.col("o_orderkey"),
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 3000 == 0, F.lit(2000)).otherwise(F.lit(0))
+        ).alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 5000 == 4999, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    pa = constraint_profile(base, _INFER_COLS, exact=True)
+    pb = constraint_profile(cur, _INFER_COLS, exact=True)
+    return profile_drift(pa, pb).orderBy("column", "change")
+
+
+SQL_SCHEMA_DRIFT_ORDERS = """
+WITH b_src AS (
+  SELECT o_orderkey,
+         o_custkey + CASE WHEN o_orderkey % 3000 = 0 THEN 2000 ELSE 0 END AS o_custkey,
+         CASE WHEN o_orderkey % 5000 = 4999 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_orderpriority
+  FROM orders WHERE o_orderkey >= 7500
+),
+a AS (
+  SELECT count(*) AS n, min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+         count(DISTINCT o_orderkey) AS k_d,
+         min(o_custkey) AS c_min, max(o_custkey) AS c_max
+  FROM orders WHERE o_orderkey < 7500
+),
+b AS (
+  SELECT count(*) AS n, min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+         count(DISTINCT o_orderkey) AS k_d,
+         min(o_custkey) AS c_min, max(o_custkey) AS c_max
+  FROM b_src
+),
+st_new AS (
+  SELECT string_agg(s, ',' ORDER BY s) AS vals FROM (
+    SELECT DISTINCT o_orderstatus AS s FROM b_src
+  ) WHERE s NOT IN (SELECT DISTINCT o_orderstatus FROM orders WHERE o_orderkey < 7500)
+),
+pr_new AS (
+  SELECT string_agg(s, ',' ORDER BY s) AS vals FROM (
+    SELECT DISTINCT o_orderpriority AS s FROM b_src
+  ) WHERE s NOT IN (SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderkey < 7500)
+)
+SELECT "column", change, before, after FROM (
+  SELECT 'o_orderkey' AS "column", 'min_extended' AS change,
+         CAST(a.k_min AS VARCHAR) AS before, CAST(b.k_min AS VARCHAR) AS after
+  FROM a, b WHERE b.k_min < a.k_min
+  UNION ALL
+  SELECT 'o_orderkey', 'max_extended', CAST(a.k_max AS VARCHAR), CAST(b.k_max AS VARCHAR)
+  FROM a, b WHERE b.k_max > a.k_max
+  UNION ALL
+  SELECT 'o_orderkey', 'unique_lost', 'unique', 'duplicated'
+  FROM a, b WHERE a.k_d >= a.n AND a.n > 0 AND (b.k_d < b.n OR b.n = 0)
+  UNION ALL
+  SELECT 'o_custkey', 'min_extended', CAST(a.c_min AS VARCHAR), CAST(b.c_min AS VARCHAR)
+  FROM a, b WHERE b.c_min < a.c_min
+  UNION ALL
+  SELECT 'o_custkey', 'max_extended', CAST(a.c_max AS VARCHAR), CAST(b.c_max AS VARCHAR)
+  FROM a, b WHERE b.c_max > a.c_max
+  UNION ALL
+  SELECT 'o_orderstatus', 'enum_new_values',
+         (SELECT string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+          FROM orders WHERE o_orderkey < 7500),
+         vals
+  FROM st_new WHERE vals IS NOT NULL
+  UNION ALL
+  SELECT 'o_orderpriority', 'enum_new_values',
+         (SELECT string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+          FROM orders WHERE o_orderkey < 7500),
+         vals
+  FROM pr_new WHERE vals IS NOT NULL
+)
+ORDER BY "column", change
+"""
+
+
 def q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.infer import fd_candidates
 
@@ -2747,6 +2836,7 @@ QUERIES = {
     "infer_json_paths_orders": q_infer_json_paths_orders,
     "infer_roundtrip_orders": q_infer_roundtrip_orders,
     "fd_discovery_orders": q_fd_discovery_orders,
+    "schema_drift_orders": q_schema_drift_orders,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -2831,6 +2921,7 @@ ORACLES = {
     "infer_json_paths_orders": SQL_INFER_JSON_PATHS_ORDERS,
     "infer_roundtrip_orders": SQL_INFER_ROUNDTRIP_ORDERS,
     "fd_discovery_orders": SQL_FD_DISCOVERY_ORDERS,
+    "schema_drift_orders": SQL_SCHEMA_DRIFT_ORDERS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

@@ -186,3 +186,42 @@ def test_fd_candidates_approx_agrees(spark):
     # a ↔ b bijection holds both ways; a→c and c→a fail (100 vs 700 pairs)
     assert approx[("a", "b")] and approx[("b", "a")]
     assert not approx[("a", "c")] and not approx[("c", "a")]
+
+
+def test_profile_drift(spark):
+    from json_schema_clj_spark.operators.infer import constraint_profile, profile_drift
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 15.0)],
+        "id long, grade string, score double",
+    )
+    cur = spark.createDataFrame(
+        [(4, "a", 5.0), (4, "c", 30.0), (None, "b", 25.0)],
+        "id long, grade string, score double",
+    )
+    pa = constraint_profile(base, exact=True)
+    pb = constraint_profile(cur, exact=True)
+    got = {(r["column"], r["change"]): (r["before"], r["after"]) for r in profile_drift(pa, pb).collect()}
+    # id: nulls appeared, duplicates appeared, max grew
+    assert got[("id", "required_lost")] == ("required", "nullable")
+    assert got[("id", "unique_lost")] == ("unique", "duplicated")
+    assert got[("id", "max_extended")] == ("3", "4")
+    assert ("id", "min_extended") not in got  # 4 > 1
+    # grade: 'c' is outside the baseline enum
+    assert got[("grade", "enum_new_values")] == ("a,b", "c")
+    # score: range extended both directions
+    assert got[("score", "min_extended")] == ("10.0", "5.0")
+    assert got[("score", "max_extended")] == ("20.0", "30.0")
+    assert ("score", "type_changed") not in got
+
+
+def test_profile_drift_structural(spark):
+    from json_schema_clj_spark.operators.infer import constraint_profile, profile_drift
+
+    pa = constraint_profile(spark.createDataFrame([(1, "x")], "id long, old string"), exact=True)
+    pb = constraint_profile(spark.createDataFrame([(1, 2.0)], "id long, new double"), exact=True)
+    got = {(r["column"], r["change"]): (r["before"], r["after"]) for r in profile_drift(pa, pb).collect()}
+    assert got[("old", "column_removed")] == ("old", "absent")
+    assert got[("new", "column_added")] == ("absent", "new")
+    # added/removed columns report structurally only — no enum/range noise
+    assert not any(c == "enum_new_values" and col in ("old", "new") for col, c in got)
