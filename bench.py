@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "infer_roundtrip_orders",
     "fd_discovery_orders",
     "schema_drift_orders",
+    "stats_profile_by_priority",
 ]
 
 

@@ -2650,6 +2650,43 @@ ORDER BY keyword_path
 """
 
 
+def q_stats_profile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition column profile (keyed single-pass agg + stack): the
+    profile rows a partition-lineage manifest stores per partition."""
+    prof = ST.column_profile_by(
+        t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        exact=True,
+    )
+    return prof.orderBy("part", "column")
+
+
+SQL_STATS_PROFILE_BY_PRIORITY = """
+SELECT part, "column", n_rows, n_null, min_value, max_value, n_distinct FROM (
+  SELECT o_orderpriority AS part, 'o_orderkey' AS "column", count(*) AS n_rows,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+         count(DISTINCT o_orderkey) AS n_distinct
+  FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT o_orderpriority, 'o_custkey', count(*),
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+         count(DISTINCT o_custkey)
+  FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT o_orderpriority, 'o_orderstatus', count(*),
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR),
+         count(DISTINCT o_orderstatus)
+  FROM orders GROUP BY o_orderpriority
+)
+ORDER BY part, "column"
+"""
+
+
 def q_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-space drift: profile a baseline key range, profile a
     *shifted* current slice (custkey range extended on a plant rule, one
@@ -2837,6 +2874,7 @@ QUERIES = {
     "infer_roundtrip_orders": q_infer_roundtrip_orders,
     "fd_discovery_orders": q_fd_discovery_orders,
     "schema_drift_orders": q_schema_drift_orders,
+    "stats_profile_by_priority": q_stats_profile_by_priority,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -2922,6 +2960,7 @@ ORACLES = {
     "infer_roundtrip_orders": SQL_INFER_ROUNDTRIP_ORDERS,
     "fd_discovery_orders": SQL_FD_DISCOVERY_ORDERS,
     "schema_drift_orders": SQL_SCHEMA_DRIFT_ORDERS,
+    "stats_profile_by_priority": SQL_STATS_PROFILE_BY_PRIORITY,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

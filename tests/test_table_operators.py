@@ -276,3 +276,21 @@ def test_stratified_sample_deterministic_and_calibrated(spark):
     # unknown stratum -> default_rate 0 -> dropped
     extra = spark.createDataFrame([(999_999, "zzz")], ["k", "s"])
     assert stratified_sample(extra, rates, "s", "k").count() == 0
+
+
+def test_column_profile_by(spark):
+    from json_schema_clj_spark.operators.stats import column_profile_by
+
+    df = images_df(spark, N)
+    prof = {
+        (r["part"], r["column"]): r
+        for r in column_profile_by(df, "fmt", ["caption", "w"], exact=True).collect()
+    }
+    # per-partition rows sum to the global profile
+    assert sum(r["n_rows"] for (p, c), r in prof.items() if c == "caption") == N
+    total_null = sum(r["n_null"] for (p, c), r in prof.items() if c == "caption")
+    assert total_null == N // 200
+    # grouped agg is one pass: plan has a partial and a final hash aggregate
+    plan = column_profile_by(df, "fmt", ["w"], exact=False)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
