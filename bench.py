@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "fd_discovery_orders",
     "schema_drift_orders",
     "stats_profile_by_priority",
+    "outlier_profile_orders",
 ]
 
 

@@ -153,3 +153,67 @@ def column_profile_by(
     return wide.select("part", "n_rows", F.expr(expr)).select(
         "part", "column", "n_rows", "n_null", "min_value", "max_value", "n_distinct"
     )
+
+
+def outlier_profile(
+    df: DataFrame,
+    cols: list[str],
+    factor: float = 1.5,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-column robust outlier counts via Tukey IQR fences: one row per
+    column with (n_rows, n_low, n_high, lo_fence, hi_fence), where the
+    fences are [q1 − factor·IQR, q3 + factor·IQR].
+
+    Two bounded passes: pass 1 computes q1/q3 for every column in ONE
+    aggregation (mergeable rank sketch via `percentile_approx` on the
+    10^12-row path, exact `percentile` for oracle parity); the |cols|·2
+    quantiles come to the driver, fences fold into literals, and pass 2
+    counts fence violations for all columns in ONE more aggregation.
+    IQR beats mean±k·σ here twice over: it is robust to the very outliers
+    being counted, and (exact mode) it is bit-reproducible against DuckDB's
+    quantile_cont — stddev's summation-order drift is not.
+    Fences are reported rounded to 6 dp as fixed-point strings (display
+    only; counting uses the unrounded values).
+    """
+    q = quantile_profile(df, cols, probs=(0.25, 0.75), exact=exact, accuracy=accuracy)
+    fences = {}
+    for r in q.collect():
+        q1, q3 = r["q25"], r["q75"]
+        if q1 is None or q3 is None:
+            fences[r["column"]] = (None, None)
+        else:
+            iqr = q3 - q1
+            fences[r["column"]] = (q1 - factor * iqr, q3 + factor * iqr)
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        lo, hi = fences[c]
+        col = F.col(c)
+        if lo is None:
+            aggs.append(F.lit(0).cast("long").alias(f"{c}__low"))
+            aggs.append(F.lit(0).cast("long").alias(f"{c}__high"))
+        else:
+            aggs.append(F.sum((col < F.lit(lo)).cast("long")).alias(f"{c}__low"))
+            aggs.append(F.sum((col > F.lit(hi)).cast("long")).alias(f"{c}__high"))
+    wide = df.agg(*aggs)
+
+    def _fmt(v):
+        return (
+            "CAST(NULL AS STRING)"
+            if v is None
+            else f"CAST(CAST({v!r} AS DECIMAL(28,6)) AS STRING)"
+        )
+
+    stack_args = ", ".join(
+        f"'{c}', `{c}__low`, `{c}__high`, {_fmt(fences[c][0])}, {_fmt(fences[c][1])}"
+        for c in cols
+    )
+    expr = (
+        f"stack({len(cols)}, {stack_args}) "
+        "as (column, n_low, n_high, lo_fence, hi_fence)"
+    )
+    return wide.select("n_rows", F.expr(expr)).select(
+        "column", "n_rows", "n_low", "n_high", "lo_fence", "hi_fence"
+    )

@@ -2687,6 +2687,56 @@ ORDER BY part, "column"
 """
 
 
+def q_outlier_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts over a plant-spiked price column (the
+    base distribution is near-uniform, so real outliers only exist where
+    the plant rule multiplies every 2000th order's price by 10); the
+    clean o_custkey column pins the zero-outlier case."""
+    from .operators.stats import outlier_profile
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("double").alias("custkey_d"),
+        (
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderkey") % 2000 == 0, F.lit(10.0)).otherwise(F.lit(1.0))
+        ).alias("price_spiked"),
+    )
+    return outlier_profile(
+        orders, ["custkey_d", "price_spiked"], exact=True
+    ).orderBy("column")
+
+
+SQL_OUTLIER_PROFILE_ORDERS = """
+WITH src AS (
+  SELECT CAST(o_custkey AS DOUBLE) AS custkey_d,
+         o_totalprice * CASE WHEN o_orderkey % 2000 = 0 THEN 10.0 ELSE 1.0 END AS price_spiked
+  FROM orders
+),
+q AS (
+  SELECT quantile_cont(custkey_d, 0.25) AS c_q1, quantile_cont(custkey_d, 0.75) AS c_q3,
+         quantile_cont(price_spiked, 0.25) AS p_q1, quantile_cont(price_spiked, 0.75) AS p_q3,
+         count(*) AS n
+  FROM src
+)
+SELECT "column", n_rows, n_low, n_high, lo_fence, hi_fence FROM (
+  SELECT 'custkey_d' AS "column", q.n AS n_rows,
+         (SELECT count(*) FROM src, q WHERE custkey_d < c_q1 - 1.5*(c_q3-c_q1)) AS n_low,
+         (SELECT count(*) FROM src, q WHERE custkey_d > c_q3 + 1.5*(c_q3-c_q1)) AS n_high,
+         CAST(CAST(c_q1 - 1.5*(c_q3-c_q1) AS DECIMAL(28,6)) AS VARCHAR) AS lo_fence,
+         CAST(CAST(c_q3 + 1.5*(c_q3-c_q1) AS DECIMAL(28,6)) AS VARCHAR) AS hi_fence
+  FROM q
+  UNION ALL
+  SELECT 'price_spiked', q.n,
+         (SELECT count(*) FROM src, q WHERE price_spiked < p_q1 - 1.5*(p_q3-p_q1)),
+         (SELECT count(*) FROM src, q WHERE price_spiked > p_q3 + 1.5*(p_q3-p_q1)),
+         CAST(CAST(p_q1 - 1.5*(p_q3-p_q1) AS DECIMAL(28,6)) AS VARCHAR),
+         CAST(CAST(p_q3 + 1.5*(p_q3-p_q1) AS DECIMAL(28,6)) AS VARCHAR)
+  FROM q
+)
+ORDER BY "column"
+"""
+
+
 def q_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-space drift: profile a baseline key range, profile a
     *shifted* current slice (custkey range extended on a plant rule, one
@@ -2875,6 +2925,7 @@ QUERIES = {
     "fd_discovery_orders": q_fd_discovery_orders,
     "schema_drift_orders": q_schema_drift_orders,
     "stats_profile_by_priority": q_stats_profile_by_priority,
+    "outlier_profile_orders": q_outlier_profile_orders,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -2961,6 +3012,7 @@ ORACLES = {
     "fd_discovery_orders": SQL_FD_DISCOVERY_ORDERS,
     "schema_drift_orders": SQL_SCHEMA_DRIFT_ORDERS,
     "stats_profile_by_priority": SQL_STATS_PROFILE_BY_PRIORITY,
+    "outlier_profile_orders": SQL_OUTLIER_PROFILE_ORDERS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

@@ -225,3 +225,36 @@ def test_profile_drift_structural(spark):
     assert got[("new", "column_added")] == ("absent", "new")
     # added/removed columns report structurally only — no enum/range noise
     assert not any(c == "enum_new_values" and col in ("old", "new") for col, c in got)
+
+
+# ---------------------------------------------------------------------------
+# property: the closure holds on arbitrary small tables
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-10**9, max_value=10**9)),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d", "e"])),
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+)
+
+
+@given(st.lists(_row, min_size=1, max_size=25))
+@settings(max_examples=12, deadline=None)
+def test_closure_property_random_tables(spark, rows):
+    from json_schema_clj_spark.operators.infer import (
+        constraint_profile,
+        schema_from_profile,
+    )
+
+    df = spark.createDataFrame(rows, "i long, s string, f double")
+    schema = schema_from_profile(constraint_profile(df, exact=True))
+    out = with_validation(df, schema)
+    bad = out.where(~F.col("valid")).count()
+    assert bad == 0, f"inferred schema rejects its own data: {schema} on {rows}"

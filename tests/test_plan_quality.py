@@ -251,3 +251,60 @@ def test_phash_neardup_banded_join_pure_catalyst(spark):
     plan = executed(QUERIES["images_phash_neardup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_infer_json_paths_pure_catalyst_partial_agg(spark):
+    # dynamic-JSON shape discovery must stay JVM-side (parse_json +
+    # variant_explode generator, no Python eval) with a map-side partial
+    # aggregate on the (path, type) key
+    from json_schema_clj_spark.queries import q_infer_json_paths_orders
+
+    plan = executed(q_infer_json_paths_orders(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Generate" in plan, plan  # variant_explode runs as a generator
+
+
+def test_constraint_profile_single_scan_partial_agg(spark):
+    # the profile pass is ONE aggregation over ONE scan (all measures for
+    # all columns partial-aggregated map-side), reading only the profiled
+    # columns
+    from json_schema_clj_spark.operators.stats import column_profile
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    prof = column_profile(orders, ["o_orderkey", "o_orderstatus"], exact=False)
+    plan = executed(prof)
+    scans = [ln for ln in plan.splitlines() if "orders.parquet" in ln]
+    assert len(scans) == 1, plan  # one scan feeds every measure
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert "o_totalprice" not in " ".join(schema_line), schema_line
+    # HLL sketches are imperative aggregates → ObjectHashAggregate; assert
+    # the partial+final pair whichever aggregate strategy is chosen
+    assert plan.count("Aggregate(") >= 2, plan
+
+
+def test_fd_approx_single_pass_no_expand(spark):
+    # the HLL path computes all |cols|^2 cardinalities in one agg pass;
+    # the plan must NOT contain the multi-count-distinct Expand node that
+    # multiplies scanned rows by the aggregate count
+    from json_schema_clj_spark.operators.infer import fd_candidates
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    pairs = [(a, b) for a in cols for b in cols if a != b]
+    aggs = [F.approx_count_distinct(F.col(c)).alias(f"l{i}") for i, c in enumerate(cols)]
+    aggs += [
+        F.approx_count_distinct(
+            F.when(F.col(a).isNotNull(), F.struct(F.col(a), F.col(b)))
+        ).alias(f"p{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    plan = executed(orders.agg(*aggs))
+    assert "Expand" not in plan, plan
+    assert plan.count("Aggregate(") >= 2, plan  # partial+final (any agg strategy)
+    # and the operator's output agrees with the exact mode on key FDs
+    approx = {
+        (r["determinant"], r["dependent"]): r["holds"]
+        for r in fd_candidates(orders, cols).collect()
+    }
+    assert approx[("o_orderkey", "o_custkey")]  # key determines everything

@@ -294,3 +294,23 @@ def test_column_profile_by(spark):
     plan = column_profile_by(df, "fmt", ["w"], exact=False)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_outlier_profile(spark):
+    from json_schema_clj_spark.operators.stats import outlier_profile
+
+    import pyspark.sql.functions as SF
+
+    # 0..99 uniform plus planted spikes
+    df = spark.range(100).select(
+        SF.col("id").cast("double").alias("clean"),
+        SF.when(SF.col("id") == 0, SF.lit(-1000.0))
+        .when(SF.col("id") == 99, SF.lit(1000.0))
+        .otherwise(SF.col("id").cast("double"))
+        .alias("spiked"),
+    )
+    prof = {r["column"]: r for r in outlier_profile(df, ["clean", "spiked"], exact=True).collect()}
+    assert prof["clean"]["n_low"] == 0 and prof["clean"]["n_high"] == 0
+    assert prof["spiked"]["n_low"] == 1 and prof["spiked"]["n_high"] == 1
+    assert prof["spiked"]["n_rows"] == 100
+    assert float(prof["spiked"]["lo_fence"]) < 0 < float(prof["spiked"]["hi_fence"])
