@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "schema_drift_orders",
     "stats_profile_by_priority",
     "outlier_profile_orders",
+    "candidate_keys_orders",
 ]
 
 

@@ -368,8 +368,12 @@ def fd_candidates(
         for i, (a, b) in enumerate(pairs):
             counts[(a, b)] = row[f"p_{i}"]
 
+    # approx mode: the lhs and pair cardinalities of a true FD are EQUAL,
+    # but they come from two independent HLL sketches, so allow the pair
+    # estimate to land up to ~3 standard errors above the lhs estimate
+    slack = 1.0 if exact else 1 + 3 * rsd
     out = [
-        (a, b, counts[a], counts[(a, b)], bool(counts[(a, b)] <= counts[a]))
+        (a, b, counts[a], counts[(a, b)], bool(counts[(a, b)] <= counts[a] * slack))
         for a, b in pairs
     ]
     return spark.createDataFrame(
@@ -483,4 +487,72 @@ def profile_drift(prof_a: DataFrame, prof_b: DataFrame) -> DataFrame:
             F.col("s.before").alias("before"),
             F.col("s.after").alias("after"),
         )
+    )
+
+
+def candidate_keys(
+    df: DataFrame,
+    cols: Optional[list[str]] = None,
+    max_width: int = 2,
+    exact: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Discover candidate keys: column combinations (width ≤ `max_width`)
+    whose distinct combination count covers the row count.  Output: one
+    row per combination `(key_cols, width, n_distinct, is_key, minimal)`
+    — `minimal` marks keys no proper subset of which is already a key
+    (a superset of a key is trivially a key and never minimal).
+
+    Scale design mirrors `fd_candidates`: the default path computes every
+    combination's cardinality in ONE HLL aggregation pass (true partial
+    aggregate, no multi-count-distinct Expand), so adding combinations
+    widens the aggregate state, not the scan count; `is_key` is then
+    advisory within HLL error: the estimate only has to cover
+    `(1 − 3·rsd)` of the row count, since a true key's HLL estimate can
+    legitimately land up to ~3 standard errors below the exact
+    cardinality.  The exact path (oracle/test scale) runs one
+    count-distinct per combination and compares exactly.
+    """
+    from itertools import combinations
+
+    cols = cols or [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, T.BinaryType)
+    ]
+    combos: list[tuple[str, ...]] = []
+    for w in range(1, max_width + 1):
+        combos.extend(combinations(cols, w))
+    spark = df.sparkSession
+
+    def combo_col(combo: tuple[str, ...]):
+        return F.struct(*[F.col(c) for c in combo])
+
+    if exact:
+        n_rows = df.count()
+        counts = {
+            combo: df.agg(F.count_distinct(combo_col(combo)).alias("n")).collect()[0]["n"]
+            for combo in combos
+        }
+    else:
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.approx_count_distinct(combo_col(combo), rsd).alias(f"c_{i}")
+            for i, combo in enumerate(combos)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        n_rows = row["n_rows"]
+        counts = {combo: row[f"c_{i}"] for i, combo in enumerate(combos)}
+
+    threshold = n_rows if exact else n_rows * (1 - 3 * rsd)
+    is_key = {combo: bool(counts[combo] >= threshold) for combo in combos}
+    out = []
+    for combo in combos:
+        minimal = is_key[combo] and not any(
+            is_key.get(sub, False)
+            for w in range(1, len(combo))
+            for sub in combinations(combo, w)
+        )
+        out.append(
+            (",".join(combo), len(combo), counts[combo], is_key[combo], minimal)
+        )
+    return spark.createDataFrame(
+        out, "key_cols string, width int, n_distinct long, is_key boolean, minimal boolean"
     )

@@ -2857,6 +2857,44 @@ def _fd_oracle_sql(cols: list[str]) -> str:
 SQL_FD_DISCOVERY_ORDERS = _fd_oracle_sql(_INFER_COLS)
 
 
+def q_candidate_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.infer import candidate_keys
+
+    keys = candidate_keys(t(spark, sf_dir, "orders"), _INFER_COLS, max_width=2, exact=True)
+    return keys.orderBy("key_cols")
+
+
+def _candidate_keys_oracle_sql(cols: list[str]) -> str:
+    from itertools import combinations
+
+    combos = [(c,) for c in cols] + list(combinations(cols, 2))
+    aggs = ",\n    ".join(
+        f"count(DISTINCT ({', '.join(combo)})) AS c_{i}" for i, combo in enumerate(combos)
+    )
+    idx = {combo: i for i, combo in enumerate(combos)}
+    rows = []
+    for i, combo in enumerate(combos):
+        key = f"c_{i} >= n"
+        if len(combo) == 1:
+            minimal = key
+        else:
+            subs = " OR ".join(f"c_{idx[(c,)]} >= n" for c in combo)
+            minimal = f"(c_{i} >= n) AND NOT ({subs})"
+        rows.append(
+            f"SELECT '{','.join(combo)}' AS key_cols, CAST({len(combo)} AS INTEGER) AS width, "
+            f"c_{i} AS n_distinct, {key} AS is_key, {minimal} AS minimal FROM s"
+        )
+    return (
+        f"WITH s AS (\n  SELECT count(*) AS n,\n    {aggs}\n  FROM orders\n)\n"
+        "SELECT key_cols, width, n_distinct, is_key, minimal FROM (\n  "
+        + "\n  UNION ALL ".join(rows)
+        + "\n)\nORDER BY key_cols"
+    )
+
+
+SQL_CANDIDATE_KEYS_ORDERS = _candidate_keys_oracle_sql(_INFER_COLS)
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -2926,6 +2964,7 @@ QUERIES = {
     "schema_drift_orders": q_schema_drift_orders,
     "stats_profile_by_priority": q_stats_profile_by_priority,
     "outlier_profile_orders": q_outlier_profile_orders,
+    "candidate_keys_orders": q_candidate_keys_orders,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -3013,6 +3052,7 @@ ORACLES = {
     "schema_drift_orders": SQL_SCHEMA_DRIFT_ORDERS,
     "stats_profile_by_priority": SQL_STATS_PROFILE_BY_PRIORITY,
     "outlier_profile_orders": SQL_OUTLIER_PROFILE_ORDERS,
+    "candidate_keys_orders": SQL_CANDIDATE_KEYS_ORDERS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

@@ -258,3 +258,30 @@ def test_closure_property_random_tables(spark, rows):
     out = with_validation(df, schema)
     bad = out.where(~F.col("valid")).count()
     assert bad == 0, f"inferred schema rejects its own data: {schema} on {rows}"
+
+
+def test_candidate_keys_exact(spark):
+    from json_schema_clj_spark.operators.infer import candidate_keys
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "x"), (4, "b", "y")],
+        "id long, g string, h string",
+    )
+    keys = {r["key_cols"]: r for r in candidate_keys(df, exact=True).collect()}
+    assert keys["id"]["is_key"] and keys["id"]["minimal"]
+    # (g,h) is a composite key and minimal (neither g nor h alone is)
+    assert keys["g,h"]["is_key"] and keys["g,h"]["minimal"]
+    assert not keys["g"]["is_key"] and not keys["h"]["is_key"]
+    # supersets of id are keys but never minimal
+    assert keys["id,g"]["is_key"] and not keys["id,g"]["minimal"]
+    assert keys["g,h"]["n_distinct"] == 4 and keys["g,h"]["width"] == 2
+
+
+def test_candidate_keys_approx(spark):
+    from json_schema_clj_spark.operators.infer import candidate_keys
+
+    df = spark.range(3000).selectExpr("id", "id % 60 AS a", "id % 50 AS b")
+    keys = {r["key_cols"]: r for r in candidate_keys(df, ["id", "a", "b"]).collect()}
+    assert keys["id"]["is_key"] and keys["id"]["minimal"]
+    # lcm(60,50)=300 < 3000 → (a,b) has only 300 combos, not a key
+    assert not keys["a,b"]["is_key"]
