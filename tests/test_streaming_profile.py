@@ -1,0 +1,108 @@
+"""Streaming schema-profile monitor (streaming/profile_stream.py):
+mergeable wide-row store across epochs, cumulative profile diffed against
+a baseline with profile_drift, idempotent epoch replay."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark.operators.infer import constraint_profile
+from json_schema_clj_spark.streaming import profile_stream as PS
+
+COLS = ["k", "s"]
+
+
+def _mk_source(spark, path):
+    """Two source files = two epochs: file 0 matches the baseline profile
+    (keys 0..999, statuses a/b), file 1 drifts (keys to 1999, status 'z',
+    a NULL key)."""
+    f0 = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    f1 = spark.range(1000, 2000).select(
+        F.when(F.col("id") == 1500, None).otherwise(F.col("id")).alias("k"),
+        F.when(F.col("id") == 1999, "z")
+        .when(F.col("id") % 2 == 0, "a")
+        .otherwise("b")
+        .alias("s"),
+    )
+    f0.coalesce(1).write.parquet(f"{path}/f0")
+    f1.coalesce(1).write.parquet(f"{path}/f1")
+    return f0
+
+
+def test_profile_stream_drift_per_epoch_and_replay(spark, tmp_path):
+    src = str(tmp_path / "src")
+    base_df = _mk_source(spark, src)
+    baseline = constraint_profile(base_df, COLS, exact=True)
+
+    store = str(tmp_path / "store")
+    drift = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("k long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = PS.profile_stream(stream, baseline, COLS, store, drift, ckpt)
+    q.awaitTermination(120)
+
+    epochs = sorted(glob.glob(f"{drift}/epoch=*"))
+    assert len(epochs) == 2, epochs
+    # epoch 0 == baseline data → conforming (no drift rows)
+    assert spark.read.parquet(epochs[0]).count() == 0
+    # epoch 1 folds in the drifted file: range grew, nulls appeared,
+    # out-of-enum status observed
+    d1 = {
+        (r["column"], r["change"]): (r["before"], r["after"])
+        for r in spark.read.parquet(epochs[1]).collect()
+    }
+    assert d1[("k", "max_extended")] == ("999", "1999")
+    assert d1[("k", "required_lost")] == ("required", "nullable")
+    assert ("k", "min_extended") not in d1
+    # enum drift is only visible when the cumulative profile carries an
+    # enum set; the streaming profile skips enums (not mergeable), so the
+    # 'z' value shows up through the baseline-vs-stream VALIDATION path,
+    # not here — assert the contract: no enum rows at all
+    assert not any(c == "enum_new_values" for (_, c) in d1)
+
+    # at-least-once replay: re-running epoch 1's process rewrites its own
+    # subdirs byte-identically
+    before = sorted(map(tuple, spark.read.parquet(epochs[1]).collect()))
+    batch1 = spark.read.parquet(f"{src}/f1").selectExpr("k", "s")
+    wide = PS.epoch_profile_wide(batch1, COLS)
+    wide.write.mode("overwrite").parquet(f"{store}/epoch=e1")
+    merged = PS.merged_profile(
+        spark.read.schema(wide.schema).parquet(store),
+        COLS,
+        {"k": batch1.schema["k"].dataType, "s": batch1.schema["s"].dataType},
+        spark,
+    )
+    from json_schema_clj_spark.operators.infer import profile_drift
+
+    profile_drift(baseline, merged).write.mode("overwrite").parquet(f"{drift}/epoch=e1")
+    after = sorted(map(tuple, spark.read.parquet(epochs[1]).collect()))
+    assert before == after
+
+
+def test_profile_stream_store_is_profile_sized(spark, tmp_path):
+    """The store holds one wide row per epoch — never raw rows."""
+    src = str(tmp_path / "src")
+    _mk_source(spark, src)
+    store = str(tmp_path / "store")
+    drift = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+    baseline = constraint_profile(
+        spark.read.parquet(f"{src}/f0"), COLS, exact=True
+    )
+    stream = (
+        spark.readStream.schema("k long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = PS.profile_stream(stream, baseline, COLS, store, drift, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(store)
+    assert rows.count() == 2  # one wide row per epoch, 2000 source rows
