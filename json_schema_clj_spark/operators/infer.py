@@ -556,3 +556,47 @@ def candidate_keys(
     return spark.createDataFrame(
         out, "key_cols string, width int, n_distinct long, is_key boolean, minimal boolean"
     )
+
+
+def evolve_schema(schema: dict, drift_rows) -> dict:
+    """Apply `profile_drift` change rows to a schema, producing the
+    revised schema a maintainer would write: widen numeric bounds to the
+    observed range, extend enums with the new members, drop `required`
+    where nulls appeared, widen `type` to the union form on type changes,
+    and admit added columns unconstrained.  `column_removed` is left
+    alone (absence is only a violation if the column was required, and
+    dropping constraints for a column that may return is lossy).
+
+    Driver-side over |changes| rows (collect the drift result first) —
+    closes the loop: infer → validate → drift → evolve → validate again.
+    """
+    import copy
+
+    out = copy.deepcopy(schema)
+    props = out.setdefault("properties", {})
+    for r in drift_rows:
+        col, change, after = r["column"], r["change"], r["after"]
+        sub = props.setdefault(col, {})
+        if change == "min_extended" or change == "max_extended":
+            cast = int if sub.get("type") == "integer" else float
+            key = "minimum" if change == "min_extended" else "maximum"
+            sub[key] = cast(after)
+        elif change == "enum_new_values" and "enum" in sub:
+            new = after.split(",")
+            if all(isinstance(v, str) for v in sub["enum"]):
+                sub["enum"] = sorted(set(sub["enum"]) | set(new))
+            else:
+                cast = int if sub.get("type") == "integer" else float
+                sub["enum"] = sorted(set(sub["enum"]) | {cast(v) for v in new})
+        elif change == "required_lost":
+            out["required"] = [c for c in out.get("required", []) if c != col]
+            if not out.get("required"):
+                out.pop("required", None)
+        elif change == "type_changed":
+            before = r["before"]
+            types = sub.get("type")
+            current = types if isinstance(types, list) else [types] if types else []
+            sub["type"] = sorted({*current, before, after} - {None})
+        elif change == "column_added":
+            props.setdefault(col, {})
+    return out

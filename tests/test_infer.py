@@ -285,3 +285,52 @@ def test_candidate_keys_approx(spark):
     assert keys["id"]["is_key"] and keys["id"]["minimal"]
     # lcm(60,50)=300 < 3000 → (a,b) has only 300 combos, not a key
     assert not keys["a,b"]["is_key"]
+
+
+def test_evolve_schema_closure(spark):
+    """infer → validate → drift → evolve → validate closes green."""
+    from json_schema_clj_spark.operators.infer import (
+        constraint_profile,
+        evolve_schema,
+        profile_drift,
+        schema_from_profile,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 15.0)],
+        "id long, grade string, score double",
+    )
+    cur = spark.createDataFrame(
+        [(4, "a", 5.0), (5, "c", 30.0), (None, "b", 25.0)],
+        "id long, grade string, score double",
+    )
+    pa = constraint_profile(base, exact=True)
+    schema = schema_from_profile(pa)
+    # the baseline schema rejects the drifted slice…
+    n_bad = with_validation(cur, schema).where(~F.col("valid")).count()
+    assert n_bad == 3
+    # …drift rows describe exactly what moved…
+    drift = profile_drift(pa, constraint_profile(cur, exact=True)).collect()
+    evolved = evolve_schema(schema, drift)
+    # …and the evolved schema admits BOTH slices
+    assert with_validation(cur, evolved).where(~F.col("valid")).count() == 0
+    assert with_validation(base, evolved).where(~F.col("valid")).count() == 0
+    assert evolved["properties"]["grade"]["enum"] == ["a", "b", "c"]
+    assert evolved["properties"]["id"]["maximum"] == 5
+    assert evolved["properties"]["score"]["minimum"] == 5.0
+    assert "id" not in evolved.get("required", [])
+    # original untouched
+    assert schema["properties"]["grade"]["enum"] == ["a", "b"]
+
+
+def test_evolve_schema_type_union_and_added(spark):
+    from json_schema_clj_spark.operators.infer import evolve_schema
+
+    schema = {"type": "object", "properties": {"x": {"type": "integer"}}}
+    drift = [
+        {"column": "x", "change": "type_changed", "before": "integer", "after": "string"},
+        {"column": "y", "change": "column_added", "before": "absent", "after": "y"},
+    ]
+    evolved = evolve_schema(schema, drift)
+    assert sorted(evolved["properties"]["x"]["type"]) == ["integer", "string"]
+    assert evolved["properties"]["y"] == {}
