@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "stats_profile_by_priority",
     "outlier_profile_orders",
     "candidate_keys_orders",
+    "referential_composite_dangling",
 ]
 
 

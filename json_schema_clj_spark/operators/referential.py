@@ -17,17 +17,31 @@ from pyspark.sql import functions as F
 
 def dangling(
     fact: DataFrame,
-    fact_key: str,
+    fact_key: str | list[str],
     dim: DataFrame,
-    dim_key: str,
+    dim_key: str | list[str],
     broadcast: bool | str = True,
 ) -> DataFrame:
     """Rows of `fact` whose key has no match in `dim` (null keys pass,
-    mirroring the presence-guard of property validation)."""
-    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    mirroring the presence-guard of property validation).
+
+    Composite foreign keys: pass equal-length column lists for
+    `fact_key`/`dim_key`; the anti-join runs on the full tuple and a row
+    with ANY null key component passes (it cannot positively mismatch —
+    the same guard as the single-key form).  The dimension side is still
+    a distinct projection of only the key columns, so broadcast size is
+    |distinct key tuples|, not the dimension row count."""
+    fact_keys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    dim_cols = [dim_key] if isinstance(dim_key, str) else list(dim_key)
+    dim_keys = dim.select(
+        *[F.col(d).alias(f) for d, f in zip(dim_cols, fact_keys)]
+    ).distinct()
     if broadcast is True:
         dim_keys = F.broadcast(dim_keys)
-    return fact.where(F.col(fact_key).isNotNull()).join(dim_keys, on=fact_key, how="left_anti")
+    present = fact
+    for k in fact_keys:
+        present = present.where(F.col(k).isNotNull())
+    return present.join(dim_keys, on=fact_keys, how="left_anti")
 
 
 def referential_violations(

@@ -2687,6 +2687,37 @@ ORDER BY part, "column"
 """
 
 
+def q_referential_composite_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-FK referential check: the dimension is the distinct
+    (custkey, status) tuple set observed in the o_orderkey<12000 range;
+    tail rows whose TUPLE never occurred there are dangling (each
+    component may exist separately — only the combination is checked)."""
+    orders = t(spark, sf_dir, "orders")
+    dim = orders.where(F.col("o_orderkey") < 12000)
+    bad = R.dangling(
+        orders, ["o_custkey", "o_orderstatus"], dim, ["o_custkey", "o_orderstatus"]
+    )
+    return (
+        bad.groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_dangling"))
+        .orderBy("o_custkey", "o_orderstatus")
+    )
+
+
+SQL_REFERENTIAL_COMPOSITE = """
+SELECT o_custkey, o_orderstatus, count(*) AS n_dangling
+FROM orders f
+WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM orders d
+    WHERE d.o_orderkey < 12000
+      AND d.o_custkey = f.o_custkey AND d.o_orderstatus = f.o_orderstatus
+  )
+GROUP BY o_custkey, o_orderstatus
+ORDER BY o_custkey, o_orderstatus
+"""
+
+
 def q_outlier_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier counts over a plant-spiked price column (the
     base distribution is near-uniform, so real outliers only exist where
@@ -2965,6 +2996,7 @@ QUERIES = {
     "stats_profile_by_priority": q_stats_profile_by_priority,
     "outlier_profile_orders": q_outlier_profile_orders,
     "candidate_keys_orders": q_candidate_keys_orders,
+    "referential_composite_dangling": q_referential_composite_dangling,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -3053,6 +3085,7 @@ ORACLES = {
     "stats_profile_by_priority": SQL_STATS_PROFILE_BY_PRIORITY,
     "outlier_profile_orders": SQL_OUTLIER_PROFILE_ORDERS,
     "candidate_keys_orders": SQL_CANDIDATE_KEYS_ORDERS,
+    "referential_composite_dangling": SQL_REFERENTIAL_COMPOSITE,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

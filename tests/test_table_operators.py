@@ -314,3 +314,19 @@ def test_outlier_profile(spark):
     assert prof["spiked"]["n_low"] == 1 and prof["spiked"]["n_high"] == 1
     assert prof["spiked"]["n_rows"] == 100
     assert float(prof["spiked"]["lo_fence"]) < 0 < float(prof["spiked"]["hi_fence"])
+
+
+def test_dangling_composite_key(spark):
+    from json_schema_clj_spark.operators.referential import dangling
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (None, "a"), (1, None)],
+        "k long, s string",
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "a")], "k long, s string")
+    bad = dangling(fact, ["k", "s"], dim, ["k", "s"]).collect()
+    # only the (1,'b') tuple is dangling; null components pass the guard
+    assert [(r["k"], r["s"]) for r in bad] == [(1, "b")]
+    # composite anti-join still broadcasts the distinct tuple set
+    plan = dangling(fact, ["k", "s"], dim, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
