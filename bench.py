@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "outlier_profile_orders",
     "candidate_keys_orders",
     "referential_composite_dangling",
+    "partition_schema_drift_orders",
 ]
 
 

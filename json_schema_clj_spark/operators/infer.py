@@ -385,7 +385,9 @@ def fd_candidates(
 # ---------------------------------------------------------------------------
 # profile drift — where the data stopped matching its (inferred) schema
 
-def profile_drift(prof_a: DataFrame, prof_b: DataFrame) -> DataFrame:
+def profile_drift(
+    prof_a: DataFrame, prof_b: DataFrame, part_col: Optional[str] = None
+) -> DataFrame:
     """Compare two `constraint_profile` results (baseline vs current) and
     emit one row per constraint-level change: `(column, change, before,
     after)`.  This is the schema-space analog of the value-space drift
@@ -404,7 +406,13 @@ def profile_drift(prof_a: DataFrame, prof_b: DataFrame) -> DataFrame:
     """
     a = prof_a.alias("a")
     b = prof_b.alias("b")
-    j = a.join(b, F.col("a.column") == F.col("b.column"), "full_outer")
+    # per-partition mode: `prof_b` carries `part_col` (one profile row per
+    # (part, column), e.g. constraint_profile_by output) and every change
+    # row is tagged with its partition — the bad-shard detector.  The join
+    # turns inner: the column set is fixed by the table schema, so the
+    # structural added/removed changes cannot fire per-partition.
+    how = "inner" if part_col else "full_outer"
+    j = a.join(b, F.col("a.column") == F.col("b.column"), how)
     num = F.col("a.json_type").isin("integer", "number") & F.col(
         "b.json_type"
     ).isin("integer", "number")
@@ -476,17 +484,62 @@ def profile_drift(prof_a: DataFrame, prof_b: DataFrame) -> DataFrame:
             enum_new.alias("after"),
         ),
     )
+    part = [F.col(f"b.{part_col}").alias(part_col)] if part_col else []
+    part_names = [part_col] if part_col else []
     return (
         j.select(
+            *part,
             F.coalesce(F.col("a.column"), F.col("b.column")).alias("column"),
             F.explode(F.filter(changes, lambda s: s["before"].isNotNull())).alias("s"),
         )
         .select(
+            *part_names,
             "column",
             F.col("s.change").alias("change"),
             F.col("s.before").alias("before"),
             F.col("s.after").alias("after"),
         )
+    )
+
+
+def constraint_profile_by(
+    df: DataFrame,
+    part_col: str,
+    cols: Optional[list[str]] = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-partition `constraint_profile` (no enum — bounded enum sets are
+    a second pass the partitioned form skips): one row per (part, column)
+    in the exact shape `profile_drift(part_col=...)` consumes.  Fully
+    distributed — the keyed single-pass agg of `column_profile_by` plus
+    column expressions; nothing is collected.  Feed it with a global
+    baseline profile to find the partitions (shards, files, dates) whose
+    data stopped matching the schema everyone else still satisfies."""
+    from .stats import column_profile_by
+
+    cols = cols or [
+        f.name
+        for f in df.schema.fields
+        if f.name != part_col and not isinstance(f.dataType, T.BinaryType)
+    ]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    type_map = F.create_map(
+        *[x for c in cols for x in (F.lit(c), F.lit(json_type_of(dtypes[c])))]
+    )
+    prof = column_profile_by(df, part_col, cols, exact=exact)
+    non_null = F.col("n_rows") - F.col("n_null")
+    return prof.select(
+        F.col("part").alias(part_col),
+        "column",
+        type_map[F.col("column")].alias("json_type"),
+        "n_rows",
+        "n_null",
+        (F.col("n_null") == 0).alias("required"),
+        ((non_null > 0) & (F.col("n_distinct") >= non_null)).alias("unique"),
+        "min_value",
+        "max_value",
+        "n_distinct",
+        F.lit(None).cast("string").alias("enum_values"),
     )
 
 

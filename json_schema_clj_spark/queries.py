@@ -2857,6 +2857,58 @@ ORDER BY "column", change
 """
 
 
+def q_partition_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-shard detection: every priority partition's profile diffed
+    against a stale baseline (profiled from o_orderkey < 12000) — each
+    partition's tail keys extend past the baseline maximum, tagging every
+    shard with its own (before, after) evidence."""
+    from .operators.infer import (
+        constraint_profile,
+        constraint_profile_by,
+        profile_drift,
+    )
+
+    cols = ["o_orderkey", "o_custkey"]
+    orders = t(spark, sf_dir, "orders")
+    baseline = constraint_profile(
+        orders.where(F.col("o_orderkey") < 12000), cols, exact=True
+    )
+    parts = constraint_profile_by(orders, "o_orderpriority", cols, exact=True)
+    return profile_drift(baseline, parts, part_col="o_orderpriority").orderBy(
+        "o_orderpriority", "column", "change"
+    )
+
+
+SQL_PARTITION_SCHEMA_DRIFT = """
+WITH a AS (
+  SELECT min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+         min(o_custkey) AS c_min, max(o_custkey) AS c_max
+  FROM orders WHERE o_orderkey < 12000
+),
+b AS (
+  SELECT o_orderpriority AS part,
+         min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+         min(o_custkey) AS c_min, max(o_custkey) AS c_max
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT part AS o_orderpriority, "column", change, before, after FROM (
+  SELECT b.part, 'o_orderkey' AS "column", 'min_extended' AS change,
+         CAST(a.k_min AS VARCHAR) AS before, CAST(b.k_min AS VARCHAR) AS after
+  FROM a, b WHERE b.k_min < a.k_min
+  UNION ALL
+  SELECT b.part, 'o_orderkey', 'max_extended', CAST(a.k_max AS VARCHAR), CAST(b.k_max AS VARCHAR)
+  FROM a, b WHERE b.k_max > a.k_max
+  UNION ALL
+  SELECT b.part, 'o_custkey', 'min_extended', CAST(a.c_min AS VARCHAR), CAST(b.c_min AS VARCHAR)
+  FROM a, b WHERE b.c_min < a.c_min
+  UNION ALL
+  SELECT b.part, 'o_custkey', 'max_extended', CAST(a.c_max AS VARCHAR), CAST(b.c_max AS VARCHAR)
+  FROM a, b WHERE b.c_max > a.c_max
+)
+ORDER BY o_orderpriority, "column", change
+"""
+
+
 def q_fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.infer import fd_candidates
 
@@ -2997,6 +3049,7 @@ QUERIES = {
     "outlier_profile_orders": q_outlier_profile_orders,
     "candidate_keys_orders": q_candidate_keys_orders,
     "referential_composite_dangling": q_referential_composite_dangling,
+    "partition_schema_drift_orders": q_partition_schema_drift_orders,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -3086,6 +3139,7 @@ ORACLES = {
     "outlier_profile_orders": SQL_OUTLIER_PROFILE_ORDERS,
     "candidate_keys_orders": SQL_CANDIDATE_KEYS_ORDERS,
     "referential_composite_dangling": SQL_REFERENTIAL_COMPOSITE,
+    "partition_schema_drift_orders": SQL_PARTITION_SCHEMA_DRIFT,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

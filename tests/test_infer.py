@@ -334,3 +334,35 @@ def test_evolve_schema_type_union_and_added(spark):
     evolved = evolve_schema(schema, drift)
     assert sorted(evolved["properties"]["x"]["type"]) == ["integer", "string"]
     assert evolved["properties"]["y"] == {}
+
+
+def test_partition_profile_drift(spark):
+    """Bad-shard detection: one partition's data breaks the baseline
+    constraints; every other partition stays clean."""
+    from json_schema_clj_spark.operators.infer import (
+        constraint_profile,
+        constraint_profile_by,
+        profile_drift,
+    )
+
+    base = spark.range(300).selectExpr(
+        "id % 3 AS part", "id AS k", "CAST(id % 7 AS STRING) AS s"
+    )
+    # shard 2 drifts: huge keys and a NULL
+    cur = spark.range(300).selectExpr(
+        "id % 3 AS part",
+        "CASE WHEN id % 3 = 2 AND id > 200 THEN id + 100000 "
+        "     WHEN id = 200 THEN NULL ELSE id END AS k",
+        "CAST(id % 7 AS STRING) AS s",
+    )
+    baseline = constraint_profile(base, ["k", "s"], exact=True)
+    parts = constraint_profile_by(cur, "part", ["k", "s"], exact=True)
+    drift = profile_drift(baseline, parts, part_col="part")
+    got = {
+        (r["part"], r["column"], r["change"]): (r["before"], r["after"])
+        for r in drift.collect()
+    }
+    assert got[(2, "k", "max_extended")] == ("299", "100299")
+    assert got[(2, "k", "required_lost")] == ("required", "nullable")
+    # shards 0 and 1 are clean
+    assert not any(p in (0, 1) for (p, _, _) in got)
