@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "candidate_keys_orders",
     "referential_composite_dangling",
     "partition_schema_drift_orders",
+    "format_conformance_orders",
 ]
 
 

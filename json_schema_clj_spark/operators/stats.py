@@ -217,3 +217,42 @@ def outlier_profile(
     return wide.select("n_rows", F.expr(expr)).select(
         "column", "n_rows", "n_low", "n_high", "lo_fence", "hi_fence"
     )
+
+
+def format_conformance_profile(df: DataFrame, col_formats: dict[str, str]) -> DataFrame:
+    """Per-column format-conformance rates (the north star's "format
+    conformance" stat): for each (column → format name) mapping, count
+    non-null values matching the engine's own `format` regex table
+    (functions/formats.py — the same table the `format` keyword compiles
+    against, so profiling and validation cannot disagree on semantics).
+
+    One aggregation pass for every column; output rows carry integer
+    counts only (n_rows, n_null, n_match, n_mismatch) — hash-stable, no
+    rate formatting.
+    """
+    from ..functions.formats import FORMAT_REGEX
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, fmt in col_formats.items():
+        col = F.col(c)
+        rx = FORMAT_REGEX[fmt]
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(
+            F.sum((col.isNotNull() & col.rlike(rx)).cast("long")).alias(f"{c}__match")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', '{fmt}', `{c}__nulls`, `{c}__match`" for c, fmt in col_formats.items()
+    )
+    expr = (
+        f"stack({len(col_formats)}, {stack_args}) "
+        "as (column, format, n_null, n_match)"
+    )
+    return wide.select("n_rows", F.expr(expr)).select(
+        "column",
+        "format",
+        "n_rows",
+        "n_null",
+        "n_match",
+        (F.col("n_rows") - F.col("n_null") - F.col("n_match")).alias("n_mismatch"),
+    )

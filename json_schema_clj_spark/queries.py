@@ -2857,6 +2857,61 @@ ORDER BY "column", change
 """
 
 
+def q_format_conformance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-conformance stats over derived string columns: a date
+    rendering corrupted on a plant rule, and an email fabricated from the
+    custkey (invalid — missing dot — when custkey % 50 == 3).  Counts use
+    the engine's own format regex table; the oracle re-expresses the same
+    regexes in DuckDB (RE2 and java.util.regex agree on these patterns)."""
+    from .operators.stats import format_conformance_profile
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 1000 == 7, F.lit("not-a-date")
+        ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("d"),
+        F.concat(
+            F.lit("user"),
+            F.col("o_custkey"),
+            F.lit("@example"),
+            F.when(F.col("o_custkey") % 50 == 3, F.lit("")).otherwise(F.lit(".com")),
+        ).alias("e"),
+    )
+    return format_conformance_profile(orders, {"d": "date", "e": "email"}).orderBy(
+        "column"
+    )
+
+
+SQL_FORMAT_CONFORMANCE_ORDERS = r"""
+WITH src AS (
+  SELECT CASE WHEN o_orderkey % 1000 = 7 THEN 'not-a-date'
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS d,
+         'user' || CAST(o_custkey AS VARCHAR) || '@example'
+           || CASE WHEN o_custkey % 50 = 3 THEN '' ELSE '.com' END AS e
+  FROM orders
+)
+SELECT "column", format, n_rows, n_null, n_match, n_mismatch FROM (
+  SELECT 'd' AS "column", 'date' AS format, count(*) AS n_rows,
+         sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS n_null,
+         sum(CASE WHEN d IS NOT NULL
+                   AND regexp_matches(d, '^(\d{4})-(\d{2})-(\d{2})$')
+              THEN 1 ELSE 0 END) AS n_match,
+         sum(CASE WHEN d IS NOT NULL
+                   AND NOT regexp_matches(d, '^(\d{4})-(\d{2})-(\d{2})$')
+              THEN 1 ELSE 0 END) AS n_mismatch
+  FROM src
+  UNION ALL
+  SELECT 'e', 'email', count(*),
+         sum(CASE WHEN e IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN e IS NOT NULL AND regexp_matches(e, '[^@]+@[^.]+\..*')
+              THEN 1 ELSE 0 END),
+         sum(CASE WHEN e IS NOT NULL AND NOT regexp_matches(e, '[^@]+@[^.]+\..*')
+              THEN 1 ELSE 0 END)
+  FROM src
+)
+ORDER BY "column"
+"""
+
+
 def q_partition_schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bad-shard detection: every priority partition's profile diffed
     against a stale baseline (profiled from o_orderkey < 12000) — each
@@ -3050,6 +3105,7 @@ QUERIES = {
     "candidate_keys_orders": q_candidate_keys_orders,
     "referential_composite_dangling": q_referential_composite_dangling,
     "partition_schema_drift_orders": q_partition_schema_drift_orders,
+    "format_conformance_orders": q_format_conformance_orders,
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
@@ -3140,6 +3196,7 @@ ORACLES = {
     "candidate_keys_orders": SQL_CANDIDATE_KEYS_ORDERS,
     "referential_composite_dangling": SQL_REFERENTIAL_COMPOSITE,
     "partition_schema_drift_orders": SQL_PARTITION_SCHEMA_DRIFT,
+    "format_conformance_orders": SQL_FORMAT_CONFORMANCE_ORDERS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

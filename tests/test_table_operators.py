@@ -330,3 +330,16 @@ def test_dangling_composite_key(spark):
     # composite anti-join still broadcasts the distinct tuple set
     plan = dangling(fact, ["k", "s"], dim, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_format_conformance_profile(spark):
+    from json_schema_clj_spark.operators.stats import format_conformance_profile
+
+    df = spark.createDataFrame(
+        [("2024-01-02", "a@b.com"), ("bad", None), (None, "no-at-sign")],
+        "d string, e string",
+    )
+    prof = {r["column"]: r for r in format_conformance_profile(df, {"d": "date", "e": "email"}).collect()}
+    assert prof["d"]["n_match"] == 1 and prof["d"]["n_mismatch"] == 1 and prof["d"]["n_null"] == 1
+    assert prof["e"]["n_match"] == 1 and prof["e"]["n_mismatch"] == 1 and prof["e"]["n_null"] == 1
+    assert prof["e"]["format"] == "email"
