@@ -162,3 +162,33 @@ def test_pattern_groups_struct(spark):
     )
     # r1: both non-null, count 2, values ok; r2: bad value; r3: count 1 < 2
     assert vm == {"r1": True, "r2": False, "r3": False}
+
+
+def test_property_names_skips_absent_struct_fields(spark):
+    """Differential-fuzz regression (seed 4000765): a struct target
+    conflates absent/null, so a NULL field is an absent key and its NAME
+    must not be validated; only present fields' names are checked."""
+    from json_schema_clj_spark.operators.validate import with_validation
+    import pyspark.sql.functions as SF
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "meta": {"type": "object", "propertyNames": {"pattern": "^a$"}}
+        },
+    }
+    df = spark.createDataFrame(
+        [((None, None),), ((1, None),), ((None, "x"),), (None,)],
+        "meta struct<a:bigint, b:string>",
+    )
+    got = [r["valid"] for r in with_validation(df, schema).collect()]
+    # {}: no keys -> valid; {a:1}: 'a' matches -> valid;
+    # {b:'x'}: 'b' fails ^a$ -> invalid; missing meta -> valid
+    assert got == [True, True, False, True]
+    bad = (
+        with_validation(df, schema)
+        .where(~SF.col("valid"))
+        .select(SF.explode("violations").alias("v"))
+        .collect()
+    )
+    assert "b" in bad[0]["v"]["message"]
