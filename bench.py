@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "referential_composite_dangling",
     "partition_schema_drift_orders",
     "format_conformance_orders",
+    "infer_json_paths_nested_orders",
 ]
 
 

@@ -232,31 +232,49 @@ END
 """
 
 
-def infer_json_paths(df: DataFrame, json_col: str) -> DataFrame:
+def infer_json_paths(df: DataFrame, json_col: str, max_depth: int = 1) -> DataFrame:
     """(path, json_type, n_present, min_num, max_num): one row per
-    top-level key × runtime JSON type over a raw-JSON string column.
+    key path × runtime JSON type over a raw-JSON string column, down to
+    `max_depth` levels (nested paths dotted: ``a.b``).
 
-    Single distributed pass, pure Catalyst: parse_json once, lateral
-    variant_explode (no Python, no schema_of_json sampling on the driver —
-    this is exact over ALL rows, not an inferred sample), then one
-    partial+final hash agg keyed by (path, type).  The key space — paths ×
-    types actually present — is what bounds the shuffle, not the row
-    count.  min/max_num carry numeric ranges (NULL for non-numeric types)
-    as fixed-scale strings so downstream comparison is format-proof."""
+    Pure Catalyst: parse_json once, then one lateral variant_explode per
+    level (no Python, no schema_of_json sampling on the driver — this is
+    exact over ALL rows, not an inferred sample), then one partial+final
+    hash agg keyed by (path, type).  Each recursion level explodes only
+    the previous level's OBJECT-typed values, so the frontier shrinks at
+    every depth; the shuffle key space — paths × types actually present —
+    bounds the agg state, not the row count.  min/max_num carry numeric
+    ranges (NULL for non-numeric types) as fixed-scale strings so
+    downstream comparison is format-proof."""
     spark = df.sparkSession
     parsed = df.where(F.col(json_col).isNotNull()).select(
-        F.parse_json(F.col(json_col)).alias("v")
+        F.lit("").alias("prefix"), F.parse_json(F.col(json_col)).alias("v")
     )
     # variant_explode is a table-valued generator in Spark 4 — invoke it
     # through the lateral-join form (spark.tvf + outer column reference);
     # it is not resolvable as a scalar expression inside select()
-    exploded = parsed.lateralJoin(
-        spark.tvf.variant_explode(F.col("v").outer())
-    ).select(
-        F.col("key").alias("path"),
-        F.expr("schema_of_variant(value)").alias("vt"),
-        F.expr("try_cast(cast(value AS string) AS double)").alias("num"),
-    )
+    levels = []
+    frontier = parsed
+    for _ in range(max_depth):
+        ex = frontier.lateralJoin(
+            spark.tvf.variant_explode(F.col("v").outer())
+        ).select(
+            F.when(F.col("prefix") == "", F.col("key"))
+            .otherwise(F.concat(F.col("prefix"), F.lit("."), F.col("key")))
+            .alias("path"),
+            F.expr("schema_of_variant(value)").alias("vt"),
+            F.expr("try_cast(cast(value AS string) AS double)").alias("num"),
+            F.col("value"),
+        )
+        levels.append(ex.select("path", "vt", "num"))
+        frontier = ex.where(
+            ~F.col("vt").rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|STRING|BOOLEAN|VOID)$")
+            & ~F.col("vt").startswith("DECIMAL")
+            & ~F.col("vt").startswith("ARRAY")
+        ).select(F.col("path").alias("prefix"), F.col("value").alias("v"))
+    exploded = levels[0]
+    for lv in levels[1:]:
+        exploded = exploded.unionByName(lv)
     return (
         exploded.select(
             "path",

@@ -2603,6 +2603,55 @@ SELECT path, json_type, n_present, min_num, max_num FROM (
 """
 
 
+_INFER_JSON_NESTED_EXPR = """concat(
+  '{"k":', o_orderkey,
+  ',"nest":{"x":', o_custkey % 100, ',"y":"', o_orderstatus, '"}',
+  CASE WHEN o_orderkey % 3 = 0 THEN concat(',"deep":{"m":{"z":', o_orderkey % 11, '}}') ELSE '' END,
+  '}')"""
+
+
+def q_infer_json_paths_nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested shape discovery (max_depth=3): dotted paths through an
+    always-present one-level object and a sparse two-level object."""
+    from .operators.infer import infer_json_paths
+
+    docs = t(spark, sf_dir, "orders").select(
+        F.expr(_INFER_JSON_NESTED_EXPR).alias("j")
+    )
+    return infer_json_paths(docs, "j", max_depth=3)
+
+
+SQL_INFER_JSON_PATHS_NESTED = """
+SELECT path, json_type, n_present, min_num, max_num FROM (
+  SELECT 'k' AS path, 'integer' AS json_type, count(*) AS n_present,
+         CAST(CAST(round(min(o_orderkey), 6) AS DECIMAL(18,6)) AS VARCHAR) AS min_num,
+         CAST(CAST(round(max(o_orderkey), 6) AS DECIMAL(18,6)) AS VARCHAR) AS max_num
+  FROM orders
+  UNION ALL
+  SELECT 'nest', 'object', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'nest.x', 'integer', count(*),
+         CAST(CAST(round(min(o_custkey % 100), 6) AS DECIMAL(18,6)) AS VARCHAR),
+         CAST(CAST(round(max(o_custkey % 100), 6) AS DECIMAL(18,6)) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'nest.y', 'string', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'deep', 'object', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'deep.m', 'object', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'deep.m.z', 'integer', count(*),
+         CAST(CAST(round(min(o_orderkey % 11), 6) AS DECIMAL(18,6)) AS VARCHAR),
+         CAST(CAST(round(max(o_orderkey % 11), 6) AS DECIMAL(18,6)) AS VARCHAR)
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+ORDER BY path, json_type
+"""
+
+
 def q_infer_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Infer a schema from the o_orderkey<12000 key range, enforce it on
     the FULL table: out-of-sample rows violate the learned bounds."""
@@ -3097,6 +3146,7 @@ QUERIES = {
     # schema inference (profile→schema inverse direction)
     "infer_constraints_orders": q_infer_constraints_orders,
     "infer_json_paths_orders": q_infer_json_paths_orders,
+    "infer_json_paths_nested_orders": q_infer_json_paths_nested_orders,
     "infer_roundtrip_orders": q_infer_roundtrip_orders,
     "fd_discovery_orders": q_fd_discovery_orders,
     "schema_drift_orders": q_schema_drift_orders,
@@ -3188,6 +3238,7 @@ ORACLES = {
     # schema inference suggestions / JSON-path discovery / infer→validate closure
     "infer_constraints_orders": SQL_INFER_CONSTRAINTS_ORDERS,
     "infer_json_paths_orders": SQL_INFER_JSON_PATHS_ORDERS,
+    "infer_json_paths_nested_orders": SQL_INFER_JSON_PATHS_NESTED,
     "infer_roundtrip_orders": SQL_INFER_ROUNDTRIP_ORDERS,
     "fd_discovery_orders": SQL_FD_DISCOVERY_ORDERS,
     "schema_drift_orders": SQL_SCHEMA_DRIFT_ORDERS,

@@ -366,3 +366,28 @@ def test_partition_profile_drift(spark):
     assert got[(2, "k", "required_lost")] == ("required", "nullable")
     # shards 0 and 1 are clean
     assert not any(p in (0, 1) for (p, _, _) in got)
+
+
+def test_infer_json_paths_nested(spark):
+    from json_schema_clj_spark.operators.infer import infer_json_paths
+
+    docs = spark.createDataFrame(
+        [
+            ('{"a": 1, "o": {"x": 2, "y": "s", "i": {"z": 3.5}}}',),
+            ('{"a": 2, "o": {"x": 4}}',),
+        ],
+        "j string",
+    )
+    # depth 1: only top-level keys (back-compat)
+    got1 = {(r["path"], r["json_type"]) for r in infer_json_paths(docs, "j").collect()}
+    assert got1 == {("a", "integer"), ("o", "object")}
+    # depth 3: dotted nested paths, frontier shrinks per level
+    rows = {
+        (r["path"], r["json_type"]): r
+        for r in infer_json_paths(docs, "j", max_depth=3).collect()
+    }
+    assert rows[("o.x", "integer")]["n_present"] == 2
+    assert float(rows[("o.x", "integer")]["max_num"]) == 4.0
+    assert ("o.y", "string") in rows
+    assert ("o.i", "object") in rows
+    assert rows[("o.i.z", "number")]["n_present"] == 1
