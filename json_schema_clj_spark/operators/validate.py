@@ -176,3 +176,32 @@ def validate(
     if part_col is not None:
         out["verdicts"] = verdicts(annotated, part_col)
     return out
+
+
+def write_quarantined(
+    validated: DataFrame,
+    path: str,
+    out_col: str = "violations",
+    fmt: str = "parquet",
+) -> None:
+    """Route valid and invalid rows to one sink in ONE pass: a partitioned
+    write on a derived string verdict puts clean rows under ``verdict=ok/``
+    and quarantined rows (with their violation arrays) under
+    ``verdict=quarantine/``.  The typed `valid` column stays in the data
+    (partition columns round-trip as strings, so partitioning on a derived
+    key keeps the boolean intact for readers).
+
+    The alternative — two filtered writes — scans and evaluates the whole
+    check tree twice; at 10^12 rows that doubles the job.  Downstream
+    consumers read ``{path}/verdict=ok`` with partition pruning (the scan
+    never touches quarantined files), and the quarantine subdir retains
+    the violations column for triage."""
+    (
+        validated.withColumn(
+            "verdict", F.when(F.col("valid"), F.lit("ok")).otherwise(F.lit("quarantine"))
+        )
+        .write.mode("overwrite")
+        .partitionBy("verdict")
+        .format(fmt)
+        .save(path)
+    )

@@ -343,3 +343,23 @@ def test_format_conformance_profile(spark):
     assert prof["d"]["n_match"] == 1 and prof["d"]["n_mismatch"] == 1 and prof["d"]["n_null"] == 1
     assert prof["e"]["n_match"] == 1 and prof["e"]["n_mismatch"] == 1 and prof["e"]["n_null"] == 1
     assert prof["e"]["format"] == "email"
+
+
+def test_write_quarantined_single_pass(spark, tmp_path):
+    from json_schema_clj_spark.operators.validate import with_validation, write_quarantined
+
+    schema = {"type": "object", "properties": {"w": {"minimum": 1}}}
+    df = images_df(spark, 2000)
+    validated = with_validation(df, schema)
+    out = str(tmp_path / "q")
+    write_quarantined(validated, out)
+    clean = spark.read.parquet(f"{out}/verdict=ok")
+    quarantined = spark.read.parquet(f"{out}/verdict=quarantine")
+    n_bad = validated.where("NOT valid").count()
+    assert quarantined.count() == n_bad > 0
+    assert clean.count() == 2000 - n_bad
+    # the typed valid flag survives in the data files
+    assert clean.schema["valid"].dataType.typeName() == "boolean"
+    # quarantined rows keep their violation evidence
+    row = quarantined.limit(1).collect()[0]
+    assert len(row["violations"]) > 0
