@@ -93,19 +93,45 @@ def constraint_profile(
     # approximate path: if HLL underestimated and the real cardinality is
     # huge, slice() bounds what reaches the driver and the > enum_max check
     # drops the column's enum anyway.
-    low_card = [c for c in cols if by_col[c]["n_distinct"] <= enum_max]
+    # enum candidates: atomic scalar types only — arrays/structs/maps
+    # stringify ambiguously and their IN-list would not even type-check
+    # back through the compiler (code-review round 3)
+    _atomic = (*_INTEGRAL, *_NUMERIC, T.StringType, T.BooleanType)
+    low_card = [
+        c
+        for c in cols
+        if by_col[c]["n_distinct"] <= enum_max and isinstance(dtypes[c], _atomic)
+    ]
     enums: dict[str, Optional[str]] = {c: None for c in cols}
-    if low_card:
+    # blank detection rides the same pass: the engine's blank-string quirk
+    # (trim(x) != '' inside type:string) means a schema claiming
+    # type:string on a column containing ''/whitespace-only values would
+    # reject its own data — schema_from_profile needs to know
+    str_cols = [c for c in cols if isinstance(dtypes[c], T.StringType)]
+    blanks: dict[str, int] = {c: 0 for c in cols}
+    if low_card or str_cols:
         aggs = [
             F.slice(
                 F.sort_array(F.collect_set(F.col(c).cast("string"))), 1, 2 * enum_max + 1
             ).alias(c)
             for c in low_card
+        ] + [
+            F.sum((F.trim(F.col(c)) == F.lit("")).cast("long")).alias(f"__blank_{c}")
+            for c in str_cols
         ]
         row = df.agg(*aggs).collect()[0]
+        for c in str_cols:
+            blanks[c] = row[f"__blank_{c}"] or 0
         for c in low_card:
             vals = row[c]
-            if vals is not None and 0 < len(vals) <= enum_max:
+            # values containing the join separator would split back into
+            # phantom members downstream (schema_from_profile,
+            # profile_drift) — drop the enum rather than corrupt it
+            if (
+                vals is not None
+                and 0 < len(vals) <= enum_max
+                and not any("," in v for v in vals)
+            ):
                 enums[c] = ",".join(vals)
 
     spark = df.sparkSession
@@ -125,12 +151,13 @@ def constraint_profile(
                 r["max_value"],
                 r["n_distinct"],
                 enums[c],
+                blanks[c],
             )
         )
     schema = (
         "column string, json_type string, n_rows long, n_null long, "
         "required boolean, unique boolean, min_value string, max_value string, "
-        "n_distinct long, enum_values string"
+        "n_distinct long, enum_values string, n_blank long"
     )
     return spark.createDataFrame(out_rows, schema)
 
@@ -190,7 +217,14 @@ def schema_from_profile(profile: DataFrame, enum_as_strings: bool = False) -> di
         c = r["column"]
         jt = r["json_type"]
         sub: dict = {}
-        if jt in ("integer", "number", "string", "boolean", "datetime"):
+        # the engine's blank-string quirk: type:string rejects ''/
+        # whitespace-only values, so a column observed to contain blanks
+        # cannot carry the type without rejecting its own data — omit it
+        # (the rest of the constraints still apply)
+        n_blank = r["n_blank"] if "n_blank" in profile.columns else 0
+        if jt == "string" and n_blank:
+            pass
+        elif jt in ("integer", "number", "string", "boolean", "datetime"):
             sub["type"] = jt
         if jt in ("integer", "number") and r["min_value"] is not None:
             cast = int if jt == "integer" else float
@@ -284,8 +318,13 @@ def infer_json_paths(df: DataFrame, json_col: str, max_depth: int = 1) -> DataFr
         .groupBy("path", "json_type")
         .agg(
             F.count(F.lit(1)).alias("n_present"),
-            F.round(F.min("num"), 6).cast("decimal(18,6)").cast("string").alias("min_num"),
-            F.round(F.max("num"), 6).cast("decimal(18,6)").cast("string").alias("max_num"),
+            # DECIMAL(38,6) + try_cast: epoch-millisecond-sized values
+            # (~10^12) overflowed DECIMAL(18,6) and ABORTED the query
+            # under ANSI mode (code-review round 3); values beyond
+            # 10^32 render NULL instead of crashing, mirrored by the
+            # oracles' TRY_CAST
+            F.expr("CAST(try_cast(round(min(num), 6) AS decimal(38,6)) AS string)").alias("min_num"),
+            F.expr("CAST(try_cast(round(max(num), 6) AS decimal(38,6)) AS string)").alias("max_num"),
         )
         .orderBy("path", "json_type")
     )
@@ -293,37 +332,64 @@ def infer_json_paths(df: DataFrame, json_col: str, max_depth: int = 1) -> DataFr
 
 def schema_from_json_paths(paths: DataFrame, n_docs: int) -> dict:
     """Object schema from an `infer_json_paths` result (driver-side over
-    |paths × types| rows).  A path present in all `n_docs` documents is
-    required; a path observed with several runtime types gets a union
-    `type` list (the reference's draft-3 union-type form, which all three
-    backends compile); numeric paths get observed [minimum, maximum]."""
+    |paths × types| rows), NESTED: dotted paths from `max_depth > 1`
+    become sub-schemas under their parent's `properties`, not flat
+    top-level names (a flat 'a.x' property would make every document
+    invalid — code-review round 3).  A path present in every observation
+    of its PARENT object (the root counts all `n_docs` documents) is
+    required there; a path observed with several runtime types gets a
+    union `type` list (the reference's draft-3 union-type form, which all
+    three backends compile); numeric paths get observed
+    [minimum, maximum]."""
     by_path: dict[str, list] = {}
     for r in paths.collect():
         by_path.setdefault(r["path"], []).append(r)
-    props: dict = {}
-    required = []
-    for path, rows in sorted(by_path.items()):
-        types = sorted({r["json_type"] for r in rows} - {"null"})
-        sub: dict = {}
-        if len(types) == 1:
-            sub["type"] = types[0]
-        elif types:
-            sub["type"] = types
-        nums = [r for r in rows if r["json_type"] in ("integer", "number")]
-        if nums and len(types) == 1:
-            mins = [float(r["min_num"]) for r in nums if r["min_num"] is not None]
-            maxs = [float(r["max_num"]) for r in nums if r["max_num"] is not None]
-            if mins and maxs:
-                cast = int if types == ["integer"] else float
-                sub["minimum"] = cast(min(mins))
-                sub["maximum"] = cast(max(maxs))
-        if sum(r["n_present"] for r in rows) >= n_docs:
-            required.append(path)
-        props[path] = sub
-    out: dict = {"type": "object", "properties": props}
-    if required:
-        out["required"] = sorted(required)
-    return out
+
+    children: dict[str, list[str]] = {}
+    for path in by_path:
+        parent = path.rsplit(".", 1)[0] if "." in path else ""
+        children.setdefault(parent, []).append(path)
+
+    def obj_count(path: str) -> int:
+        # how many times this path was observed AS an object — the
+        # denominator for its children's required decision
+        return sum(
+            r["n_present"] for r in by_path.get(path, []) if r["json_type"] == "object"
+        )
+
+    def build(prefix: str, denom: int) -> dict:
+        props: dict = {}
+        required = []
+        for path in sorted(children.get(prefix, [])):
+            rows = by_path[path]
+            types = sorted({r["json_type"] for r in rows} - {"null"})
+            sub: dict = {}
+            if len(types) == 1:
+                sub["type"] = types[0]
+            elif types:
+                sub["type"] = types
+            nums = [r for r in rows if r["json_type"] in ("integer", "number")]
+            if nums and len(types) == 1:
+                mins = [float(r["min_num"]) for r in nums if r["min_num"] is not None]
+                maxs = [float(r["max_num"]) for r in nums if r["max_num"] is not None]
+                if mins and maxs:
+                    cast = int if types == ["integer"] else float
+                    sub["minimum"] = cast(min(mins))
+                    sub["maximum"] = cast(max(maxs))
+            if "object" in types and path in children:
+                nested = build(path, obj_count(path))
+                sub["properties"] = nested["properties"]
+                if "required" in nested:
+                    sub["required"] = nested["required"]
+            if denom > 0 and sum(r["n_present"] for r in rows) >= denom:
+                required.append(path.rsplit(".", 1)[-1])
+            props[path.rsplit(".", 1)[-1]] = sub
+        out: dict = {"type": "object", "properties": props}
+        if required:
+            out["required"] = sorted(required)
+        return out
+
+    return build("", n_docs)
 
 
 # ---------------------------------------------------------------------------
@@ -491,13 +557,17 @@ def profile_drift(
         ),
         F.struct(
             F.lit("enum_new_values").alias("change"),
-            # only for columns present on both sides: an added column is
-            # reported structurally (column_added), not as an enum delta
+            # only when the BASELINE carried an enum: an added column is
+            # reported structurally (column_added), and a baseline column
+            # whose cardinality exceeded enum_max has no enum to drift
+            # from — flagging every current value as "new" there
+            # mis-reports a cardinality DROP as schema drift
+            # (code-review round 3)
             F.when(
-                F.col("a.column").isNotNull()
+                F.col("a.enum_values").isNotNull()
                 & F.col("b.enum_values").isNotNull()
                 & (enum_new != F.lit("")),
-                F.coalesce(F.col("a.enum_values"), F.lit("")),
+                F.col("a.enum_values"),
             ).alias("before"),
             enum_new.alias("after"),
         ),

@@ -33,6 +33,12 @@ def dangling(
     |distinct key tuples|, not the dimension row count."""
     fact_keys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
     dim_cols = [dim_key] if isinstance(dim_key, str) else list(dim_key)
+    if len(fact_keys) != len(dim_cols):
+        # zip would silently drop the extra components and under-report
+        # dangling rows (code-review round 3)
+        raise ValueError(
+            f"fact_key/dim_key arity mismatch: {fact_keys} vs {dim_cols}"
+        )
     dim_keys = dim.select(
         *[F.col(d).alias(f) for d, f in zip(dim_cols, fact_keys)]
     ).distinct()

@@ -181,7 +181,6 @@ def validate(
 def write_quarantined(
     validated: DataFrame,
     path: str,
-    out_col: str = "violations",
     fmt: str = "parquet",
 ) -> None:
     """Route valid and invalid rows to one sink in ONE pass: a partitioned

@@ -239,6 +239,19 @@ def _type_ok(tname, target: Column, dtype, ctx: Ctx) -> Column:
             if t == "uri":
                 base = base & (F.trim(target) != F.lit(""))
             return base
+        # a NATIVELY-typed temporal column trivially satisfies the
+        # corresponding string-format type: the reference only ever sees
+        # strings (JSON has no date type), so the regex is its proxy for
+        # "is a date(time)"; a DateType/TimestampType value already IS one.
+        # Without this, schema_from_profile's {"type": "datetime"} on a
+        # timestamp column compiled to constant-false — breaking the
+        # inference closure (code-review round 3).
+        if t == "datetime" and isinstance(
+            dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        ):
+            return target.isNotNull()
+        if t == "date" and isinstance(dtype, T.DateType):
+            return target.isNotNull()
         return F.lit(False)
     return None  # unknown type
 

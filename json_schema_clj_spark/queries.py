@@ -2580,21 +2580,21 @@ def q_infer_json_paths_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INFER_JSON_PATHS_ORDERS = """
 SELECT path, json_type, n_present, min_num, max_num FROM (
   SELECT 'k' AS path, 'integer' AS json_type, count(*) AS n_present,
-         CAST(CAST(round(min(o_orderkey), 6) AS DECIMAL(18,6)) AS VARCHAR) AS min_num,
-         CAST(CAST(round(max(o_orderkey), 6) AS DECIMAL(18,6)) AS VARCHAR) AS max_num
+         CAST(TRY_CAST(round(min(o_orderkey), 6) AS DECIMAL(38,6)) AS VARCHAR) AS min_num,
+         CAST(TRY_CAST(round(max(o_orderkey), 6) AS DECIMAL(38,6)) AS VARCHAR) AS max_num
   FROM orders
   UNION ALL
   SELECT 'm', 'integer', count(*),
-         CAST(CAST(round(min(o_custkey), 6) AS DECIMAL(18,6)) AS VARCHAR),
-         CAST(CAST(round(max(o_custkey), 6) AS DECIMAL(18,6)) AS VARCHAR)
+         CAST(TRY_CAST(round(min(o_custkey), 6) AS DECIMAL(38,6)) AS VARCHAR),
+         CAST(TRY_CAST(round(max(o_custkey), 6) AS DECIMAL(38,6)) AS VARCHAR)
   FROM orders WHERE o_orderkey % 2 = 0
   UNION ALL
   SELECT 'm', 'string', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
   FROM orders WHERE o_orderkey % 2 = 1
   UNION ALL
   SELECT 'opt', 'integer', count(*),
-         CAST(CAST(round(min(o_orderkey % 7), 6) AS DECIMAL(18,6)) AS VARCHAR),
-         CAST(CAST(round(max(o_orderkey % 7), 6) AS DECIMAL(18,6)) AS VARCHAR)
+         CAST(TRY_CAST(round(min(o_orderkey % 7), 6) AS DECIMAL(38,6)) AS VARCHAR),
+         CAST(TRY_CAST(round(max(o_orderkey % 7), 6) AS DECIMAL(38,6)) AS VARCHAR)
   FROM orders WHERE o_orderkey % 5 = 0
   UNION ALL
   SELECT 's', 'string', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
@@ -2624,15 +2624,15 @@ def q_infer_json_paths_nested_orders(spark: SparkSession, sf_dir: str) -> DataFr
 SQL_INFER_JSON_PATHS_NESTED = """
 SELECT path, json_type, n_present, min_num, max_num FROM (
   SELECT 'k' AS path, 'integer' AS json_type, count(*) AS n_present,
-         CAST(CAST(round(min(o_orderkey), 6) AS DECIMAL(18,6)) AS VARCHAR) AS min_num,
-         CAST(CAST(round(max(o_orderkey), 6) AS DECIMAL(18,6)) AS VARCHAR) AS max_num
+         CAST(TRY_CAST(round(min(o_orderkey), 6) AS DECIMAL(38,6)) AS VARCHAR) AS min_num,
+         CAST(TRY_CAST(round(max(o_orderkey), 6) AS DECIMAL(38,6)) AS VARCHAR) AS max_num
   FROM orders
   UNION ALL
   SELECT 'nest', 'object', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
   UNION ALL
   SELECT 'nest.x', 'integer', count(*),
-         CAST(CAST(round(min(o_custkey % 100), 6) AS DECIMAL(18,6)) AS VARCHAR),
-         CAST(CAST(round(max(o_custkey % 100), 6) AS DECIMAL(18,6)) AS VARCHAR)
+         CAST(TRY_CAST(round(min(o_custkey % 100), 6) AS DECIMAL(38,6)) AS VARCHAR),
+         CAST(TRY_CAST(round(max(o_custkey % 100), 6) AS DECIMAL(38,6)) AS VARCHAR)
   FROM orders
   UNION ALL
   SELECT 'nest.y', 'string', count(*), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
@@ -2644,8 +2644,8 @@ SELECT path, json_type, n_present, min_num, max_num FROM (
   FROM orders WHERE o_orderkey % 3 = 0
   UNION ALL
   SELECT 'deep.m.z', 'integer', count(*),
-         CAST(CAST(round(min(o_orderkey % 11), 6) AS DECIMAL(18,6)) AS VARCHAR),
-         CAST(CAST(round(max(o_orderkey % 11), 6) AS DECIMAL(18,6)) AS VARCHAR)
+         CAST(TRY_CAST(round(min(o_orderkey % 11), 6) AS DECIMAL(38,6)) AS VARCHAR),
+         CAST(TRY_CAST(round(max(o_orderkey % 11), 6) AS DECIMAL(38,6)) AS VARCHAR)
   FROM orders WHERE o_orderkey % 3 = 0
 )
 ORDER BY path, json_type

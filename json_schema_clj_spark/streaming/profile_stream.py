@@ -21,8 +21,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.infer import json_type_of, profile_drift
+
+# hll_sketch_agg only accepts int/long/string/binary; other types are
+# sketched through an injective cast-to-string (shortest-roundtrip
+# rendering keeps distinct values distinct), matching the any-type
+# coverage of the batch profile path
+_SKETCHABLE = (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.StringType, T.BinaryType)
 
 _PROFILE_SCHEMA = (
     "column string, json_type string, n_rows long, n_null long, "
@@ -37,13 +44,15 @@ def epoch_profile_wide(batch_df: DataFrame, cols: list[str], lg_k: int = 12) -> 
 
     lexicographically wrong for numbers — and an HLL sketch binary for
     distinct counting across epochs)."""
+    dtypes = {f.name: f.dataType for f in batch_df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         col = F.col(c)
+        sketch_col = col if isinstance(dtypes[c], _SKETCHABLE) else col.cast("string")
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
         aggs.append(F.min(col).alias(f"{c}__min"))
         aggs.append(F.max(col).alias(f"{c}__max"))
-        aggs.append(F.hll_sketch_agg(col, F.lit(lg_k)).alias(f"{c}__hll"))
+        aggs.append(F.hll_sketch_agg(sketch_col, F.lit(lg_k)).alias(f"{c}__hll"))
     return batch_df.agg(*aggs)
 
 

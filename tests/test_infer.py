@@ -391,3 +391,104 @@ def test_infer_json_paths_nested(spark):
     assert ("o.y", "string") in rows
     assert ("o.i", "object") in rows
     assert rows[("o.i.z", "number")]["n_present"] == 1
+
+
+# ---------------------------------------------------------------------------
+# code-review round-3 regressions: closure holds on the awkward inputs
+
+def test_closure_datetime_blank_comma_columns(spark):
+    """Timestamp columns, blank strings, and comma-containing values all
+    previously broke the infer→validate closure (datetime compiled to
+    constant-false; type:string rejects blanks; enums split on ',')."""
+    import datetime as dt
+
+    from json_schema_clj_spark.operators.infer import (
+        constraint_profile,
+        schema_from_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1), "", "a,b"),
+            (dt.datetime(2024, 6, 1), "x", "c"),
+        ],
+        "ts timestamp, s string, e string",
+    )
+    prof = constraint_profile(df, exact=True)
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["s"]["n_blank"] == 1 and rows["e"]["n_blank"] == 0
+    # comma value → enum dropped rather than corrupted
+    assert rows["e"]["enum_values"] is None
+    schema = schema_from_profile(prof)
+    assert schema["properties"]["ts"]["type"] == "datetime"
+    assert "type" not in schema["properties"]["s"]  # blanks observed
+    out = with_validation(df, schema)
+    assert out.where(~F.col("valid")).count() == 0
+
+
+def test_closure_nonscalar_enum_skipped(spark):
+    from json_schema_clj_spark.operators.infer import (
+        constraint_profile,
+        schema_from_profile,
+    )
+
+    df = spark.createDataFrame([([1, 2],), ([3],)], "arr array<bigint>")
+    prof = constraint_profile(df, exact=True)
+    assert prof.collect()[0]["enum_values"] is None  # array → no enum
+    schema = schema_from_profile(prof)
+    assert with_validation(df, schema).where(~F.col("valid")).count() == 0
+
+
+def test_infer_json_paths_large_numbers_no_crash(spark):
+    from json_schema_clj_spark.operators.infer import infer_json_paths
+
+    docs = spark.createDataFrame(
+        [('{"ts": 1700000000000, "huge": 1e40}',)], "j string"
+    )
+    rows = {r["path"]: r for r in infer_json_paths(docs, "j").collect()}
+    # epoch milliseconds fit DECIMAL(38,6); absurd magnitudes go NULL
+    assert rows["ts"]["min_num"] == "1700000000000.000000"
+    assert rows["huge"]["min_num"] is None
+
+
+def test_schema_from_json_paths_nested_closure(spark):
+    from json_schema_clj_spark.operators.infer import (
+        infer_json_paths,
+        schema_from_json_paths,
+    )
+
+    docs = spark.createDataFrame(
+        [('{"a": {"x": 1, "y": "s"}}',), ('{"a": {"x": 2}}',)], "j string"
+    )
+    schema = schema_from_json_paths(infer_json_paths(docs, "j", max_depth=2), 2)
+    # nested properties, not flat dotted names
+    assert "a.x" not in schema["properties"]
+    a = schema["properties"]["a"]
+    assert a["properties"]["x"]["type"] == "integer"
+    assert a["required"] == ["x"]  # y appears in 1 of 2 a-objects
+    assert schema["required"] == ["a"]
+    out = validate_json_column(docs, schema, json_col="j")
+    assert out.where(~F.col("valid")).count() == 0
+    bad = spark.createDataFrame([('{"a": {"y": "s"}}',)], "j string")
+    assert validate_json_column(bad, schema, json_col="j").where(~F.col("valid")).count() == 1
+
+
+def test_profile_drift_no_spurious_enum_on_cardinality_drop(spark):
+    from json_schema_clj_spark.operators.infer import constraint_profile, profile_drift
+
+    base = spark.range(100).selectExpr("CAST(id AS STRING) AS s")  # 100 distinct → no enum
+    cur = spark.range(3).selectExpr("CAST(id AS STRING) AS s")  # subset, low card
+    drift = profile_drift(
+        constraint_profile(base, exact=True), constraint_profile(cur, exact=True)
+    ).collect()
+    assert not any(r["change"] == "enum_new_values" for r in drift)
+
+
+def test_dangling_arity_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from json_schema_clj_spark.operators.referential import dangling
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with _pytest.raises(ValueError):
+        dangling(df, ["k"], df, ["k", "s"])

@@ -106,3 +106,18 @@ def test_profile_stream_store_is_profile_sized(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(store)
     assert rows.count() == 2  # one wide row per epoch, 2000 source rows
+
+
+def test_epoch_profile_wide_any_type(spark):
+    """hll_sketch_agg only takes int/long/string/binary; other types must
+    route through the injective cast-to-string (code-review round 3)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1.5, True, dt.datetime(2024, 1, 1)), (2.5, False, dt.datetime(2024, 1, 2))],
+        "price double, flag boolean, ts timestamp",
+    )
+    row = PS.epoch_profile_wide(df, ["price", "flag", "ts"]).collect()[0]
+    assert row["n_rows"] == 2
+    assert row["price__nulls"] == 0
+    assert row["price__min"] == 1.5  # typed min survives
