@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "skew_hot_keys_orders_custkey",
     "text_winnow_neardup",
     "images_phash_neardup",
+    "images_phash_integrity",
     "images_curation_funnel",
     "images_magic_conformance",
     "infer_constraints_orders",

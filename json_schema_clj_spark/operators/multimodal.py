@@ -217,6 +217,149 @@ def decode_image(data: bytes, fmt: str, w: int, h: int, allow_fake: bool = False
     raise ValueError(f"cannot decode fmt={fmt}")
 
 
+# ---------------------------------------------------------------------------
+# perceptual hash (pHash): grayscale → 32×32 area resample → orthonormal
+# 2-D DCT-II → 8×8 low-frequency block → median threshold → 64-bit hash.
+# Pure numpy (no scipy): the resample and DCT are both small fixed linear
+# operators applied per image, so a batch of decodes stays vectorized.
+
+_PHASH_SIZE = 32
+_PHASH_BLOCK = 8
+
+
+def _resample_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Exact area-overlap resampling operator R (n_out × n_in): output cell
+    j averages input cells weighted by fractional overlap of [j·s,(j+1)·s)
+    with [i,i+1), s = n_in/n_out.  Correct for up- and down-sampling; rows
+    sum to 1, so constant images stay constant (the solid-image closed-form
+    unit test depends on this)."""
+    edges = np.arange(n_out + 1) * (n_in / n_out)
+    R = np.zeros((n_out, n_in))
+    for j in range(n_out):
+        lo, hi = edges[j], edges[j + 1]
+        for i in range(int(np.floor(lo)), min(int(np.ceil(hi)), n_in)):
+            R[j, i] = (min(i + 1.0, hi) - max(float(i), lo)) / (hi - lo)
+    return R
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis: D[k,m] = c_k·cos(π(2m+1)k / 2n)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    D = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    D[0] /= np.sqrt(2.0)
+    return D
+
+
+_DCT32 = _dct_matrix(_PHASH_SIZE)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an RGB8 HxWx3 array, as SIGNED int64 (the
+    images table's `phash` column type).  Bit 63 is the DC coefficient;
+    bit k corresponds to row-major position k of the 8×8 low-frequency DCT
+    block; a bit is set iff its coefficient exceeds the median of the 63
+    AC coefficients (DC is excluded from the median so a bright-vs-dark
+    global offset can't recenter the threshold, but keeps its own bit).
+
+    Closed forms used by tests: a solid nonzero image has every AC
+    coefficient 0 and DC > 0 ⇒ exactly one bit set (popcount 1); a solid
+    black image hashes to 0."""
+    g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    ry = _DCT32 @ _resample_matrix(h, _PHASH_SIZE)
+    rx = _resample_matrix(w, _PHASH_SIZE).T @ _DCT32.T
+    block = (ry @ g @ rx)[:_PHASH_BLOCK, :_PHASH_BLOCK].ravel()
+    med = float(np.median(block[1:]))
+    # DC-relative epsilon: a solid image has every AC coefficient exactly 0
+    # in exact arithmetic but O(1e-13) in floats — without the epsilon those
+    # ties resolve to fp noise instead of the closed-form all-zero bits.
+    # Real-image AC coefficients are many orders of magnitude larger, so
+    # the epsilon never moves a genuine bit.
+    eps = 1e-8 * max(1.0, abs(float(block[0])))
+    val = 0
+    for bit in block > med + eps:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+PHASH_INTEGRITY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("stored_phash", T.LongType()),
+        T.StructField("computed_phash", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def phash_integrity(
+    df: DataFrame, max_hamming: int = 0, allow_fake: bool = False, sample: Optional[float] = None
+) -> DataFrame:
+    """Integrity check on the `phash` METADATA column: recompute the
+    perceptual hash from `bytes` (decode → phash64) and compare to the
+    stored value — the image-payload analog of the `const`/`$data`
+    cross-field check (a metadata column must agree with a value derived
+    from another column).  `max_hamming` > 0 tolerates lossy re-encodes
+    (pHash is stable under mild quantization); 0 demands bit-equality,
+    right for lossless pipelines.
+
+    Scale shape: scan → optional seeded sample → ONE mapInPandas stage
+    (decode + hash per Arrow batch, no shuffle); downstream rollups
+    aggregate the narrow (status, hamming) output, never the bytes."""
+    src = df
+    if sample is not None:
+        src = df.where(F.pmod(F.xxhash64("image_id"), F.lit(10_000)) < int(sample * 10_000))
+    # phash crosses the Arrow boundary as a two's-complement hex STRING:
+    # pandas turns an int64 column containing nulls into float64, which
+    # silently truncates 64-bit hashes to 53-bit mantissas
+    src = src.select(
+        "image_id", "bytes", "fmt", "w", "h",
+        # format_string renders a NULL arg as the padded string "null",
+        # so gate on isNotNull to keep SQL NULL as pandas None
+        F.when(
+            F.col("phash").isNotNull(), F.format_string("%016x", F.col("phash"))
+        ).alias("phash_hex"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                stored = None
+                if isinstance(r["phash_hex"], str):
+                    stored = int(r["phash_hex"], 16)
+                    if stored >= 1 << 63:
+                        stored -= 1 << 64
+                try:
+                    px = decode_image(bytes(r["bytes"]), r["fmt"], r["w"], r["h"], allow_fake)
+                except Exception:
+                    rows.append((r["image_id"], stored, None, None, "decode_fail"))
+                    continue
+                computed = phash64(px)
+                if stored is None:
+                    rows.append((r["image_id"], None, computed, None, "missing_phash"))
+                    continue
+                ham = int(bin((stored ^ computed) & 0xFFFFFFFFFFFFFFFF).count("1"))
+                status = "match" if ham <= max_hamming else "mismatch"
+                rows.append((r["image_id"], stored, computed, ham, status))
+            # nullable Int64/Int32 extension arrays: a plain DataFrame
+            # constructor infers float64 for int columns containing None,
+            # silently truncating 64-bit hashes to 53-bit mantissas
+            yield pd.DataFrame(
+                {
+                    "image_id": [r[0] for r in rows],
+                    "stored_phash": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "computed_phash": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "hamming": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "status": [r[4] for r in rows],
+                }
+            )
+
+    return src.mapInPandas(run, PHASH_INTEGRITY_SCHEMA)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
     if mse == 0:

@@ -1971,6 +1971,51 @@ GROUP BY 1 ORDER BY status
 """
 
 
+def q_images_phash_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash integrity invariant: recompute phash from `bytes`
+    (decode → grayscale → 32×32 area resample → orthonormal 2-D DCT →
+    median threshold) and compare to the stored `phash` metadata column —
+    the image-payload analog of a `$data` cross-field `const` check
+    (/root/reference/src/json_schema/core.clj $data keyword resolution:
+    one field constrained by a value derived from another).  The corpus
+    stores the TRUE hash except at two disjoint plants: ids ≡ 3 (mod 20)
+    carry a 2-bit-flipped stored phash (metadata corruption → mismatch,
+    hamming exactly 2) and ids ≡ 7 (mod 40) carry truncated bytes
+    (decode_fail).  Oracle counts and per-status max hamming are closed
+    forms of the same constants."""
+    from .sources.images import phash_png_images_df
+
+    corpus = phash_png_images_df(
+        spark, _PHASH_INTEG_N, seed=5,
+        tamper_every=_PHASH_INTEG_TAMPER_EVERY, corrupt_every=_PHASH_INTEG_CORRUPT_EVERY,
+    )
+    checked = M.phash_integrity(corpus, max_hamming=0, allow_fake=False)
+    return (
+        checked.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("hamming").alias("max_hamming"),
+        )
+        .orderBy("status")
+    )
+
+
+_PHASH_INTEG_N = 200
+_PHASH_INTEG_TAMPER_EVERY = 20
+_PHASH_INTEG_CORRUPT_EVERY = 40
+SQL_IMAGES_PHASH_INTEGRITY = f"""
+SELECT CASE WHEN i % {_PHASH_INTEG_CORRUPT_EVERY} = 7 THEN 'decode_fail'
+            WHEN i % {_PHASH_INTEG_TAMPER_EVERY} = 3 THEN 'mismatch'
+            ELSE 'match' END AS status,
+       count(*) AS n,
+       CASE WHEN i % {_PHASH_INTEG_CORRUPT_EVERY} = 7 THEN CAST(NULL AS INTEGER)
+            WHEN i % {_PHASH_INTEG_TAMPER_EVERY} = 3 THEN 2
+            ELSE 0 END AS max_hamming
+FROM generate_series(0, {_PHASH_INTEG_N - 1}) t(i)
+GROUP BY 1, 3 ORDER BY status
+"""
+
+
 def q_images_psnr_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossy-path PSNR invariant: the current corpus is the toy
     quantize-then-PNG codec's output (fmt "qpng"), so every row has FINITE
@@ -3133,6 +3178,7 @@ QUERIES = {
     "images_flagship_verdicts": q_images_flagship_verdicts,
     "images_decode_psnr_invariant": q_images_decode_psnr,
     "images_psnr_lossy": q_images_psnr_lossy,
+    "images_phash_integrity": q_images_phash_integrity,
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_caption_equality": q_images_caption_equality,
@@ -3212,6 +3258,7 @@ ORACLES = {
     "embedding_dedup_clusters": SQL_EMBEDDING_DEDUP_CLUSTERS,
     "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
     "images_psnr_lossy": SQL_IMAGES_PSNR_LOSSY,
+    "images_phash_integrity": SQL_IMAGES_PHASH_INTEGRITY,
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,

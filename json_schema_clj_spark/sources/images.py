@@ -332,6 +332,51 @@ def png_images_df(spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every
     )
 
 
+def phash_png_images_df(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 5,
+    tamper_every: int | None = None,
+    corrupt_every: int | None = None,
+) -> DataFrame:
+    """REAL-PNG corpus whose stored `phash` column is the TRUE perceptual
+    hash of the pixels (computed by the same pure function the integrity
+    operator recomputes with), with two disjoint plants:
+
+    * ``id % tamper_every == 3`` → stored phash gets two bits flipped
+      (metadata corruption: the integrity check must flag it);
+    * ``id % corrupt_every == 7`` → bytes truncated (decode failure).
+
+    Residues 3 mod 20 and 7 mod 40 are disjoint, so plant counts are exact
+    closed forms of (n_rows, tamper_every, corrupt_every)."""
+    from ..operators.multimodal import encode_png, fake_pixels, phash64
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = 24 + i % 9, 16 + i % 7
+                px = fake_pixels(f"{seed}:{i}".encode(), w, h)
+                data = encode_png(px)
+                ph = phash64(px)
+                if tamper_every and i % tamper_every == 3:
+                    ph ^= (1 << 17) | (1 << 42)
+                if corrupt_every and i % corrupt_every == 7:
+                    data = data[: len(data) // 2]
+                rows.append((f"img-{i:08d}", data, w, h, "png", f"caption {i}", ph))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
 def solid_png_images_df(spark: SparkSession, n_rows: int, corrupt_every: int | None = None) -> DataFrame:
     """Solid-color REAL PNGs whose geometry and channel values are closed
     forms of the row id — the oracle-derivable corpus for the
