@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "uniqueness_orders_custkey",
     "referential_dangling_partkeys",
     "referential_bloom_dangling",
+    "referential_coverage_partkeys",
     "drift_ks_psi_orders",
     "tpch_q1_pricing_summary",
     "join_revenue_by_nation",

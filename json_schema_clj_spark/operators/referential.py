@@ -50,6 +50,63 @@ def dangling(
     return present.join(dim_keys, on=fact_keys, how="left_anti")
 
 
+def coverage(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    exact: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """JOIN-FREE referential coverage estimate via set-overlap sketches:
+    tag-union the two key projections, aggregate three distinct-counts in
+    one pass (fact keys, dim keys, union), and recover matched/dangling
+    DISTINCT key counts by inclusion-exclusion::
+
+        |fact ∩ dim| = |fact| + |dim| - |fact ∪ dim|
+        dangling     = |fact ∪ dim| - |dim|
+
+    Scale shape: where the anti-join (`dangling`) shuffles the fact table
+    on the key — the right tool when you need the violating ROWS — this
+    estimator answers "how broken is the reference?" with a single scan
+    of both key columns, map-side HLL partials, and a one-row final
+    aggregate: no join, no fact-table shuffle, sketch bytes per partition.
+    At 10^12 rows it's the cheap first pass that decides whether the
+    row-level anti-join is worth running at all.
+
+    `exact=True` swaps HLL for exact count_distinct (the oracle mode —
+    Catalyst expands the multi-distinct aggregate, fine at test scale).
+    HLL estimates can make inclusion-exclusion slightly negative, so the
+    derived counts clamp at 0.  NULL keys are excluded on both sides (a
+    NULL foreign key cannot positively mismatch — same presence guard as
+    `dangling`)."""
+    f = fact.select(F.col(fact_key).alias("k")).where(F.col(fact_key).isNotNull())
+    d = dim.select(F.col(dim_key).alias("k")).where(F.col(dim_key).isNotNull())
+    tagged = f.withColumn("src", F.lit(0)).unionByName(d.withColumn("src", F.lit(1)))
+
+    if exact:
+        def cd(col):
+            return F.count_distinct(col)
+    else:
+        def cd(col):
+            return F.approx_count_distinct(col, rsd)
+
+    agg = tagged.agg(
+        cd(F.when(F.col("src") == 0, F.col("k"))).alias("d_fact"),
+        cd(F.when(F.col("src") == 1, F.col("k"))).alias("d_dim"),
+        cd(F.col("k")).alias("d_union"),
+    )
+    matched = F.greatest(F.lit(0), F.col("d_fact") + F.col("d_dim") - F.col("d_union"))
+    dangling_keys = F.greatest(F.lit(0), F.col("d_union") - F.col("d_dim"))
+    return agg.select(
+        "d_fact",
+        "d_dim",
+        "d_union",
+        matched.alias("d_matched"),
+        dangling_keys.alias("d_dangling"),
+    )
+
+
 def referential_violations(
     fact: DataFrame,
     fact_key: str,

@@ -367,6 +367,32 @@ GROUP BY l_partkey ORDER BY l_partkey
 """
 
 
+def q_referential_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free referential coverage: sketch-union inclusion-exclusion
+    over (lineitem.l_partkey, filtered part.p_partkey) — the cheap first
+    pass that sizes the breakage before any row-level anti-join runs.
+    Exact mode here so the oracle is plain COUNT(DISTINCT) arithmetic;
+    the 10^12-row HLL path is the same plan with approx_count_distinct
+    (tolerance-tested in tests/test_table_operators.py, plan-audited:
+    no Join, no fact-table shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    dim = t(spark, sf_dir, "part").where(F.pmod(F.col("p_partkey"), F.lit(10)) != 0)
+    return R.coverage(li, "l_partkey", dim, "p_partkey", exact=True)
+
+
+SQL_REFERENTIAL_COVERAGE = """
+WITH f AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL),
+     d AS (SELECT DISTINCT p_partkey AS k FROM part
+           WHERE p_partkey IS NOT NULL AND p_partkey % 10 <> 0),
+     u AS (SELECT k FROM f UNION SELECT k FROM d)
+SELECT (SELECT count(*) FROM f) AS d_fact,
+       (SELECT count(*) FROM d) AS d_dim,
+       (SELECT count(*) FROM u) AS d_union,
+       (SELECT count(*) FROM f) + (SELECT count(*) FROM d) - (SELECT count(*) FROM u) AS d_matched,
+       (SELECT count(*) FROM u) - (SELECT count(*) FROM d) AS d_dangling
+"""
+
+
 # ---------------------------------------------------------------------------
 # 6. distribution drift (KS/PSI per group vs pooled baseline)
 
@@ -3137,6 +3163,7 @@ QUERIES = {
     "uniqueness_orders_custkey": q_duplicates_orders_custkey,
     "referential_dangling_partkeys": q_dangling_partkeys,
     "referential_bloom_dangling": q_dangling_bloom,
+    "referential_coverage_partkeys": q_referential_coverage,
     "drift_ks_psi_orders": q_drift_orders,
     "tpch_q1_pricing_summary": q_pricing_summary,
     "join_revenue_by_nation": q_revenue_by_nation,
@@ -3217,6 +3244,7 @@ ORACLES = {
     "uniqueness_orders_custkey": SQL_DUPLICATES_ORDERS_CUSTKEY,
     "referential_dangling_partkeys": SQL_DANGLING_PARTKEYS,
     "referential_bloom_dangling": SQL_DANGLING_BLOOM,
+    "referential_coverage_partkeys": SQL_REFERENTIAL_COVERAGE,
     "drift_ks_psi_orders": SQL_DRIFT_ORDERS,
     "tpch_q1_pricing_summary": SQL_PRICING_SUMMARY,
     "join_revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -4,7 +4,7 @@ golden expectations derived from the seeded images generator."""
 from pyspark.sql import functions as F
 
 from json_schema_clj_spark.operators.drift import detect_drift
-from json_schema_clj_spark.operators.referential import dangling, referential_violations
+from json_schema_clj_spark.operators.referential import coverage, dangling, referential_violations
 from json_schema_clj_spark.operators.stats import column_profile
 from json_schema_clj_spark.operators.uniqueness import duplicates, uniqueness_violations
 from json_schema_clj_spark.sources.images import images_df
@@ -65,6 +65,50 @@ def test_referential_broadcast_plan(spark):
     dim = spark.createDataFrame([("jpeg",), ("png",), ("webp",)], "fmt string")
     plan = dangling(df, "fmt", dim, "fmt")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # small dim must broadcast, no shuffle
+
+
+def test_referential_coverage_exact(spark):
+    # fact keys 0..99 each twice; dim keys 50..149 → 50 matched, 50 dangling
+    fact = spark.range(200).selectExpr("id % 100 AS fk")
+    dim = spark.range(50, 150).selectExpr("id AS pk")
+    row = coverage(fact, "fk", dim, "pk", exact=True).first()
+    assert (row["d_fact"], row["d_dim"], row["d_union"]) == (100, 100, 150)
+    assert (row["d_matched"], row["d_dangling"]) == (50, 50)
+
+
+def test_referential_coverage_excludes_nulls(spark):
+    fact = spark.createDataFrame([(1,), (None,), (2,), (None,)], "fk int")
+    dim = spark.createDataFrame([(2,), (None,), (3,)], "pk int")
+    row = coverage(fact, "fk", dim, "pk", exact=True).first()
+    assert (row["d_fact"], row["d_dim"], row["d_union"]) == (2, 2, 3)
+    assert (row["d_matched"], row["d_dangling"]) == (1, 1)
+
+
+def test_referential_coverage_hll_tolerance(spark):
+    # HLL path: estimates land within 3·rsd of truth; derived counts
+    # clamp at 0 so inclusion-exclusion noise can't go negative
+    fact = spark.range(20_000).selectExpr("id AS fk")
+    dim = spark.range(10_000, 40_000).selectExpr("id AS pk")
+    row = coverage(fact, "fk", dim, "pk", exact=False, rsd=0.02).first()
+    for col, truth in [("d_fact", 20_000), ("d_dim", 30_000), ("d_union", 40_000),
+                       ("d_matched", 10_000), ("d_dangling", 10_000)]:
+        assert row[col] >= 0
+        assert abs(row[col] - truth) <= 3 * 0.02 * 40_000, (col, row[col])
+
+
+def test_referential_coverage_hll_plan_is_join_free(spark):
+    # the 10^12-row pitch: ONE pass over the tagged union — no Join, no
+    # Expand (HLL sketches aggregate all three measures in one shape),
+    # partial+final aggregation only
+    fact = spark.range(1000).selectExpr("id AS fk")
+    dim = spark.range(500).selectExpr("id AS pk")
+    plan = (
+        coverage(fact, "fk", dim, "pk", exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Expand" not in plan
+    assert "partial_approx_count_distinct" in plan
 
 
 def test_drift_detection(spark):
