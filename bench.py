@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "text_winnow_neardup",
     "images_phash_neardup",
     "images_phash_integrity",
+    "images_phash_pipeline_neardup",
     "images_curation_funnel",
     "images_magic_conformance",
     "infer_constraints_orders",

@@ -283,6 +283,49 @@ def phash64(pixels: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+COMPUTE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def compute_phashes(df: DataFrame, allow_fake: bool = False) -> DataFrame:
+    """The hash leg of the decode→hash→band near-dup pipeline: one
+    mapInPandas stage mapping (image_id, bytes, fmt, w, h) → (image_id,
+    phash, decoded).  Undecodable bytes yield decoded=false with a NULL
+    hash (data, not bugs); feed the output to
+    dedup.hamming_near_duplicates for banded near-dup pairs on hashes
+    computed FROM pixels rather than trusted from metadata."""
+    src = df.select("image_id", "bytes", "fmt", "w", "h")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, decoded = [], [], []
+            for _, r in pdf.iterrows():
+                ids.append(r["image_id"])
+                try:
+                    px = decode_image(bytes(r["bytes"]), r["fmt"], r["w"], r["h"], allow_fake)
+                    hashes.append(phash64(px))
+                    decoded.append(True)
+                except Exception:
+                    hashes.append(None)
+                    decoded.append(False)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    # nullable Int64: a plain constructor would float64-ify
+                    # the column when a batch holds an undecodable row
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "decoded": decoded,
+                }
+            )
+
+    return src.mapInPandas(run, COMPUTE_PHASH_SCHEMA)
+
+
 PHASH_INTEGRITY_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

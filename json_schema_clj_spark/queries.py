@@ -2042,6 +2042,35 @@ GROUP BY 1, 3 ORDER BY status
 """
 
 
+def q_images_phash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode→hash→band pipeline: compute pHash FROM the bytes (one
+    Arrow stage), then banded Hamming-≤3 near-dup search on the COMPUTED
+    hashes (16-bit chunks, pigeonhole recall, exact bit_count verify) —
+    near-duplicate image detection that trusts no metadata.  The corpus
+    plants step-2-quantized near-clones (id + 1,000,000) of every id ≡ 4
+    (mod 10); planted pairs measure Hamming ≤ 2 and independent fabrics
+    ≥ 10 apart (pinned by tests/test_phash.py), so the result is exactly
+    the planted pairs — id arithmetic the oracle reproduces."""
+    from .sources.images import phash_pair_images_df
+
+    corpus = phash_pair_images_df(
+        spark, _PHPIPE_N, clone_every=_PHPIPE_CLONE_EVERY, seed=7
+    )
+    hashed = M.compute_phashes(corpus).where(F.col("decoded"))
+    pairs = D.hamming_near_duplicates(hashed, "phash", "image_id", max_hamming=3)
+    return pairs.select("id_a", "id_b").orderBy("id_a")
+
+
+_PHPIPE_N, _PHPIPE_CLONE_EVERY = 150, 10
+SQL_IMAGES_PHASH_PIPELINE = f"""
+SELECT printf('img-%08d', i) AS id_a,
+       printf('img-%08d', i + 1000000) AS id_b
+FROM generate_series(0, {_PHPIPE_N - 1}) t(i)
+WHERE i % {_PHPIPE_CLONE_EVERY} = 4
+ORDER BY id_a
+"""
+
+
 def q_images_psnr_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossy-path PSNR invariant: the current corpus is the toy
     quantize-then-PNG codec's output (fmt "qpng"), so every row has FINITE
@@ -3206,6 +3235,7 @@ QUERIES = {
     "images_decode_psnr_invariant": q_images_decode_psnr,
     "images_psnr_lossy": q_images_psnr_lossy,
     "images_phash_integrity": q_images_phash_integrity,
+    "images_phash_pipeline_neardup": q_images_phash_pipeline,
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_caption_equality": q_images_caption_equality,
@@ -3287,6 +3317,7 @@ ORACLES = {
     "images_decode_psnr_invariant": SQL_IMAGES_DECODE_PSNR,
     "images_psnr_lossy": SQL_IMAGES_PSNR_LOSSY,
     "images_phash_integrity": SQL_IMAGES_PHASH_INTEGRITY,
+    "images_phash_pipeline_neardup": SQL_IMAGES_PHASH_PIPELINE,
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,

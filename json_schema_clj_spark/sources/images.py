@@ -377,6 +377,40 @@ def phash_png_images_df(
     )
 
 
+def phash_pair_images_df(
+    spark: SparkSession, n_base: int, clone_every: int = 10, seed: int = 7
+) -> DataFrame:
+    """Near-identical-pair corpus for the decode→hash→band pipeline: every
+    base id gets a REAL PNG of the fake-pixel fabric; ids ≡ 4 (mod
+    clone_every) additionally emit a NEAR-CLONE row (id + 1,000,000) whose
+    pixels are the base image under step-2 quantization — perceptually the
+    same image, byte-different file.  Planted pair ids are closed forms;
+    independent fabrics sit ≥10 pHash bits apart (pinned by
+    tests/test_phash.py), so banded Hamming-≤3 near-dup search recovers
+    exactly the planted pairs."""
+    from ..operators.multimodal import encode_png, fake_pixels
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                w, h = 24 + i % 9, 16 + i % 7
+                px = fake_pixels(f"{seed}:{i}".encode(), w, h)
+                rows.append((f"img-{i:08d}", encode_png(px), w, h, "png"))
+                if i % clone_every == 4:
+                    q = ((px.astype(np.int32) // 2) * 2 + 1).astype(np.uint8)
+                    rows.append((f"img-{i + 1_000_000:08d}", encode_png(q), w, h, "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return spark.range(n_base).mapInPandas(
+        gen, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
 def solid_png_images_df(spark: SparkSession, n_rows: int, corrupt_every: int | None = None) -> DataFrame:
     """Solid-color REAL PNGs whose geometry and channel values are closed
     forms of the row id — the oracle-derivable corpus for the

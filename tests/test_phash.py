@@ -114,6 +114,33 @@ class TestPhashIntegrity:
         assert out["img-00000003"] == "missing_phash"
         assert sum(1 for s in out.values() if s == "match") == 9
 
+    def test_compute_phashes_matches_local(self, spark):
+        from json_schema_clj_spark.operators.multimodal import compute_phashes
+
+        df = phash_png_images_df(spark, 30, seed=5, corrupt_every=40)
+        out = {r["image_id"]: r for r in compute_phashes(df).collect()}
+        assert len(out) == 30
+        for i in range(30):
+            r = out[f"img-{i:08d}"]
+            if i % 40 == 7:
+                assert r["decoded"] is False and r["phash"] is None
+            else:
+                px = fake_pixels(f"5:{i}".encode(), 24 + i % 9, 16 + i % 7)
+                assert r["decoded"] is True and r["phash"] == phash64(px)
+
+    def test_pipeline_neardup_planted_pairs(self, spark):
+        from json_schema_clj_spark.operators.dedup import hamming_near_duplicates
+        from json_schema_clj_spark.operators.multimodal import compute_phashes
+        from json_schema_clj_spark.sources.images import phash_pair_images_df
+        from pyspark.sql import functions as F
+
+        corpus = phash_pair_images_df(spark, 60, clone_every=10, seed=7)
+        hashed = compute_phashes(corpus).where(F.col("decoded"))
+        pairs = hamming_near_duplicates(hashed, "phash", "image_id", max_hamming=3)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        want = {(f"img-{i:08d}", f"img-{i + 1_000_000:08d}") for i in range(60) if i % 10 == 4}
+        assert got == want
+
     def test_single_arrow_stage_plan(self, spark):
         # one mapInPandas over the scan: exactly one ArrowEval/MapInPandas
         # node and no Exchange before it
