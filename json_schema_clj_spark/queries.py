@@ -2071,6 +2071,41 @@ ORDER BY id_a
 """
 
 
+def q_images_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image dedup: decode → compute pHash → banded Hamming
+    pairs → alternating-star connected components → keep-one-per-cluster.
+    The numeric node id is parsed from the image_id (CC label algebra
+    needs numeric ids); cluster_id is the component minimum = the base
+    image to KEEP, every other member is the drop set.  Planted
+    near-clone pairs are disjoint, so clusters are exactly the pairs
+    {i, i+1,000,000} with cluster_id = i — id arithmetic the oracle
+    reproduces."""
+    from .sources.images import phash_pair_images_df
+
+    corpus = phash_pair_images_df(
+        spark, _PHPIPE_N, clone_every=_PHPIPE_CLONE_EVERY, seed=7
+    )
+    hashed = M.compute_phashes(corpus).where(F.col("decoded"))
+    ids = hashed.select(
+        F.substring("image_id", 5, 8).cast("long").alias("nid"), "phash"
+    )
+    pairs = D.hamming_near_duplicates(ids, "phash", "nid", max_hamming=3)
+    cc = D.connected_components_star(pairs.select("id_a", "id_b"))
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+SQL_IMAGES_PHASH_DEDUP_CLUSTERS = f"""
+SELECT i AS cluster_id, CAST(2 AS BIGINT) AS n_members
+FROM generate_series(0, {150 - 1}) t(i)
+WHERE i % 10 = 4
+ORDER BY cluster_id
+"""
+
+
 def q_images_psnr_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossy-path PSNR invariant: the current corpus is the toy
     quantize-then-PNG codec's output (fmt "qpng"), so every row has FINITE
@@ -3236,6 +3271,7 @@ QUERIES = {
     "images_psnr_lossy": q_images_psnr_lossy,
     "images_phash_integrity": q_images_phash_integrity,
     "images_phash_pipeline_neardup": q_images_phash_pipeline,
+    "images_phash_dedup_clusters": q_images_phash_dedup_clusters,
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_caption_equality": q_images_caption_equality,
@@ -3318,6 +3354,7 @@ ORACLES = {
     "images_psnr_lossy": SQL_IMAGES_PSNR_LOSSY,
     "images_phash_integrity": SQL_IMAGES_PHASH_INTEGRITY,
     "images_phash_pipeline_neardup": SQL_IMAGES_PHASH_PIPELINE,
+    "images_phash_dedup_clusters": SQL_IMAGES_PHASH_DEDUP_CLUSTERS,
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,
