@@ -27,6 +27,7 @@ the JVM↔Python boundary once per batch, never per row.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 from typing import Iterator, Optional
@@ -227,6 +228,7 @@ _PHASH_SIZE = 32
 _PHASH_BLOCK = 8
 
 
+@functools.lru_cache(maxsize=256)
 def _resample_matrix(n_in: int, n_out: int) -> np.ndarray:
     """Exact area-overlap resampling operator R (n_out × n_in): output cell
     j averages input cells weighted by fractional overlap of [j·s,(j+1)·s)
@@ -239,6 +241,7 @@ def _resample_matrix(n_in: int, n_out: int) -> np.ndarray:
         lo, hi = edges[j], edges[j + 1]
         for i in range(int(np.floor(lo)), min(int(np.ceil(hi)), n_in)):
             R[j, i] = (min(i + 1.0, hi) - max(float(i), lo)) / (hi - lo)
+    R.flags.writeable = False  # cached instance is shared across callers
     return R
 
 

@@ -76,8 +76,10 @@ def coverage(
 
     `exact=True` swaps HLL for exact count_distinct (the oracle mode —
     Catalyst expands the multi-distinct aggregate, fine at test scale).
-    HLL estimates can make inclusion-exclusion slightly negative, so the
-    derived counts clamp at 0.  NULL keys are excluded on both sides (a
+    HLL estimates can push inclusion-exclusion outside the feasible
+    range on either side, so the derived counts clamp into their logical
+    bounds: 0 ≤ d_matched ≤ min(d_fact, d_dim) and 0 ≤ d_dangling ≤
+    d_fact.  NULL keys are excluded on both sides (a
     NULL foreign key cannot positively mismatch — same presence guard as
     `dangling`)."""
     f = fact.select(F.col(fact_key).alias("k")).where(F.col(fact_key).isNotNull())
@@ -96,8 +98,15 @@ def coverage(
         cd(F.when(F.col("src") == 1, F.col("k"))).alias("d_dim"),
         cd(F.col("k")).alias("d_union"),
     )
-    matched = F.greatest(F.lit(0), F.col("d_fact") + F.col("d_dim") - F.col("d_union"))
-    dangling_keys = F.greatest(F.lit(0), F.col("d_union") - F.col("d_dim"))
+    matched = F.least(
+        F.col("d_fact"),
+        F.col("d_dim"),
+        F.greatest(F.lit(0), F.col("d_fact") + F.col("d_dim") - F.col("d_union")),
+    )
+    dangling_keys = F.least(
+        F.col("d_fact"),
+        F.greatest(F.lit(0), F.col("d_union") - F.col("d_dim")),
+    )
     return agg.select(
         "d_fact",
         "d_dim",

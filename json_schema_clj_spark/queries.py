@@ -2100,8 +2100,8 @@ def q_images_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
 
 SQL_IMAGES_PHASH_DEDUP_CLUSTERS = f"""
 SELECT i AS cluster_id, CAST(2 AS BIGINT) AS n_members
-FROM generate_series(0, {150 - 1}) t(i)
-WHERE i % 10 = 4
+FROM generate_series(0, {_PHPIPE_N - 1}) t(i)
+WHERE i % {_PHPIPE_CLONE_EVERY} = 4
 ORDER BY cluster_id
 """
 

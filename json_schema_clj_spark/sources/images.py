@@ -297,17 +297,30 @@ def webp_images_df(
     )
 
 
-def png_images_df(spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every: int | None = None) -> DataFrame:
+def png_images_df(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 5,
+    corrupt_every: int | None = None,
+    tamper_every: int | None = None,
+    true_phash: bool = False,
+) -> DataFrame:
     """Small corpus of REAL (decodable, pure-stdlib codec) PNG images — a
     pure function of (seed, id) so any two generations are byte-identical.
     `corrupt_every`: rows with id % corrupt_every == 7 get truncated bytes
     (planted decode failures with exactly known ids).
 
+    The stored `phash` column is the row id by default; `true_phash=True`
+    stores the TRUE perceptual hash of the pixels instead, and
+    `tamper_every` flips two bits of the stored hash on rows with
+    id % tamper_every == 3 (planted metadata corruption — see
+    `phash_png_images_df`, the thin wrapper that turns both on).
+
     Used by the decode→PSNR per-row-invariant driver query; pixel fabric is
     the multimodal module's deterministic fake (no image libs in this
     container), encoded through the real PNG writer.
     """
-    from ..operators.multimodal import encode_png, fake_pixels
+    from ..operators.multimodal import encode_png, fake_pixels, phash64
 
     def gen(batches):
         import pandas as pd
@@ -316,12 +329,16 @@ def png_images_df(spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every
             ids = pdf["id"].to_numpy()
             rows = []
             for i in ids:
-                w, h = 24 + int(i) % 9, 16 + int(i) % 7
+                i = int(i)
+                w, h = 24 + i % 9, 16 + i % 7
                 px = fake_pixels(f"{seed}:{i}".encode(), w, h)
                 data = encode_png(px)
+                ph = phash64(px) if true_phash else i
+                if tamper_every and i % tamper_every == 3:
+                    ph ^= (1 << 17) | (1 << 42)
                 if corrupt_every and i % corrupt_every == 7:
                     data = data[: len(data) // 2]
-                rows.append((f"img-{i:08d}", data, w, h, "png", f"caption {i}", int(i)))
+                rows.append((f"img-{i:08d}", data, w, h, "png", f"caption {i}", ph))
             yield pd.DataFrame(
                 rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
             )
@@ -348,32 +365,17 @@ def phash_png_images_df(
     * ``id % corrupt_every == 7`` → bytes truncated (decode failure).
 
     Residues 3 mod 20 and 7 mod 40 are disjoint, so plant counts are exact
-    closed forms of (n_rows, tamper_every, corrupt_every)."""
-    from ..operators.multimodal import encode_png, fake_pixels, phash64
+    closed forms of (n_rows, tamper_every, corrupt_every).
 
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"].to_numpy():
-                i = int(i)
-                w, h = 24 + i % 9, 16 + i % 7
-                px = fake_pixels(f"{seed}:{i}".encode(), w, h)
-                data = encode_png(px)
-                ph = phash64(px)
-                if tamper_every and i % tamper_every == 3:
-                    ph ^= (1 << 17) | (1 << 42)
-                if corrupt_every and i % corrupt_every == 7:
-                    data = data[: len(data) // 2]
-                rows.append((f"img-{i:08d}", data, w, h, "png", f"caption {i}", ph))
-            yield pd.DataFrame(
-                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
-            )
-
-    return spark.range(n_rows).mapInPandas(
-        gen,
-        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    Thin wrapper over `png_images_df` (same fabric, geometry, and plant
+    residues) with the true-pHash column and tamper plant switched on."""
+    return png_images_df(
+        spark,
+        n_rows,
+        seed=seed,
+        corrupt_every=corrupt_every,
+        tamper_every=tamper_every,
+        true_phash=True,
     )
 
 
