@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "images_phash_neardup",
     "images_phash_integrity",
     "images_phash_pipeline_neardup",
+    "images_phash_dedup_clusters",
     "images_curation_funnel",
     "images_magic_conformance",
     "infer_constraints_orders",
