@@ -96,6 +96,25 @@ def test_referential_coverage_hll_tolerance(spark):
         assert abs(row[col] - truth) <= 3 * 0.02 * 40_000, (col, row[col])
 
 
+def test_referential_coverage_hll_clamped_to_logical_bounds(spark):
+    # subset case (fact ⊆ dim, truth: matched = d_fact, dangling = 0):
+    # HLL union noise can push inclusion-exclusion ABOVE d_fact or pull
+    # dangling above 0..d_fact; the derived counts must stay inside
+    # 0 ≤ d_matched ≤ min(d_fact, d_dim) and 0 ≤ d_dangling ≤ d_fact
+    # for every sketch realization, so >100% coverage is impossible
+    for rsd in (0.02, 0.05, 0.1):
+        row = coverage(
+            spark.range(5_000).selectExpr("id AS fk"),
+            "fk",
+            spark.range(50_000).selectExpr("id AS pk"),
+            "pk",
+            exact=False,
+            rsd=rsd,
+        ).first()
+        assert 0 <= row["d_matched"] <= min(row["d_fact"], row["d_dim"]), rsd
+        assert 0 <= row["d_dangling"] <= row["d_fact"], rsd
+
+
 def test_referential_coverage_hll_plan_is_join_free(spark):
     # the 10^12-row pitch: ONE pass over the tagged union — no Join, no
     # Expand (HLL sketches aggregate all three measures in one shape),
