@@ -102,6 +102,79 @@ def violation_rows(
     )
 
 
+def violation_examples(
+    validated: DataFrame,
+    id_cols: list[str],
+    k: int = 3,
+    out_col: str = "violations",
+    prefilter=None,
+) -> DataFrame:
+    """k deterministic EXAMPLE rows per violated keyword path — the "show
+    me three failing rows per check" triage view, without ever collecting
+    or globally sorting the violation set.
+
+    Determinism: examples are the k smallest rows by the `id_cols` tuple
+    (ties broken by instance_path, message), so reruns and different
+    partitionings return bit-identical output — same contract as the
+    min-id keeper in exact dedup.
+
+    Scale shape (the reason this isn't a window function): a global
+    `row_number() OVER (PARTITION BY keyword_path)` shuffles EVERY
+    violation row onto |keyword_paths| reducers — low-cardinality keys,
+    maximal skew.  Instead:
+
+    1. explode failing rows only (violation_rows' filter-first plan),
+    2. per-Arrow-batch prune to k smallest per path (mapInPandas — the
+       stream never holds more than |paths|·k rows per batch),
+    3. one partial-agg'd groupBy over the pruned stream: collect ≤
+       |batches|·k candidates per path, array_sort, slice(1, k).
+
+    The shuffle carries at most |paths|·k rows per task — constant in the
+    table size, unskewed because each task contributes the same bounded
+    set.  Output: (keyword_path, keyword, severity, rank 1..k, *id_cols,
+    instance_path, message), rank ordered by the id tuple.
+    """
+    rows = violation_rows(validated, id_cols, out_col=out_col, prefilter=prefilter)
+    group_cols = ["keyword_path", "keyword", "severity"]
+    keyed = rows.select(
+        F.array_join("keyword_path", "/").alias("keyword_path"),
+        "keyword",
+        "severity",
+        *id_cols,
+        F.array_join("instance_path", "/").alias("instance_path"),
+        "message",
+    )
+    sort_cols = list(id_cols) + ["instance_path", "message"]
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(sort_cols)
+                    .groupby(group_cols, dropna=False, sort=False)
+                    .head(k)
+                )
+
+    pruned = keyed.mapInPandas(prune, keyed.schema)
+    ex = F.struct(
+        *[F.col(c) for c in id_cols], F.col("instance_path"), F.col("message")
+    )
+    merged = (
+        pruned.select(*group_cols, ex.alias("ex"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("ex")), 1, k).alias("exs"))
+    )
+    return merged.select(
+        *group_cols, F.posexplode("exs").alias("_r", "ex")
+    ).select(
+        *group_cols,
+        (F.col("_r") + 1).cast("long").alias("rank"),
+        *[F.col(f"ex.{c}").alias(c) for c in id_cols],
+        F.col("ex.instance_path").alias("instance_path"),
+        F.col("ex.message").alias("message"),
+    )
+
+
 def verdicts(
     validated: DataFrame,
     part_col: str,

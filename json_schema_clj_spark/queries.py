@@ -22,7 +22,12 @@ from .operators import similarity as S
 from .operators import stats as ST
 from .operators import text as TX
 from .operators import uniqueness as U
-from .operators.validate import keyword_breakdown, verdicts, with_validation
+from .operators.validate import (
+    keyword_breakdown,
+    verdicts,
+    violation_examples,
+    with_validation,
+)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -134,6 +139,56 @@ SELECT o_orderpriority,
         AND (o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-'))
        ))) = 0 AS pass
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2a. violation exemplars: k deterministic example rows per violated
+# keyword path (triage view; bounded two-phase top-k, no global window)
+
+EXAMPLES_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "o_totalprice": {"minimum": 5000, "maximum": 300000},
+        "o_orderstatus": {"enum": ["O", "F"]},
+    },
+}
+
+
+def q_violation_examples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 example rows per violated keyword path, examples = the 3
+    smallest o_orderkey values violating that check.  The bounded
+    per-batch prune + partial-agg merge keeps the shuffle at
+    |paths|·k rows per task regardless of table size (see
+    operators/validate.py violation_examples)."""
+    df = t(spark, sf_dir, "orders")
+    validated = with_validation(df, EXAMPLES_SCHEMA)
+    return (
+        violation_examples(validated, ["o_orderkey"], k=3)
+        .select("keyword_path", "keyword", "rank", "o_orderkey")
+        .orderBy("keyword_path", "rank")
+    )
+
+
+SQL_VIOLATION_EXAMPLES_ORDERS = """
+WITH viol AS (
+  SELECT 'properties/o_orderstatus/enum' AS keyword_path, 'enum' AS keyword, o_orderkey
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+  UNION ALL
+  SELECT 'properties/o_totalprice/maximum', 'maximum', o_orderkey
+  FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 300000)
+  UNION ALL
+  SELECT 'properties/o_totalprice/minimum', 'minimum', o_orderkey
+  FROM orders WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 5000)
+), ranked AS (
+  SELECT keyword_path, keyword,
+         ROW_NUMBER() OVER (PARTITION BY keyword_path ORDER BY o_orderkey) AS rank,
+         o_orderkey
+  FROM viol
+)
+SELECT keyword_path, keyword, CAST(rank AS BIGINT) AS rank, o_orderkey
+FROM ranked WHERE rank <= 3
+ORDER BY keyword_path, rank
 """
 
 
@@ -3222,6 +3277,7 @@ QUERIES = {
     "validate_verdicts_orders": q_verdicts_orders,
     "validate_data_crossfield": q_validate_data_crossfield,
     "validate_warnings_routing": q_validate_warnings_routing,
+    "violation_examples_orders": q_violation_examples_orders,
     "validate_discriminator_documents": q_validate_discriminator,
     "stats_profile_orders": q_stats_orders,
     "uniqueness_orders_custkey": q_duplicates_orders_custkey,
@@ -3305,6 +3361,7 @@ ORACLES = {
     "validate_verdicts_orders": SQL_VERDICTS_ORDERS,
     "validate_data_crossfield": SQL_VALIDATE_DATA_CROSSFIELD,
     "validate_warnings_routing": SQL_VALIDATE_WARNINGS_ROUTING,
+    "violation_examples_orders": SQL_VIOLATION_EXAMPLES_ORDERS,
     "validate_discriminator_documents": SQL_VALIDATE_DISCRIMINATOR,
     "stats_profile_orders": SQL_STATS_ORDERS,
     "uniqueness_orders_custkey": SQL_DUPLICATES_ORDERS_CUSTKEY,

@@ -426,3 +426,59 @@ def test_write_quarantined_single_pass(spark, tmp_path):
     # quarantined rows keep their violation evidence
     row = quarantined.limit(1).collect()[0]
     assert len(row["violations"]) > 0
+
+
+def test_violation_examples_deterministic_bounded(spark):
+    from json_schema_clj_spark.operators.validate import violation_examples, with_validation
+
+    schema = {
+        "type": "object",
+        "properties": {"v": {"minimum": 100}, "s": {"enum": ["a", "b"]}},
+    }
+    rows = [(i, i % 7, "a" if i % 3 else "z") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, s string")
+
+    def run(d):
+        return [
+            (r["keyword_path"], r["rank"], r["id"])
+            for r in violation_examples(with_validation(d, schema), ["id"], k=3)
+            .orderBy("keyword_path", "rank")
+            .collect()
+        ]
+
+    out = run(df)
+    # every row violates minimum (v<100); ids 0,3,6,... violate enum
+    assert [(p, rk, i) for p, rk, i in out if p.endswith("minimum")] == [
+        ("properties/v/minimum", 1, 0),
+        ("properties/v/minimum", 2, 1),
+        ("properties/v/minimum", 3, 2),
+    ]
+    assert [(rk, i) for p, rk, i in out if p.endswith("enum")] == [(1, 0), (2, 3), (3, 6)]
+    # parallelism/partitioning-invariant: same output from 1 and 13 partitions
+    assert run(df.repartition(13)) == out
+    assert run(df.coalesce(1)) == out
+
+
+def test_violation_examples_k_exceeds_population(spark):
+    from json_schema_clj_spark.operators.validate import violation_examples, with_validation
+
+    schema = {"type": "object", "properties": {"v": {"maximum": 1}}}
+    df = spark.createDataFrame([(1, 0), (2, 5), (3, 9)], "id long, v long")
+    out = violation_examples(with_validation(df, schema), ["id"], k=10).collect()
+    # only 2 violating rows exist; ranks stay dense 1..n
+    assert sorted((r["rank"], r["id"]) for r in out) == [(1, 2), (2, 3)]
+
+
+def test_violation_examples_plan_has_no_window(spark):
+    from json_schema_clj_spark.operators.validate import violation_examples, with_validation
+
+    schema = {"type": "object", "properties": {"v": {"minimum": 1}}}
+    df = spark.range(1000).selectExpr("id", "CAST(id % 3 AS LONG) AS v")
+    plan = (
+        violation_examples(with_validation(df, schema), ["id"], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the scale contract: bounded two-phase top-k, never a global window
+    # over the violation set (low-cardinality partition keys = skew)
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
