@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 BENCH_QUERIES = [
     "validate_lineitem_keywords",
     "validate_verdicts_orders",
+    "violation_examples_orders",
     "stats_profile_orders",
     "uniqueness_orders_custkey",
     "referential_dangling_partkeys",
