@@ -217,6 +217,58 @@ def keyword_breakdown(
     )
 
 
+def sampled_validation_profile(
+    df: DataFrame,
+    schema: dict,
+    key_col: str,
+    rate: float,
+    seed: str = "s1",
+    config: Optional[dict] = None,
+) -> DataFrame:
+    """Cheap pre-pass before a full-table validation run: validate a
+    deterministic hash-bucket sample (md5 bucket predicate — no RNG, no
+    shuffle, identical row set at any parallelism and in any SQL engine)
+    and report per-keyword-path violation RATES with Wilson 95% bounds.
+
+    At 10^12 rows this answers "which checks are broken and roughly how
+    badly?" from a scan of rate·N rows, deciding whether the full run /
+    quarantine pass is worth scheduling — the same triage role
+    `referential.coverage` plays for the anti-join.
+
+    Output per violated keyword path: (keyword_path, keyword, severity,
+    n_sampled, n_violations, rate_est, rate_lo, rate_hi).  The integer
+    columns are exactly reproducible in any engine (the md5 predicate is
+    the oracle-portable sampler from operators/text.py); the Wilson
+    bounds are driver-side arithmetic over those integers.
+    """
+    from .text import sample_hash_bucket
+
+    sample = df.where(
+        sample_hash_bucket(F.col(key_col), seed) < F.lit(int(rate * 65536))
+    )
+    validated = with_validation(sample, schema, config=config)
+    totals = validated.agg(F.count(F.lit(1)).alias("n_sampled"))
+    bd = keyword_breakdown(validated)
+    joined = bd.crossJoin(F.broadcast(totals))
+
+    z = 1.959963984540054  # 97.5th standard-normal quantile
+    n = F.col("n_sampled").cast("double")
+    p = F.col("n_violations").cast("double") / n
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return joined.select(
+        "keyword_path",
+        "keyword",
+        "severity",
+        "n_sampled",
+        "n_violations",
+        p.alias("rate_est"),
+        F.greatest(F.lit(0.0), (center - margin) / denom).alias("rate_lo"),
+        F.least(F.lit(1.0), (center + margin) / denom).alias("rate_hi"),
+    )
+
+
 def _schema_has_deferred(schema) -> bool:
     if isinstance(schema, dict):
         return "deferred" in schema or any(_schema_has_deferred(v) for v in schema.values())

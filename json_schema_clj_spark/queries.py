@@ -193,6 +193,53 @@ ORDER BY keyword_path, rank
 
 
 # ---------------------------------------------------------------------------
+# 2a'. sampled validation profile: the cheap pre-pass — validate a
+# deterministic 12.5% hash-bucket sample, report per-check violation
+# counts (the Wilson-bound rate columns are pytest-covered; the oracle
+# compares the engine-portable integers)
+
+_SAMPLED_RATE = 8192 / 65536  # exact threshold: bucket < 8192
+
+
+def q_sampled_validation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.validate import sampled_validation_profile
+
+    df = t(spark, sf_dir, "orders")
+    prof = sampled_validation_profile(
+        df, EXAMPLES_SCHEMA, "o_orderkey", _SAMPLED_RATE
+    )
+    return prof.select(
+        "keyword_path", "keyword", "n_sampled", "n_violations"
+    ).orderBy("keyword_path")
+
+
+SQL_SAMPLED_VALIDATION_ORDERS = """
+WITH sample AS (
+  SELECT * FROM orders
+  WHERE ('0x' || substr(md5('s1' || CAST(o_orderkey AS VARCHAR)), 1, 4))::INTEGER < 8192
+), tot AS (SELECT count(*) AS n_sampled FROM sample),
+viol AS (
+  SELECT 'properties/o_orderstatus/enum' AS keyword_path, 'enum' AS keyword,
+         count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O','F')) AS n_violations
+  FROM sample
+  UNION ALL
+  SELECT 'properties/o_totalprice/maximum', 'maximum',
+         count(*) FILTER (WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 300000))
+  FROM sample
+  UNION ALL
+  SELECT 'properties/o_totalprice/minimum', 'minimum',
+         count(*) FILTER (WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 5000))
+  FROM sample
+)
+SELECT keyword_path, keyword, n_sampled, n_violations
+FROM viol CROSS JOIN tot
+WHERE n_violations > 0
+ORDER BY keyword_path
+"""
+
+
+# ---------------------------------------------------------------------------
 # 2b. $data cross-field bound (v5): one column's maximum read from another
 # column of the same row — compiled to a plain col<=col Catalyst predicate
 
@@ -3278,6 +3325,7 @@ QUERIES = {
     "validate_data_crossfield": q_validate_data_crossfield,
     "validate_warnings_routing": q_validate_warnings_routing,
     "violation_examples_orders": q_violation_examples_orders,
+    "sampled_validation_orders": q_sampled_validation_orders,
     "validate_discriminator_documents": q_validate_discriminator,
     "stats_profile_orders": q_stats_orders,
     "uniqueness_orders_custkey": q_duplicates_orders_custkey,
@@ -3362,6 +3410,7 @@ ORACLES = {
     "validate_data_crossfield": SQL_VALIDATE_DATA_CROSSFIELD,
     "validate_warnings_routing": SQL_VALIDATE_WARNINGS_ROUTING,
     "violation_examples_orders": SQL_VIOLATION_EXAMPLES_ORDERS,
+    "sampled_validation_orders": SQL_SAMPLED_VALIDATION_ORDERS,
     "validate_discriminator_documents": SQL_VALIDATE_DISCRIMINATOR,
     "stats_profile_orders": SQL_STATS_ORDERS,
     "uniqueness_orders_custkey": SQL_DUPLICATES_ORDERS_CUSTKEY,

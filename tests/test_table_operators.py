@@ -482,3 +482,29 @@ def test_violation_examples_plan_has_no_window(spark):
     # over the violation set (low-cardinality partition keys = skew)
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_sampled_validation_profile_wilson_bounds(spark):
+    from json_schema_clj_spark.operators.validate import sampled_validation_profile
+
+    # planted corruption: exactly 10% of rows violate the minimum
+    schema = {"type": "object", "properties": {"v": {"minimum": 10}}}
+    df = spark.range(40_000).selectExpr(
+        "id", "CASE WHEN id % 10 = 3 THEN 0 ELSE 50 END AS v"
+    )
+    rows = sampled_validation_profile(df, schema, "id", 8192 / 65536).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["keyword_path"] == "properties/v/minimum"
+    # ~12.5% sample of 40k rows
+    assert 3_500 <= r["n_sampled"] <= 6_500
+    assert 0.0 <= r["rate_lo"] <= r["rate_est"] <= r["rate_hi"] <= 1.0
+    # the 95% interval brackets the true 10% rate (deterministic sample,
+    # so this is a fixed fact of the fixture, not a flaky assertion)
+    assert r["rate_lo"] <= 0.10 <= r["rate_hi"]
+    assert abs(r["rate_est"] - 0.10) < 0.02
+    # partitioning-invariant: md5 bucket predicate has no RNG state
+    r2 = sampled_validation_profile(
+        df.repartition(17), schema, "id", 8192 / 65536
+    ).collect()[0]
+    assert (r2["n_sampled"], r2["n_violations"]) == (r["n_sampled"], r["n_violations"])
