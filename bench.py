@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "validate_lineitem_keywords",
     "validate_verdicts_orders",
     "violation_examples_orders",
+    "sampled_validation_orders",
     "stats_profile_orders",
     "uniqueness_orders_custkey",
     "referential_dangling_partkeys",
