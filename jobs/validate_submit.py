@@ -76,6 +76,7 @@ def main(argv=None):
     from json_schema_clj_spark.operators import uniqueness as U
     from json_schema_clj_spark.operators.multimodal import magic_number_violations
     from json_schema_clj_spark.operators.validate import (
+        violation_examples_from_rows,
         violation_rows,
         with_validation,
     )
@@ -199,6 +200,16 @@ def main(argv=None):
             cur,
         ).write.mode("overwrite").parquet(f"{out}/drift")
 
+        # triage view: k example rows per violated keyword path, derived
+        # from the just-written violations sink (one bounded pass over the
+        # tiny sink — never a second validation pass over the table)
+        vio_sink = spark.read.parquet(f"{out}/violations").where(
+            F.col("run_id") == args.run_id
+        )
+        violation_examples_from_rows(vio_sink, ["image_id"], k=3).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/violation_examples")
+
         m = spark.read.parquet(manifest_path)
         agg = (
             m.where((F.col("run_id") == args.run_id) & (F.col("snapshot_id") == snapshot_id))
@@ -212,6 +223,10 @@ def main(argv=None):
                 "dup_image_ids": spark.read.parquet(f"{out}/dup_image_id").count(),
                 "dup_phash_keys": spark.read.parquet(f"{out}/dup_phash").count(),
                 "bad_magic_rows": spark.read.parquet(f"{out}/bad_magic").count(),
+                "violated_paths": spark.read.parquet(f"{out}/violation_examples")
+                .select("keyword_path")
+                .distinct()
+                .count(),
             }
         )
 

@@ -135,13 +135,33 @@ def violation_examples(
     instance_path, message), rank ordered by the id tuple.
     """
     rows = violation_rows(validated, id_cols, out_col=out_col, prefilter=prefilter)
+    return violation_examples_from_rows(rows, id_cols, k=k)
+
+
+def violation_examples_from_rows(
+    rows: DataFrame,
+    id_cols: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """`violation_examples` over an ALREADY-EXPLODED violation set — e.g.
+    the persisted violations sink a resumable run just wrote — so exemplars
+    cost one bounded pass over the (tiny, filter-pushdown-friendly) sink
+    parquet instead of a second validation pass over the table.  `rows`
+    needs the violation_rows shape: *id_cols, keyword_path (array or
+    pre-joined string), keyword, severity, instance_path, message."""
     group_cols = ["keyword_path", "keyword", "severity"]
+    kp = rows.schema["keyword_path"].dataType.typeName()
+    ip = rows.schema["instance_path"].dataType.typeName()
     keyed = rows.select(
-        F.array_join("keyword_path", "/").alias("keyword_path"),
+        (
+            F.array_join("keyword_path", "/") if kp == "array" else F.col("keyword_path")
+        ).alias("keyword_path"),
         "keyword",
         "severity",
         *id_cols,
-        F.array_join("instance_path", "/").alias("instance_path"),
+        (
+            F.array_join("instance_path", "/") if ip == "array" else F.col("instance_path")
+        ).alias("instance_path"),
         "message",
     )
     sort_cols = list(id_cols) + ["instance_path", "message"]

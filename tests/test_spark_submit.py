@@ -84,6 +84,9 @@ def test_spark_submit_pyfiles_resumable(tmp_path):
     assert summary["rows_failed"] > 0
     assert summary["dup_image_ids"] > 0
     assert summary["bad_magic_rows"] > 0
+    # triage exemplars sink: ≤3 ranked examples per violated keyword path,
+    # derived from the violations sink (several plant classes → paths > 1)
+    assert summary["violated_paths"] > 1
 
     # the injected crash fired AFTER the 2nd chunk's violations write but
     # BEFORE its manifest commit; the resume re-ran that chunk, so a
@@ -98,6 +101,12 @@ def test_spark_submit_pyfiles_resumable(tmp_path):
         f"FROM read_parquet('{glob}'))"
     ).fetchone()[0]
     assert n_all > 0 and n_all == n_dist
+
+    ex_glob = os.path.join(out_dir, "violation_examples", "*.parquet")
+    mx = duckdb.sql(
+        f"SELECT max(rank), min(rank) FROM read_parquet('{ex_glob}')"
+    ).fetchone()
+    assert 1 <= mx[1] and mx[0] <= 3
 
     # 3. idempotent re-run: everything already committed
     p3 = submit(zip_path, out_dir, cwd)
