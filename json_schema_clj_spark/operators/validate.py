@@ -305,7 +305,7 @@ def validate(
     config: Optional[dict] = None,
 ) -> dict:
     """One-call API: returns dict of lazy DataFrames
-    {annotated, violations, verdicts?, keywords}."""
+    {annotated, violations, verdicts?, keywords, examples}."""
     annotated = with_validation(df, schema, config=config)
     # when validity and violation-emptiness coincide (no warning rerouting,
     # no deferred annotations), ~valid is a cheap prefilter that skips
@@ -317,6 +317,7 @@ def validate(
         "annotated": annotated,
         "violations": violation_rows(annotated, id_cols, prefilter=prefilter),
         "keywords": keyword_breakdown(annotated, prefilter=prefilter),
+        "examples": violation_examples(annotated, id_cols, prefilter=prefilter),
     }
     if part_col is not None:
         out["verdicts"] = verdicts(annotated, part_col)

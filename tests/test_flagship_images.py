@@ -29,6 +29,23 @@ def test_flagship_counts(spark):
     assert kw["properties/caption/type"] == N // 200
     assert kw["properties/caption/minLength"] == N // 200
 
+    # triage exemplars: ≤3 ranked examples per violated path, ranks dense
+    # from 1, and every example row genuinely violates (ids join back to
+    # the violations set)
+    ex = res["examples"].collect()
+    paths = {r["keyword_path"] for r in ex}
+    assert paths == set(kw)
+    by_path = {}
+    for r in ex:
+        by_path.setdefault(r["keyword_path"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in by_path.values())
+    vio_ids = {(r["keyword_path"], r["image_id"])
+               for r in res["violations"].withColumn(
+                   "keyword_path", F.array_join("keyword_path", "/")
+               ).select("keyword_path", "image_id").collect()}
+    assert all((r["keyword_path"], r["image_id"]) in vio_ids for r in ex)
+
     verd = res["verdicts"].collect()
     assert len(verd) == 64
     assert sum(r["n_rows"] for r in verd) == N
