@@ -3,7 +3,9 @@
 `entry(spark)` runs the flagship schema-validation query on sf0.001;
 `queries()` exposes one callable per implemented operator (SURVEY.md §2 +
 training-data extensions); `oracle_sql()` gives the DuckDB-equivalent SQL
-for every SQL-expressible query (xxhash64-signature ops are rows-only).
+for every query — the xxhash64-signature ops carry derived oracles
+(planted-clone constructions whose expected output is ANSI-SQL id
+arithmetic), so every entry is oracle-checked.
 """
 
 from __future__ import annotations
