@@ -169,8 +169,12 @@ def violation_examples_from_rows(
     def prune(batches):
         for pdf in batches:
             if len(pdf):
+                # na_position="first" matches Spark's struct ordering in the
+                # merge phase (null field < any value) — otherwise a NULL id
+                # could be pruned locally yet win the global array_sort,
+                # making output partitioning-dependent
                 yield (
-                    pdf.sort_values(sort_cols)
+                    pdf.sort_values(sort_cols, na_position="first")
                     .groupby(group_cols, dropna=False, sort=False)
                     .head(k)
                 )

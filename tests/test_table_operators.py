@@ -508,3 +508,21 @@ def test_sampled_validation_profile_wilson_bounds(spark):
         df.repartition(17), schema, "id", 8192 / 65536
     ).collect()[0]
     assert (r2["n_sampled"], r2["n_violations"]) == (r["n_sampled"], r["n_violations"])
+
+
+def test_violation_examples_null_ids_rank_first(spark):
+    from json_schema_clj_spark.operators.validate import violation_examples, with_validation
+
+    # a NULL id must win rank 1 under ANY partitioning (pandas prune and
+    # Spark struct sort must agree that null < any value)
+    schema = {"type": "object", "properties": {"v": {"maximum": 0}}}
+    df = spark.createDataFrame(
+        [(None, 5), (7, 5), (1, 5), (9, 5)], "id int, v int"
+    )
+    for d in (df, df.repartition(4)):
+        out = (
+            violation_examples(with_validation(d, schema), ["id"], k=2)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [(r["rank"], r["id"]) for r in out] == [(1, None), (2, 1)]
