@@ -526,3 +526,59 @@ def test_violation_examples_null_ids_rank_first(spark):
             .collect()
         )
         assert [(r["rank"], r["id"]) for r in out] == [(1, None), (2, 1)]
+
+
+def test_violation_examples_matches_bruteforce_property(spark):
+    """Property pin: the bounded two-phase top-k equals the brute-force
+    "sort all violations, take first k per path" reference on random
+    inputs, across random k and partitionings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_schema_clj_spark.operators.validate import (
+        violation_examples,
+        violation_rows,
+        with_validation,
+    )
+
+    schema = {
+        "type": "object",
+        "properties": {"a": {"minimum": 0}, "b": {"enum": ["x", "y"]}},
+    }
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 50),                      # id (dups allowed)
+                st.integers(-3, 3),                       # a
+                st.sampled_from(["x", "y", "z", "w"]),   # b
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        k=st.integers(1, 4),
+        n_parts=st.sampled_from([1, 3]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(rows, k, n_parts):
+        df = spark.createDataFrame(rows, "id long, a long, b string").repartition(
+            n_parts
+        )
+        validated = with_validation(df, schema)
+        got = sorted(
+            (r["keyword_path"], r["rank"], r["id"], r["instance_path"], r["message"])
+            for r in violation_examples(validated, ["id"], k=k).collect()
+        )
+        # brute force: explode everything, python-sort, head(k) per path
+        allv = [
+            ("/".join(r["keyword_path"]), r["id"], "/".join(r["instance_path"]), r["message"])
+            for r in violation_rows(validated, ["id"]).collect()
+        ]
+        want = []
+        paths = {p for p, *_ in allv}
+        for p in paths:
+            grp = sorted((i, ip, m) for q, i, ip, m in allv if q == p)
+            want += [(p, rk + 1, i, ip, m) for rk, (i, ip, m) in enumerate(grp[:k])]
+        assert got == sorted(want)
+
+    check()
