@@ -334,9 +334,22 @@ the engine's clean-host efficiency.
 rows/s** at {bc['meta'].get('images_rows', 0):,} rows on local[32]
 (bench.py times the flagship after the query loop, i.e. with a JIT-warm
 JVM like any long-lived job); {len(bc['queries'])}-query total-of-minima
-**{bc['total_of_minima']} s** at sf0.1.  Per-query minima:
-BENCH/bench_clean_r3.json.  Any driver-recorded BENCH_r3 total above
-these reflects window degradation, not engine behavior.
+**{bc['total_of_minima']} s** at sf0.1 (the set grew 40 → 53 → 59 queries across round 3
+— the schema-inference family, FD/candidate-key discovery,
+schema/partition drift, outlier and format-conformance profiles,
+composite-FK referential, then the pHash pipeline family and the
+triage pair violation_examples/sampled_validation — so totals are not
+comparable across set sizes; per-query minima are).  The slowest
+entries (fd_discovery 3.8 s, candidate_keys 2.6 s) run their EXACT
+per-pair oracle mode by design — the 10^12-row path is the single-pass
+HLL aggregation, plan-audited in tests/test_plan_quality.py and
+measured at **0.2 s** for all 16 cardinalities in one pass at sf0.1
+(rsd 0.05; the same pass at rsd 0.01 takes 5.6 s because every
+sketch's ~(1.106/rsd)^2-register buffer rides the partial-aggregate
+row — 6,500 long fields — which is why 0.05 is the default).
+Per-query minima: BENCH/bench_clean_r3.json.  Any driver-recorded
+BENCH_r3 total above these reflects window degradation, not engine
+behavior.
 
 This resolves the round-2 verdict's "unattributed -25% flagship
 regression" (1.21 -> 1.62 s): named cause is host noise.  A probed-clean
