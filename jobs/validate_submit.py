@@ -120,7 +120,13 @@ def main(argv=None):
         # this write and the manifest commit re-runs the chunk on resume and
         # OVERWRITES the same subdir instead of appending duplicate rows.
         # run_id/chunk ride in the path as discovered partition columns.
-        chunk_dir = f"{out}/violations/run_id={args.run_id}/chunk={min(parts)}"
+        # snap in the path scopes the sink to (run_id, snapshot) exactly like
+        # the manifest rows — a rerun of the same run_id over a CHANGED input
+        # (new snapshot, possibly different chunking) can't mix generations
+        chunk_dir = (
+            f"{out}/violations/run_id={args.run_id}"
+            f"/snap={snapshot_id}/chunk={min(parts)}"
+        )
         vio = violation_rows(
             validated, ["image_id", args.part_col, "row_id"],
             prefilter=~F.col("valid"), with_ordinal=True,
@@ -204,7 +210,7 @@ def main(argv=None):
         # from the just-written violations sink (one bounded pass over the
         # tiny sink — never a second validation pass over the table)
         vio_sink = spark.read.parquet(f"{out}/violations").where(
-            F.col("run_id") == args.run_id
+            (F.col("run_id") == args.run_id) & (F.col("snap") == snapshot_id)
         )
         violation_examples_from_rows(vio_sink, ["image_id"], k=3).write.mode(
             "overwrite"

@@ -77,9 +77,12 @@ def coverage(
     `exact=True` swaps HLL for exact count_distinct (the oracle mode —
     Catalyst expands the multi-distinct aggregate, fine at test scale).
     HLL estimates can push inclusion-exclusion outside the feasible
-    range on either side, so the derived counts clamp into their logical
-    bounds: 0 ≤ d_matched ≤ min(d_fact, d_dim) and 0 ≤ d_dangling ≤
-    d_fact.  NULL keys are excluded on both sides (a
+    range on either side, so d_matched clamps into its logical bounds
+    (0 ≤ d_matched ≤ min(d_fact, d_dim)) and d_dangling is derived as
+    d_fact − d_matched — identical to d_union − d_dim pre-clamp, and
+    guaranteeing the pair always satisfies d_matched + d_dangling =
+    d_fact (no contradictory triage numbers).  NULL keys are excluded
+    on both sides (a
     NULL foreign key cannot positively mismatch — same presence guard as
     `dangling`)."""
     f = fact.select(F.col(fact_key).alias("k")).where(F.col(fact_key).isNotNull())
@@ -103,10 +106,10 @@ def coverage(
         F.col("d_dim"),
         F.greatest(F.lit(0), F.col("d_fact") + F.col("d_dim") - F.col("d_union")),
     )
-    dangling_keys = F.least(
-        F.col("d_fact"),
-        F.greatest(F.lit(0), F.col("d_union") - F.col("d_dim")),
-    )
+    # derive dangling from the clamped matched (pre-clamp the two are the
+    # same identity: d_union - d_dim == d_fact - matched), so the pair is
+    # always mutually consistent: d_matched + d_dangling == d_fact
+    dangling_keys = F.col("d_fact") - matched
     return agg.select(
         "d_fact",
         "d_dim",

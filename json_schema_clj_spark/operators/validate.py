@@ -126,13 +126,14 @@ def violation_examples(
     1. explode failing rows only (violation_rows' filter-first plan),
     2. per-Arrow-batch prune to k smallest per path (mapInPandas — the
        stream never holds more than |paths|·k rows per batch),
-    3. one partial-agg'd groupBy over the pruned stream: collect ≤
-       |batches|·k candidates per path, array_sort, slice(1, k).
+    3. bucketed fold: top-k per (partition-id mod 64, path), then top-k
+       per path over the ≤ 64·k survivors.
 
-    The shuffle carries at most |paths|·k rows per task — constant in the
-    table size, unskewed because each task contributes the same bounded
-    set.  Output: (keyword_path, keyword, severity, rank 1..k, *id_cols,
-    instance_path, message), rank ordered by the id tuple.
+    The final aggregate sees a CONSTANT ≤ 64·k candidates per path at any
+    table size, and the intermediate reduce spreads over 64 reducers per
+    path (no hot single-reducer key).  Output: (keyword_path, keyword,
+    severity, rank 1..k, *id_cols, instance_path, message), rank ordered
+    by the id tuple.
     """
     rows = violation_rows(validated, id_cols, out_col=out_col, prefilter=prefilter)
     return violation_examples_from_rows(rows, id_cols, k=k)
@@ -167,24 +168,51 @@ def violation_examples_from_rows(
     sort_cols = list(id_cols) + ["instance_path", "message"]
 
     def prune(batches):
-        for pdf in batches:
-            if len(pdf):
-                # na_position="first" matches Spark's struct ordering in the
-                # merge phase (null field < any value) — otherwise a NULL id
-                # could be pruned locally yet win the global array_sort,
-                # making output partitioning-dependent
-                yield (
-                    pdf.sort_values(sort_cols, na_position="first")
-                    .groupby(group_cols, dropna=False, sort=False)
-                    .head(k)
-                )
+        import pandas as pd
+        import pyarrow as pa
 
-    pruned = keyed.mapInPandas(prune, keyed.schema)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            # ArrowDtype-backed pandas: a nullable int64 id column stays
+            # int64 (Spark's default Arrow→pandas conversion would float64
+            # it, silently rounding ids above 2^53 before the sort).
+            # na_position="first" matches Spark's struct ordering in the
+            # merge phase (null field < any value) — otherwise a NULL id
+            # could be pruned locally yet win the global array_sort,
+            # making output partitioning-dependent.
+            pdf = batch.to_pandas(types_mapper=pd.ArrowDtype)
+            out = (
+                pdf.sort_values(sort_cols, na_position="first")
+                .groupby(group_cols, dropna=False, sort=False)
+                .head(k)
+            )
+            yield pa.RecordBatch.from_pandas(
+                out.reset_index(drop=True), schema=batch.schema
+            )
+
+    pruned = keyed.mapInArrow(prune, keyed.schema)
     ex = F.struct(
         *[F.col(c) for c in id_cols], F.col("instance_path"), F.col("message")
     )
+    # bucketed intermediate top-k: the batch prune emits ≤ |paths|·k rows
+    # PER ARROW BATCH, so a direct collect_list per path would still grow
+    # with |batches|.  Folding through 64 (bucket, path) groups first —
+    # each sliced back to k — caps the final aggregate at 64·k candidates
+    # per path, constant in table size, and spreads the intermediate
+    # reduce over 64 reducers per path instead of one.
+    n_buckets = 64
+    lvl1 = (
+        pruned.select(
+            F.pmod(F.spark_partition_id(), F.lit(n_buckets)).alias("_b"),
+            *group_cols,
+            ex.alias("ex"),
+        )
+        .groupBy("_b", *group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("ex")), 1, k).alias("exs"))
+    )
     merged = (
-        pruned.select(*group_cols, ex.alias("ex"))
+        lvl1.select(*group_cols, F.explode("exs").alias("ex"))
         .groupBy(*group_cols)
         .agg(F.slice(F.array_sort(F.collect_list("ex")), 1, k).alias("exs"))
     )
@@ -260,10 +288,17 @@ def sampled_validation_profile(
     `referential.coverage` plays for the anti-join.
 
     Output per violated keyword path: (keyword_path, keyword, severity,
-    n_sampled, n_violations, rate_est, rate_lo, rate_hi).  The integer
-    columns are exactly reproducible in any engine (the md5 predicate is
-    the oracle-portable sampler from operators/text.py); the Wilson
-    bounds are driver-side arithmetic over those integers.
+    n_sampled, n_rows_violating, rate_est, rate_lo, rate_hi).  The
+    integer columns are exactly reproducible in any engine (the md5
+    predicate is the oracle-portable sampler from operators/text.py);
+    the Wilson bounds are driver-side arithmetic over those integers.
+
+    Rates count violating ROWS, not violation rows: a row whose array
+    column fails `items` three times is ONE Bernoulli failure for that
+    keyword path (each row's paths are array_distinct'ed before the
+    explode), so rate_est ≤ 1 always holds and the Wilson math stays
+    well-defined — `keyword_breakdown` counts raw violation rows and
+    would push p above 1 on multi-violation rows.
     """
     from .text import sample_hash_bucket
 
@@ -272,12 +307,30 @@ def sampled_validation_profile(
     )
     validated = with_validation(sample, schema, config=config)
     totals = validated.agg(F.count(F.lit(1)).alias("n_sampled"))
-    bd = keyword_breakdown(validated)
+    per_row = validated.where(F.size(F.col("violations")) > 0).select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.col("violations"),
+                    lambda v: F.struct(
+                        F.array_join(v["keyword_path"], "/").alias("keyword_path"),
+                        v["keyword"].alias("keyword"),
+                        v["severity"].alias("severity"),
+                    ),
+                )
+            )
+        ).alias("v")
+    )
+    bd = per_row.groupBy(
+        F.col("v.keyword_path").alias("keyword_path"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.severity").alias("severity"),
+    ).agg(F.count(F.lit(1)).alias("n_rows_violating"))
     joined = bd.crossJoin(F.broadcast(totals))
 
     z = 1.959963984540054  # 97.5th standard-normal quantile
     n = F.col("n_sampled").cast("double")
-    p = F.col("n_violations").cast("double") / n
+    p = F.col("n_rows_violating").cast("double") / n
     center = p + z * z / (2 * n)
     margin = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
     denom = 1 + z * z / n
@@ -286,7 +339,7 @@ def sampled_validation_profile(
         "keyword",
         "severity",
         "n_sampled",
-        "n_violations",
+        "n_rows_violating",
         p.alias("rate_est"),
         F.greatest(F.lit(0.0), (center - margin) / denom).alias("rate_lo"),
         F.least(F.lit(1.0), (center + margin) / denom).alias("rate_hi"),

@@ -209,7 +209,7 @@ def q_sampled_validation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, EXAMPLES_SCHEMA, "o_orderkey", _SAMPLED_RATE
     )
     return prof.select(
-        "keyword_path", "keyword", "n_sampled", "n_violations"
+        "keyword_path", "keyword", "n_sampled", "n_rows_violating"
     ).orderBy("keyword_path")
 
 
@@ -221,7 +221,7 @@ WITH sample AS (
 viol AS (
   SELECT 'properties/o_orderstatus/enum' AS keyword_path, 'enum' AS keyword,
          count(*) FILTER (WHERE o_orderstatus IS NOT NULL
-                            AND o_orderstatus NOT IN ('O','F')) AS n_violations
+                            AND o_orderstatus NOT IN ('O','F')) AS n_rows_violating
   FROM sample
   UNION ALL
   SELECT 'properties/o_totalprice/maximum', 'maximum',
@@ -232,9 +232,9 @@ viol AS (
          count(*) FILTER (WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice >= 5000))
   FROM sample
 )
-SELECT keyword_path, keyword, n_sampled, n_violations
+SELECT keyword_path, keyword, n_sampled, n_rows_violating
 FROM viol CROSS JOIN tot
-WHERE n_violations > 0
+WHERE n_rows_violating > 0
 ORDER BY keyword_path
 """
 

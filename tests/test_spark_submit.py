@@ -94,7 +94,7 @@ def test_spark_submit_pyfiles_resumable(tmp_path):
     # the per-chunk overwrite sink kept violations exactly-once
     import duckdb
 
-    glob = os.path.join(out_dir, "violations", "*", "*", "*.parquet")
+    glob = os.path.join(out_dir, "violations", "*", "*", "*", "*.parquet")
     n_all = duckdb.sql(f"SELECT count(*) FROM read_parquet('{glob}')").fetchone()[0]
     n_dist = duckdb.sql(
         "SELECT count(*) FROM (SELECT DISTINCT image_id, keyword, instance_path "

@@ -113,6 +113,8 @@ def test_referential_coverage_hll_clamped_to_logical_bounds(spark):
         ).first()
         assert 0 <= row["d_matched"] <= min(row["d_fact"], row["d_dim"]), rsd
         assert 0 <= row["d_dangling"] <= row["d_fact"], rsd
+        # the pair is mutually consistent under any sketch realization
+        assert row["d_matched"] + row["d_dangling"] == row["d_fact"], rsd
 
 
 def test_referential_coverage_hll_plan_is_join_free(spark):
@@ -507,7 +509,10 @@ def test_sampled_validation_profile_wilson_bounds(spark):
     r2 = sampled_validation_profile(
         df.repartition(17), schema, "id", 8192 / 65536
     ).collect()[0]
-    assert (r2["n_sampled"], r2["n_violations"]) == (r["n_sampled"], r["n_violations"])
+    assert (r2["n_sampled"], r2["n_rows_violating"]) == (
+        r["n_sampled"],
+        r["n_rows_violating"],
+    )
 
 
 def test_violation_examples_null_ids_rank_first(spark):
@@ -582,3 +587,43 @@ def test_violation_examples_matches_bruteforce_property(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_sampled_validation_profile_multiviolation_rows(spark):
+    from json_schema_clj_spark.operators.validate import sampled_validation_profile
+
+    # one row can emit SEVERAL violations for the same keyword path (items
+    # over an array column); rates must count violating ROWS so p ≤ 1 and
+    # the Wilson math stays finite
+    schema = {"type": "object", "properties": {"arr": {"items": {"minimum": 0}}}}
+    df = spark.createDataFrame(
+        [(1, [-1, -2, -3]), (2, [1, 2]), (3, [-5, 4, -6])],
+        "id long, arr array<long>",
+    )
+    rows = sampled_validation_profile(df, schema, "id", 1.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_sampled"] == 3 and r["n_rows_violating"] == 2
+    assert r["rate_est"] == 2 / 3
+    import math
+
+    assert 0.0 <= r["rate_lo"] <= r["rate_est"] <= r["rate_hi"] <= 1.0
+    assert not math.isnan(r["rate_lo"]) and not math.isnan(r["rate_hi"])
+
+
+def test_violation_examples_preserves_big_int64_ids(spark):
+    from json_schema_clj_spark.operators.validate import violation_examples, with_validation
+
+    # nullable int64 above 2^53: the default Arrow→pandas conversion would
+    # float64-round these ids in the prune; the ArrowDtype path must not
+    big1, big2 = (1 << 53) + 1, (1 << 53) + 3
+    schema = {"type": "object", "properties": {"v": {"maximum": 0}}}
+    df = spark.createDataFrame(
+        [(None, 5), (big2, 5), (big1, 5)], "id long, v long"
+    )
+    out = (
+        violation_examples(with_validation(df, schema), ["id"], k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["id"] for r in out] == [None, big1, big2]
