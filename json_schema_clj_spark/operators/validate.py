@@ -113,10 +113,12 @@ def violation_examples(
     me three failing rows per check" triage view, without ever collecting
     or globally sorting the violation set.
 
-    Determinism: examples are the k smallest rows by the `id_cols` tuple
-    (ties broken by instance_path, message), so reruns and different
-    partitionings return bit-identical output — same contract as the
-    min-id keeper in exact dedup.
+    Determinism: examples are the k smallest VIOLATIONS by the `id_cols`
+    tuple (ties broken by instance_path, message — a row that violates
+    the same path at several instance paths, e.g. three failing `items`
+    elements, can supply several examples, each pointing at a distinct
+    element), so reruns and different partitionings return bit-identical
+    output — same contract as the min-id keeper in exact dedup.
 
     Scale shape (the reason this isn't a window function): a global
     `row_number() OVER (PARTITION BY keyword_path)` shuffles EVERY
