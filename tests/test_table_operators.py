@@ -627,3 +627,56 @@ def test_violation_examples_preserves_big_int64_ids(spark):
         .collect()
     )
     assert [r["id"] for r in out] == [None, big1, big2]
+
+
+def test_sampled_validation_profile_matches_bruteforce_property(spark):
+    """Property pin: sampled rates equal brute-force 'filter by md5 bucket,
+    count violating rows per path / sample size' on random inputs."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_schema_clj_spark.operators.validate import sampled_validation_profile
+
+    schema = {
+        "type": "object",
+        "properties": {"a": {"minimum": 0}, "b": {"enum": ["x", "y"]}},
+    }
+
+    def bucket(key) -> int:
+        return int(hashlib.md5(f"s1{key}".encode()).hexdigest()[:4], 16)
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 10_000),
+                st.integers(-2, 2),
+                st.sampled_from(["x", "y", "z"]),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        thr=st.sampled_from([16384, 32768, 65536]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(rows, thr):
+        df = spark.createDataFrame(rows, "id long, a long, b string")
+        got = {
+            (r["keyword_path"], r["n_sampled"], r["n_rows_violating"], r["rate_est"])
+            for r in sampled_validation_profile(
+                df, schema, "id", thr / 65536
+            ).collect()
+        }
+        sampled = [r for r in rows if bucket(r[0]) < thr]
+        want = set()
+        for path, pred in [
+            ("properties/a/minimum", lambda r: r[1] < 0),
+            ("properties/b/enum", lambda r: r[2] not in ("x", "y")),
+        ]:
+            nv = sum(1 for r in sampled if pred(r))
+            if nv:
+                want.add((path, len(sampled), nv, nv / len(sampled)))
+        assert got == want
+
+    check()
