@@ -440,13 +440,14 @@ engine's shape — embarrassingly parallel scan+predicate, map-side partial
 aggs, one tiny shuffle per rollup — is the same one that hits
 {eff_primary:.2f} here when the host can express it.
 
-Two honesty caveats.  (a) The local[32] minimum is still
-degradation-bound: every v2 local[32] sample so far ran with its
-same-line cal32 at or above the best observed (and the v1 shape measured
-39.07 s at local[32] in round 1's clean window, vs {best[32]['sec']} s
-here), i.e. no clean 32-thread window has yet been caught for a v2
-sample, so the 8->32 figure is a lower bound on the workload, not a
-measurement of it.  (b) workload/ceiling slightly above 1.0 on the 2->8
+Two honesty caveats.  (a) A clean 32-thread window WAS eventually
+caught (2026-08-19: {best[32]['sec']} s with its same-line cal32 at the
+observed floor — beating the v1 shape's round-1 clean-window 39.07 s by
+12%), so the local[32] figure is now a genuine clean-window measurement;
+within that same window the workload ran 36.43 s at local[8], giving a
+same-window 8->32 efficiency of 0.27 against the 0.68 pure-CPU ceiling —
+the all-core downclock plus one virtio disk for 32 shuffle writers keeps
+the pair host-capped on this VM.  (b) workload/ceiling slightly above 1.0 on the 2->8
 pair is estimate noise: the ceiling comes from ~1-12 s calibration jobs
 whose own minima carry a few percent of jitter.
 {stage_note}
