@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "join_revenue_by_nation",
     "events_json_props_agg",
     "validate_events_json_variant",
+    "validate_data_crossfield",
+    "validate_warnings_routing",
+    "verdict_rollup_grouping",
+    "verdict_reconcile_except",
+    "sample_stratified_orders",
     "window_top_event_per_user",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
