@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "partition_schema_drift_orders",
     "format_conformance_orders",
     "infer_json_paths_nested_orders",
+    "text_repetition_profile",
+    "pii_scan_documents",
+    "pii_redact_documents",
+    "pack_documents_bins",
 ]
 
 

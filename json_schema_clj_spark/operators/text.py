@@ -131,6 +131,119 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def raw_word_ngrams(text: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept, space-joined strings) — the input
+    to repetition counting, unlike ``dedup.word_shingles`` which distincts
+    and hashes.  Same arrays_zip construction (slice-per-index inside a
+    transform lambda re-evaluates the split per index — no CSE across
+    lambda boundaries)."""
+    words = F.split(normalized(text), " ")
+    shifted = [F.slice(words, i + 1, 1 << 30).alias(f"w{i}") for i in range(n)]
+    z = F.arrays_zip(*shifted)
+    last = f"w{n - 1}"
+    return F.filter(
+        F.transform(
+            z,
+            lambda s: F.when(
+                s[last].isNotNull(),
+                F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5,),
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1) — the standard battery for cutting
+    machine-generated / boilerplate text from a training corpus:
+
+    - ``dup_word_frac``      1 − distinct words / words
+    - ``dup_line_frac``      occurrences of repeated lines / lines
+    - ``dup_line_char_frac`` chars inside repeated lines / chars (raw text)
+    - ``top{n}gram_char_frac`` for n in ``top_ns``: max over n-grams of
+      occurrences·len(gram) / len(normalized text)
+    - ``dup{n}gram_char_frac`` for n in ``dup_ns``: Σ over n-grams seen >1×
+      of occurrences·len(gram) / len(normalized text) (overlapping grams
+      over-count — the standard cheap approximation; a fraction >1 simply
+      means "saturated repetition")
+
+    Scale shape: ONE explode of (|top_ns|+|dup_ns|) tagged n-gram arrays
+    plus the line array (linear in corpus tokens), one partial-agg'd
+    shuffle keyed (id, n, gram) — well-spread, no hot keys beyond a
+    pathological single-document gram —, one rollup shuffle on id, and one
+    shuffle join back to the per-row HOF stats.  Never quadratic in
+    document length (the all-HOF alternative is O(len²) per doc, which
+    dies on 100k-token documents)."""
+    t = F.col(text_col)
+    all_ns = (*top_ns, *dup_ns)
+    # tag each gram with its n (lines tagged n=0 — no collision with word
+    # n-grams possible) and explode once
+    # NB: the tag lambda must stay SINGLE-ARG — `lambda g, n=n:` would have
+    # arity 2 and PySpark would bind the second parameter to the element
+    # INDEX, silently replacing the intended constant
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(
+            F.transform(F.split(t, line_sep), _tag(0)),
+            *[F.transform(raw_word_ngrams(t, n), _tag(n)) for n in all_ns],
+        )
+    )
+    grams = df.select(F.col(id_col), F.explode(tagged).alias("g")).select(
+        id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    counts = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    gram_chars = F.col("cnt") * F.length("gram")
+    rolled = counts.groupBy(id_col).agg(
+        F.sum(F.when((F.col("n") == 0) & (F.col("cnt") > 1), F.col("cnt"))).alias("_dl"),
+        F.sum(F.when((F.col("n") == 0) & (F.col("cnt") > 1), gram_chars)).alias("_dlc"),
+        *[
+            F.max(F.when(F.col("n") == n, gram_chars)).alias(f"_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1), gram_chars)).alias(f"_dup{n}")
+            for n in dup_ns
+        ],
+    )
+    words = tokens(t)
+    base = df.select(
+        F.col(id_col),
+        F.length(t).alias("_rlen"),
+        F.length(normalized(t)).alias("_nlen"),
+        F.size(F.split(t, line_sep)).alias("_nlines"),
+        F.size(words).alias("n_words"),
+        (
+            F.lit(1)
+            - F.size(F.array_distinct(words))
+            / F.greatest(F.size(words), F.lit(1)).cast("double")
+        ).alias("_dwf"),
+    )
+    j = base.join(rolled, on=id_col, how="left")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(F.coalesce(num, F.lit(0)) / F.greatest(den, F.lit(1)).cast("double"), 6)
+
+    return j.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round("_dwf", 6).alias("dup_word_frac"),
+        frac(F.col("_dl"), F.col("_nlines")).alias("dup_line_frac"),
+        frac(F.col("_dlc"), F.col("_rlen")).alias("dup_line_char_frac"),
+        *[frac(F.col(f"_top{n}"), F.col("_nlen")).alias(f"top{n}gram_char_frac") for n in top_ns],
+        *[frac(F.col(f"_dup{n}"), F.col("_nlen")).alias(f"dup{n}gram_char_frac") for n in dup_ns],
+    )
+
+
 def sample_hash_bucket(key: Column, seed: str = "s1") -> Column:
     """Deterministic per-row sampling bucket in [0, 65536): the first 4 hex
     chars of md5(seed || key), compared as an integer.  Engine-portable —

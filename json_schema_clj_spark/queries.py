@@ -3319,6 +3319,215 @@ def _candidate_keys_oracle_sql(cols: list[str]) -> str:
 SQL_CANDIDATE_KEYS_ORDERS = _candidate_keys_oracle_sql(_INFER_COLS)
 
 
+# ---------------------------------------------------------------------------
+# 40. curation fourth wave: repetition profile, PII scan/redact, packing
+
+_LINE_PLANT = r" (the|a) "  # synthesize newlines from real text (corpus has
+# none): replace every bounded the/a with \n — leftmost non-overlapping in
+# both Java regex and RE2, so line structure is identical in both engines
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition battery (operators/text.py
+    repetition_profile) over documents with deterministically synthesized
+    line structure.  Every doc_id % 5 == 0 doc is self-duplicated first so
+    the repeated-line and repeated-5-gram branches are EXERCISED by the
+    oracle (the raw corpus has no repeated lines/5-grams — without the
+    plant a cnt>1 bug in either engine would pass the driver gate)."""
+    d = F.col("doc_id")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .withColumn(
+            "text",
+            F.when(
+                d % 5 == 0, F.concat(F.col("text"), F.lit("\n"), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("text", F.regexp_replace(F.col("text"), _LINE_PLANT, "\n"))
+    )
+    return TX.repetition_profile(docs).orderBy("doc_id")
+
+
+SQL_TEXT_REPETITION = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (the|a) ', chr(10), 'g') AS text
+  FROM planted
+),
+tok AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM base
+),
+grams AS (
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - n + 1, 0)),
+                               i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
+  FROM tok CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS n) ns
+  UNION ALL
+  SELECT doc_id, 0 AS n, unnest(string_split(text, chr(10))) AS gram FROM tok
+),
+cnt AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY doc_id, n, gram
+),
+rolled AS (
+  SELECT doc_id,
+         sum(CASE WHEN n = 0 AND cnt > 1 THEN cnt END) AS dl,
+         sum(CASE WHEN n = 0 AND cnt > 1 THEN cnt * length(gram) END) AS dlc,
+         max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS t2,
+         max(CASE WHEN n = 3 THEN cnt * length(gram) END) AS t3,
+         max(CASE WHEN n = 4 THEN cnt * length(gram) END) AS t4,
+         sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * length(gram) END) AS d5
+  FROM cnt GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(toks) AS n_words,
+       round(1 - len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS dup_word_frac,
+       round(coalesce(dl, 0) / CAST(greatest(len(string_split(b.text, chr(10))), 1) AS DOUBLE), 6) AS dup_line_frac,
+       round(coalesce(dlc, 0) / CAST(greatest(length(b.text), 1) AS DOUBLE), 6) AS dup_line_char_frac,
+       round(coalesce(t2, 0) / CAST(greatest(length(norm), 1) AS DOUBLE), 6) AS top2gram_char_frac,
+       round(coalesce(t3, 0) / CAST(greatest(length(norm), 1) AS DOUBLE), 6) AS top3gram_char_frac,
+       round(coalesce(t4, 0) / CAST(greatest(length(norm), 1) AS DOUBLE), 6) AS top4gram_char_frac,
+       round(coalesce(d5, 0) / CAST(greatest(length(norm), 1) AS DOUBLE), 6) AS dup5gram_char_frac
+FROM tok b JOIN rolled USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+def _pii_planted(docs: DataFrame) -> DataFrame:
+    """Append deterministic PII to the synthetic corpus (which contains
+    none) via id arithmetic — the planted construction both engines can
+    express, so expected counts/redactions are derivable in ANSI SQL."""
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 3,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 5,
+                F.concat(F.lit(" from 10.1."), (d % 254 + 1).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 2,
+                F.concat(F.lit(" call 555-"), (d % 900 + 100).cast("string"), F.lit("-4823")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 17 == 11,
+                F.concat(F.lit(" ssn 219-09-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+_SQL_PII_PLANT = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 3 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 5 THEN ' from 10.1.' || CAST(doc_id % 254 + 1 AS VARCHAR) || '.7' ELSE '' END
+         || CASE WHEN doc_id % 13 = 2 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-4823' ELSE '' END
+         || CASE WHEN doc_id % 17 = 11 THEN ' ssn 219-09-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pii as PII
+
+    docs = _pii_planted(t(spark, sf_dir, "documents"))
+    return PII.pii_scan(docs).orderBy("doc_id")
+
+
+def _pii_count_sql(pat: str) -> str:
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+def _sql_pii_scan() -> str:
+    from .operators.pii import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"{_pii_count_sql(p)} AS n_{name}" for name, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(_pii_count_sql(p) for p in PII_PATTERNS.values())
+    return (
+        f"WITH p AS ({_SQL_PII_PLANT})\n"
+        f"SELECT doc_id,\n       {counts},\n       {total} AS n_pii\n"
+        "FROM p ORDER BY doc_id"
+    )
+
+
+SQL_PII_SCAN = _sql_pii_scan()
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pii as PII
+
+    docs = _pii_planted(t(spark, sf_dir, "documents"))
+    out = PII.pii_redact(docs)
+    return out.select(
+        "doc_id", F.md5(F.col("redacted")).alias("redacted_md5"), "n_redactions"
+    ).orderBy("doc_id")
+
+
+def _sql_pii_redact() -> str:
+    from .operators.pii import PII_PATTERNS
+
+    redacted = "text"
+    for name, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{name.upper()}]', 'g')"
+    total = " + ".join(_pii_count_sql(p) for p in PII_PATTERNS.values())
+    return (
+        f"WITH p AS ({_SQL_PII_PLANT})\n"
+        f"SELECT doc_id, md5({redacted}) AS redacted_md5,\n"
+        f"       {total} AS n_redactions\n"
+        "FROM p ORDER BY doc_id"
+    )
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (distributed prefix sum,
+    operators/packing.py): token budget 64, global doc_id order."""
+    from .operators import packing as PK
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    out = PK.pack_documents(sized, "n_tokens", "doc_id", capacity=64, n_parts=8)
+    return out.select(
+        "doc_id", "n_tokens", "start_offset", "bin_id", "offset_in_bin"
+    ).orderBy("doc_id")
+
+
+SQL_PACK_DOCUMENTS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM tok
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 64) AS BIGINT) AS bin_id,
+       CAST(start_offset % 64 AS BIGINT) AS offset_in_bin
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -3359,6 +3568,10 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "text_profile_documents": q_text_profile,
     "text_quality_funnel": q_text_quality_funnel,
+    "text_repetition_profile": q_text_repetition,
+    "pii_scan_documents": q_pii_scan,
+    "pii_redact_documents": q_pii_redact,
+    "pack_documents_bins": q_pack_documents,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -3452,6 +3665,10 @@ ORACLES = {
     "dedup_simhash_md5": SQL_SIMHASH_MD5,
     "text_profile_documents": SQL_TEXT_PROFILE,
     "text_quality_funnel": SQL_TEXT_QUALITY_FUNNEL,
+    "text_repetition_profile": SQL_TEXT_REPETITION,
+    "pii_scan_documents": SQL_PII_SCAN,
+    "pii_redact_documents": SQL_PII_REDACT,
+    "pack_documents_bins": SQL_PACK_DOCUMENTS,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
