@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "pii_scan_documents",
     "pii_redact_documents",
     "pack_documents_bins",
+    "corpus_mix_documents",
 ]
 
 

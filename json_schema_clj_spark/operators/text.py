@@ -272,3 +272,53 @@ def stratified_sample(
     for stratum, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * 65536))).otherwise(thr)
     return df.where(bucket < thr)
+
+
+def corpus_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str,
+    key_col: str,
+    size_col: str,
+    seed: str = "mix1",
+) -> DataFrame:
+    """Budget-driven corpus mixing — the step that turns "give me B tokens
+    from each source" into a concrete training mix, including REPEATING
+    underrepresented sources (epochs > 1, the temperature-mixing mechanic):
+
+    one agg pass computes per-stratum size totals (|strata| rows collected
+    — driver-sized at any scale, and collected ONCE so the derived rates
+    are plan literals, deterministic across jobs); each row of stratum s
+    then gets ``budget_s // total_s`` full copies plus one more iff its
+    md5 hash bucket falls under the integer-exact remainder threshold
+    ``((budget_s mod total_s) * 65536) // total_s``.  All threshold
+    arithmetic is integer (no float rates), so a SQL engine reproduces the
+    exact multiset of (row, copy) pairs.  Strata absent from ``budgets``
+    are dropped; output gains a 0-based ``copy`` index.
+
+    The expansion is a per-row explode of ``sequence(0, n_copies-1)`` —
+    no shuffle, no RNG, bit-identical at any parallelism."""
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).agg(F.sum(size_col)).collect()
+        if r[0] in budgets and r[1]
+    }
+    n_full = F.lit(0)
+    thr = F.lit(0)
+    keep = F.lit(False)
+    for s in sorted(totals):
+        tot, b = int(totals[s]), int(budgets[s])
+        n_full = F.when(F.col(stratum_col) == s, F.lit(b // tot)).otherwise(n_full)
+        thr = F.when(
+            F.col(stratum_col) == s, F.lit(((b % tot) * 65536) // tot)
+        ).otherwise(thr)
+        keep = F.when(F.col(stratum_col) == s, F.lit(True)).otherwise(keep)
+    bucket = sample_hash_bucket(F.col(key_col), seed)
+    n_copies = (n_full + (bucket < thr).cast("int")).alias("_ncopies")
+    return (
+        df.where(keep)
+        .withColumn("_ncopies", n_copies)
+        .where(F.col("_ncopies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_ncopies") - 1)))
+        .drop("_ncopies")
+    )

@@ -3497,6 +3497,51 @@ def _sql_pii_redact() -> str:
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+_MIX_BUDGETS = {f"src{i}": (3000 if i < 3 else 700) for i in range(12)}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven corpus mixing (operators/text.py corpus_mix): token
+    budgets per source — src0-2 oversampled past one epoch, src3-11
+    fractionally sampled, src12+ dropped; output is the exact (doc, copy)
+    multiset both engines derive from the same integer threshold rule."""
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    out = TX.corpus_mix(sized, _MIX_BUDGETS, "source", "doc_id", "n_tokens", seed="mix1")
+    return out.select("doc_id", "source", "copy").orderBy("doc_id", "copy")
+
+
+def _sql_corpus_mix() -> str:
+    values = ", ".join(f"('{s}', {b})" for s, b in sorted(_MIX_BUDGETS.items()))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot FROM tok GROUP BY source),
+b(source, budget) AS (VALUES {values}),
+r AS (
+  SELECT b.source, budget // tot AS n_full, ((budget % tot) * 65536) // tot AS thr
+  FROM b JOIN tot USING (source)
+),
+k AS (
+  SELECT tok.doc_id, tok.source,
+         r.n_full + CASE WHEN ('0x' || substr(md5('mix1' || CAST(tok.doc_id AS VARCHAR)), 1, 4))::INTEGER < r.thr
+                         THEN 1 ELSE 0 END AS n_copies
+  FROM tok JOIN r USING (source)
+)
+SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS copy
+FROM k WHERE n_copies > 0
+ORDER BY doc_id, copy
+"""
+
+
+SQL_CORPUS_MIX = _sql_corpus_mix()
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (distributed prefix sum,
     operators/packing.py): token budget 64, global doc_id order."""
@@ -3572,6 +3617,7 @@ QUERIES = {
     "pii_scan_documents": q_pii_scan,
     "pii_redact_documents": q_pii_redact,
     "pack_documents_bins": q_pack_documents,
+    "corpus_mix_documents": q_corpus_mix,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -3669,6 +3715,7 @@ ORACLES = {
     "pii_scan_documents": SQL_PII_SCAN,
     "pii_redact_documents": SQL_PII_REDACT,
     "pack_documents_bins": SQL_PACK_DOCUMENTS,
+    "corpus_mix_documents": SQL_CORPUS_MIX,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -109,6 +109,52 @@ def test_pii_dotted_form_disambiguation(spark):
 
 
 # ---------------------------------------------------------------------------
+# corpus mixing
+
+
+def _mix_df(spark):
+    rows = [(i, "s_a" if i < 10 else ("s_b" if i < 20 else "s_c"), 10) for i in range(30)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def test_corpus_mix_exact_epochs(spark):
+    # budget exactly 2x the stratum total: every row exactly 2 copies
+    out = TX.corpus_mix(_mix_df(spark), {"s_a": 200}, "source", "doc_id", "n_tokens")
+    got = sorted((r["doc_id"], r["copy"]) for r in out.collect())
+    assert got == sorted((i, c) for i in range(10) for c in (0, 1))
+
+
+def test_corpus_mix_matches_bruteforce_md5_rule(spark):
+    import hashlib
+
+    budgets = {"s_a": 135, "s_b": 47}  # 1 epoch + 35% rem; 0 + 47% rem
+    out = TX.corpus_mix(_mix_df(spark), budgets, "source", "doc_id", "n_tokens", seed="mz")
+
+    def bucket(i):
+        return int(hashlib.md5(f"mz{i}".encode()).hexdigest()[:4], 16)
+
+    expect = []
+    for i in range(20):
+        b, tot = (135, 100) if i < 10 else (47, 100)
+        n = b // tot + (1 if bucket(i) < ((b % tot) * 65536) // tot else 0)
+        expect += [(i, c) for c in range(n)]
+    got = sorted((r["doc_id"], r["copy"]) for r in out.collect())
+    assert got == sorted(expect)
+    # s_c had no budget: dropped entirely
+    assert all(i < 20 for i, _ in got)
+
+
+def test_corpus_mix_parallelism_invariant(spark):
+    df = _mix_df(spark)
+    budgets = {"s_a": 250, "s_b": 60, "s_c": 99}
+    a = TX.corpus_mix(df.repartition(1), budgets, "source", "doc_id", "n_tokens")
+    b = TX.corpus_mix(df.repartition(7), budgets, "source", "doc_id", "n_tokens")
+    assert sorted(map(tuple, a.select("doc_id", "copy").collect())) == sorted(
+        map(tuple, b.select("doc_id", "copy").collect())
+    )
+
+
+# ---------------------------------------------------------------------------
 # packing
 
 
