@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "pii_redact_documents",
     "pack_documents_bins",
     "corpus_mix_documents",
+    "pack_chunks_documents",
 ]
 
 

@@ -103,3 +103,39 @@ def pack_documents(
     return out.withColumn(
         "bin_id", F.floor(F.col("start_offset") / capacity).cast("long")
     ).withColumn("offset_in_bin", (F.col("start_offset") % capacity).cast("long"))
+
+
+def pack_chunks(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    capacity: int,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The shard-manifest view of `pack_documents`: one row per
+    (document, bin) span — which slice of the document fills which slice
+    of the bin.  This is what a shard writer actually consumes: every bin
+    except the trailing one is exactly `capacity` tokens, assembled from
+    `(doc, doc_off, len)` reads.
+
+    Columns: order/size cols + bin_id, doc_off (start of the span inside
+    the document), bin_off (start inside the bin), span_len.  Derived
+    arithmetically from the prefix sum — the explode emits
+    ceil(size/capacity)+1 rows per document at most, no extra shuffle.
+    Zero-size rows contribute no spans."""
+    packed = pack_documents(df, size_col, order_col, capacity, n_parts=n_parts)
+    s = F.col("start_offset")
+    end = s + F.col(size_col)
+    b0 = F.floor(s / capacity).cast("long")
+    b1 = F.floor((end - 1) / capacity).cast("long")
+    out = packed.where(F.col(size_col) > 0).withColumn(
+        "bin_id", F.explode(F.sequence(b0, b1))
+    )
+    seg_start = F.greatest(s, F.col("bin_id") * capacity)
+    seg_end = F.least(end, (F.col("bin_id") + 1) * capacity)
+    return (
+        out.withColumn("doc_off", (seg_start - s).cast("long"))
+        .withColumn("bin_off", (seg_start - F.col("bin_id") * capacity).cast("long"))
+        .withColumn("span_len", (seg_end - seg_start).cast("long"))
+        .drop("offset_in_bin")
+    )

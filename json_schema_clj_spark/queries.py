@@ -3497,6 +3497,45 @@ def _sql_pii_redact() -> str:
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-manifest spans (operators/packing.py pack_chunks): every bin
+    except the trailing one assembles to exactly 64 tokens from
+    (doc, doc_off, span_len) reads."""
+    from .operators import packing as PK
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    out = PK.pack_chunks(sized, "n_tokens", "doc_id", capacity=64, n_parts=8)
+    return out.select(
+        "doc_id", "bin_id", "doc_off", "bin_off", "span_len"
+    ).orderBy("doc_id", "bin_id")
+
+
+SQL_PACK_CHUNKS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM tok
+),
+k AS (
+  SELECT doc_id, n_tokens, s,
+         unnest(generate_series(CAST(floor(s / 64) AS BIGINT),
+                                CAST(floor((s + n_tokens - 1) / 64) AS BIGINT))) AS bin_id
+  FROM c WHERE n_tokens > 0
+)
+SELECT doc_id, bin_id,
+       CAST(greatest(s, bin_id * 64) - s AS BIGINT) AS doc_off,
+       CAST(greatest(s, bin_id * 64) - bin_id * 64 AS BIGINT) AS bin_off,
+       CAST(least(s + n_tokens, (bin_id + 1) * 64) - greatest(s, bin_id * 64) AS BIGINT) AS span_len
+FROM k ORDER BY doc_id, bin_id
+"""
+
+
 _MIX_BUDGETS = {f"src{i}": (3000 if i < 3 else 700) for i in range(12)}
 
 
@@ -3618,6 +3657,7 @@ QUERIES = {
     "pii_redact_documents": q_pii_redact,
     "pack_documents_bins": q_pack_documents,
     "corpus_mix_documents": q_corpus_mix,
+    "pack_chunks_documents": q_pack_chunks,
     "ann_cosine_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -3716,6 +3756,7 @@ ORACLES = {
     "pii_redact_documents": SQL_PII_REDACT,
     "pack_documents_bins": SQL_PACK_DOCUMENTS,
     "corpus_mix_documents": SQL_CORPUS_MIX,
+    "pack_chunks_documents": SQL_PACK_CHUNKS,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

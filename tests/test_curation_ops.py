@@ -196,6 +196,41 @@ def test_packing_single_row(spark):
     assert got[0] == (0, 0, 0)
 
 
+def test_pack_chunks_invariants(spark):
+    sizes = [5, 9, 3, 14, 1, 7, 2, 30, 4, 6]  # total 81, capacity 16 → 6 bins
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    rows = PK.pack_chunks(df, "n_tokens", "doc_id", 16, n_parts=4).collect()
+    by_bin: dict[int, int] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_bin[r["bin_id"]] = by_bin.get(r["bin_id"], 0) + r["span_len"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every bin except the trailing one is exactly full
+    last = max(by_bin)
+    for b, tot in by_bin.items():
+        assert tot == (16 if b != last else 81 - 16 * last), (b, tot)
+    # each document reassembles contiguously from offset 0
+    for i, s in enumerate(sizes):
+        spans = sorted(by_doc[i], key=lambda r: r["doc_off"])
+        assert sum(r["span_len"] for r in spans) == s
+        assert spans[0]["doc_off"] == 0
+        for a, b2 in zip(spans, spans[1:]):
+            assert b2["doc_off"] == a["doc_off"] + a["span_len"]
+        # span placement consistent with the bin side
+        for r in spans:
+            assert 0 <= r["bin_off"] and r["bin_off"] + r["span_len"] <= 16
+
+
+def test_pack_chunks_zero_size_rows_drop(spark):
+    df = spark.createDataFrame([(0, 4), (1, 0), (2, 3)], "doc_id long, n_tokens long")
+    rows = PK.pack_chunks(df, "n_tokens", "doc_id", 8, n_parts=2).collect()
+    assert sorted({r["doc_id"] for r in rows}) == [0, 2]
+    # doc 1 still occupies no offset space: doc 2 starts right after doc 0
+    assert {r["doc_id"]: r["bin_off"] for r in rows}[2] == 4
+
+
 def test_packing_plan_has_no_global_window(spark):
     """The whole point: no single-partition window in the physical plan."""
     df = spark.range(1000).select(
