@@ -356,3 +356,43 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_repetition_profile_partial_agg_no_python(spark):
+    # gram counting must be partial+final (map-side combine on the
+    # (id, n, gram) key) and stay entirely JVM-side
+    from json_schema_clj_spark.queries import q_text_repetition
+
+    plan = executed(q_text_repetition(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pii_scan_is_filter_free_single_scan(spark):
+    # per-row predicates over the scan: no Exchange except the ORDER BY
+    # wrapper, no Python eval
+    from json_schema_clj_spark.queries import q_pii_scan
+
+    plan = executed(q_pii_scan(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # exactly ONE Exchange — the rangepartitioning feeding the oracle
+    # ORDER BY; the scan→project pipeline itself is shuffle-free
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan, plan
+
+
+def test_corpus_mix_expansion_is_shuffle_free(spark):
+    # after the (collected) totals pass, the expansion itself is
+    # Generate-over-Filter-over-Scan — no shuffle, no Python
+    from json_schema_clj_spark.operators import text as TX
+    from json_schema_clj_spark.queries import _MIX_BUDGETS, t
+    from pyspark.sql import functions as F
+
+    docs = t(spark, SF_DIR, "documents").select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    out = TX.corpus_mix(docs, _MIX_BUDGETS, "source", "doc_id", "n_tokens")
+    plan = executed(out)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
