@@ -344,30 +344,37 @@ def connected_components_star(
 # shingles
 
 
-def word_shingles(text: Column, k: int = 3, hasher=None) -> Column:
-    """Distinct k-word shingles, hashed (default md5 hex → array<string>;
-    pass ``hasher=F.xxhash64`` for narrow bigint keys on the scale path)."""
-    hasher = hasher or F.md5
+def raw_word_ngrams(text: Column, n: int) -> Column:
+    """ALL word n-grams in document order (duplicates kept, space-joined
+    strings) — the shared scaffold under both the shingle hashers here and
+    the repetition counters in operators/text.py.
+
+    Zips n shifted copies of the word array instead of slicing per index:
+    `slice(words, i, n)` inside a transform lambda re-evaluates the split
+    for EVERY index (no CSE across lambda boundaries) — measured 14×
+    slower.  arrays_zip pads the shorter (shifted) arrays with null; rows
+    whose last word is null are the <n tails and are filtered out."""
     words = F.split(normalized(text), " ")
-    # zip k shifted copies of the word array instead of slicing per index:
-    # `slice(words, i, k)` inside a transform lambda re-evaluates the split
-    # for EVERY index (no CSE across lambda boundaries) — measured 14×
-    # slower.  arrays_zip pads the shorter (shifted) arrays with null; rows
-    # whose last word is null are the <k tails and are filtered out.
-    shifted = [F.slice(words, i + 1, 1 << 30).alias(f"w{i}") for i in range(k)]
+    shifted = [F.slice(words, i + 1, 1 << 30).alias(f"w{i}") for i in range(n)]
     z = F.arrays_zip(*shifted)
-    last = f"w{k - 1}"
-    sh = F.filter(
+    last = f"w{n - 1}"
+    return F.filter(
         F.transform(
             z,
             lambda s: F.when(
                 s[last].isNotNull(),
-                hasher(F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])),
+                F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]),
             ),
         ),
         lambda x: x.isNotNull(),
     )
-    return F.array_distinct(sh)
+
+
+def word_shingles(text: Column, k: int = 3, hasher=None) -> Column:
+    """Distinct k-word shingles, hashed (default md5 hex → array<string>;
+    pass ``hasher=F.xxhash64`` for narrow bigint keys on the scale path)."""
+    hasher = hasher or F.md5
+    return F.array_distinct(F.transform(raw_word_ngrams(text, k), lambda g: hasher(g)))
 
 
 def ngram_jaccard_pairs(

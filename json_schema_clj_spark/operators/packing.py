@@ -100,8 +100,10 @@ def pack_documents(
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     out = global_exclusive_cumsum(df, size_col, order_col, n_parts=n_parts)
+    # `div`, not floor(/): float division loses exactness past 2^53 total
+    # tokens (10^12 docs x 10k tokens crosses it) and can land a bin off
     return out.withColumn(
-        "bin_id", F.floor(F.col("start_offset") / capacity).cast("long")
+        "bin_id", F.expr(f"start_offset div {int(capacity)}")
     ).withColumn("offset_in_bin", (F.col("start_offset") % capacity).cast("long"))
 
 
@@ -126,8 +128,10 @@ def pack_chunks(
     packed = pack_documents(df, size_col, order_col, capacity, n_parts=n_parts)
     s = F.col("start_offset")
     end = s + F.col(size_col)
-    b0 = F.floor(s / capacity).cast("long")
-    b1 = F.floor((end - 1) / capacity).cast("long")
+    # integer `div` for the same >2^53 exactness reason as pack_documents
+    c = int(capacity)
+    b0 = F.expr(f"start_offset div {c}")
+    b1 = F.expr(f"(start_offset + `{size_col}` - 1) div {c}")
     out = packed.where(F.col(size_col) > 0).withColumn(
         "bin_id", F.explode(F.sequence(b0, b1))
     )

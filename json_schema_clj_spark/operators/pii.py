@@ -31,10 +31,28 @@ PII_PATTERNS: dict[str, str] = {
 
 
 def pii_counts(text: Column, patterns: dict[str, str] | None = None) -> dict[str, Column]:
-    """Per-type hit count: size(regexp_extract_all(...)) — identical
+    """Per-type hit count, STAGED: each pattern counts against the text
+    with all PRIOR patterns already redacted, so the counts are exactly
+    the replacements the sequential redaction performs — an overlapping
+    cross-type span (an ip inside an email, say) is attributed to the
+    first pattern that consumes it, never double-counted.  Same
     non-overlapping leftmost semantics in Spark and DuckDB."""
     pats = patterns or PII_PATTERNS
-    return {name: F.size(F.regexp_extract_all(text, F.lit(pat), 0)) for name, pat in pats.items()}
+    out: dict[str, Column] = {}
+    staged = text
+    for name, pat in pats.items():
+        out[name] = F.size(F.regexp_extract_all(staged, F.lit(pat), 0))
+        staged = F.regexp_replace(staged, pat, f"[{name.upper()}]")
+    return out
+
+
+def _total(counts: dict[str, Column]) -> Column:
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    if total is None:
+        raise ValueError("patterns mapping is empty")
+    return total
 
 
 def pii_redact_text(text: Column, patterns: dict[str, str] | None = None) -> Column:
@@ -54,16 +72,15 @@ def pii_scan(
     id_col: str = "doc_id",
     patterns: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Per-document hit counts per PII type plus the total."""
+    """Per-document hit counts per PII type plus the total.  The total
+    equals the number of replacements `pii_redact` performs (staged
+    counting — see pii_counts)."""
     pats = patterns or PII_PATTERNS
     counts = pii_counts(F.col(text_col), pats)
-    total = None
-    for c in counts.values():
-        total = c if total is None else total + c
     return df.select(
         F.col(id_col),
         *[c.alias(f"n_{name}") for name, c in counts.items()],
-        total.alias("n_pii"),
+        _total(counts).alias("n_pii"),
     )
 
 
@@ -73,14 +90,13 @@ def pii_redact(
     id_col: str = "doc_id",
     patterns: dict[str, str] | None = None,
 ) -> DataFrame:
-    """(id, redacted text, n_redactions) — the write-side of the pass."""
+    """(id, redacted text, n_redactions) — the write-side of the pass.
+    n_redactions is the exact number of placeholder substitutions in
+    `redacted` (staged counting)."""
     pats = patterns or PII_PATTERNS
     counts = pii_counts(F.col(text_col), pats)
-    total = None
-    for c in counts.values():
-        total = c if total is None else total + c
     return df.select(
         F.col(id_col),
         pii_redact_text(F.col(text_col), pats).alias("redacted"),
-        total.alias("n_redactions"),
+        _total(counts).alias("n_redactions"),
     )

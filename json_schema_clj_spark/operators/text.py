@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalized
+from .dedup import normalized, raw_word_ngrams
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
 LANG_STOPWORDS = {
@@ -131,28 +131,6 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def raw_word_ngrams(text: Column, n: int) -> Column:
-    """ALL word n-grams (duplicates kept, space-joined strings) — the input
-    to repetition counting, unlike ``dedup.word_shingles`` which distincts
-    and hashes.  Same arrays_zip construction (slice-per-index inside a
-    transform lambda re-evaluates the split per index — no CSE across
-    lambda boundaries)."""
-    words = F.split(normalized(text), " ")
-    shifted = [F.slice(words, i + 1, 1 << 30).alias(f"w{i}") for i in range(n)]
-    z = F.arrays_zip(*shifted)
-    last = f"w{n - 1}"
-    return F.filter(
-        F.transform(
-            z,
-            lambda s: F.when(
-                s[last].isNotNull(),
-                F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]),
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
-
-
 def repetition_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -184,6 +162,11 @@ def repetition_profile(
     dies on 100k-token documents)."""
     t = F.col(text_col)
     all_ns = (*top_ns, *dup_ns)
+    if len(set(all_ns)) != len(all_ns) or 0 in all_ns or any(n < 1 for n in all_ns):
+        raise ValueError(
+            f"top_ns and dup_ns must be disjoint positive ints (0 is the "
+            f"line tag), got top_ns={top_ns} dup_ns={dup_ns}"
+        )
     # tag each gram with its n (lines tagged n=0 — no collision with word
     # n-grams possible) and explode once
     # NB: the tag lambda must stay SINGLE-ARG — `lambda g, n=n:` would have

@@ -3448,17 +3448,23 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PII.pii_scan(docs).orderBy("doc_id")
 
 
-def _pii_count_sql(pat: str) -> str:
-    return f"len(regexp_extract_all(text, '{pat}'))"
+def _pii_staged_count_sqls() -> list[tuple[str, str]]:
+    """(name, count-expr) per pattern, each counting against the text with
+    all PRIOR patterns redacted — the exact mirror of the engine's staged
+    pii_counts, so overlapping cross-type spans are never double-counted."""
+    from .operators.pii import PII_PATTERNS
+
+    out, staged = [], "text"
+    for name, pat in PII_PATTERNS.items():
+        out.append((name, f"len(regexp_extract_all({staged}, '{pat}'))"))
+        staged = f"regexp_replace({staged}, '{pat}', '[{name.upper()}]', 'g')"
+    return out
 
 
 def _sql_pii_scan() -> str:
-    from .operators.pii import PII_PATTERNS
-
-    counts = ",\n       ".join(
-        f"{_pii_count_sql(p)} AS n_{name}" for name, p in PII_PATTERNS.items()
-    )
-    total = " + ".join(_pii_count_sql(p) for p in PII_PATTERNS.values())
+    staged = _pii_staged_count_sqls()
+    counts = ",\n       ".join(f"{expr} AS n_{name}" for name, expr in staged)
+    total = " + ".join(expr for _, expr in staged)
     return (
         f"WITH p AS ({_SQL_PII_PLANT})\n"
         f"SELECT doc_id,\n       {counts},\n       {total} AS n_pii\n"
@@ -3485,7 +3491,7 @@ def _sql_pii_redact() -> str:
     redacted = "text"
     for name, pat in PII_PATTERNS.items():
         redacted = f"regexp_replace({redacted}, '{pat}', '[{name.upper()}]', 'g')"
-    total = " + ".join(_pii_count_sql(p) for p in PII_PATTERNS.values())
+    total = " + ".join(expr for _, expr in _pii_staged_count_sqls())
     return (
         f"WITH p AS ({_SQL_PII_PLANT})\n"
         f"SELECT doc_id, md5({redacted}) AS redacted_md5,\n"
@@ -3524,8 +3530,8 @@ c AS (
 ),
 k AS (
   SELECT doc_id, n_tokens, s,
-         unnest(generate_series(CAST(floor(s / 64) AS BIGINT),
-                                CAST(floor((s + n_tokens - 1) / 64) AS BIGINT))) AS bin_id
+         unnest(generate_series(CAST(s // 64 AS BIGINT),
+                                CAST((s + n_tokens - 1) // 64 AS BIGINT))) AS bin_id
   FROM c WHERE n_tokens > 0
 )
 SELECT doc_id, bin_id,
@@ -3606,7 +3612,7 @@ c AS (
   FROM tok
 )
 SELECT doc_id, n_tokens, start_offset,
-       CAST(floor(start_offset / 64) AS BIGINT) AS bin_id,
+       CAST(start_offset // 64 AS BIGINT) AS bin_id,
        CAST(start_offset % 64 AS BIGINT) AS offset_in_bin
 FROM c ORDER BY doc_id
 """

@@ -89,6 +89,29 @@ def test_pii_redact_text(spark):
     assert r["n_redactions"] == 3
 
 
+def test_pii_overlapping_spans_not_double_counted(spark):
+    # an ipv4 inside an email-shaped span and a phone inside another: the
+    # email pattern consumes both, so scan/redact must report 2, not 4
+    # (staged counting — counts equal the replacements actually performed)
+    df = spark.createDataFrame(
+        [(1, "reach a@1.2.3.4.com or admin.555-123-4567@corp.io")],
+        "doc_id long, text string",
+    )
+    r = PII.pii_redact(df).collect()[0]
+    assert r["redacted"] == "reach [EMAIL] or [EMAIL]"
+    assert r["n_redactions"] == 2
+    s = PII.pii_scan(df).collect()[0]
+    assert (s["n_email"], s["n_ipv4"], s["n_phone"], s["n_pii"]) == (2, 0, 0, 2)
+
+
+def test_repetition_rejects_colliding_ns(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TX.repetition_profile(df, top_ns=(2, 3), dup_ns=(3,))
+    with pytest.raises(ValueError):
+        TX.repetition_profile(df, top_ns=(2,), dup_ns=(0,))
+
+
 def test_pii_dotted_form_disambiguation(spark):
     # a valid dotted quad is IPV4; a 3-3-4 dotted string is PHONE; an
     # INVALID quad (4-digit octet) fails the \b-anchored ipv4 pattern and
