@@ -153,22 +153,27 @@ def repetition_profile(
       over-count — the standard cheap approximation; a fraction >1 simply
       means "saturated repetition")
 
-    Scale shape: ONE explode of (|top_ns|+|dup_ns|) tagged n-gram arrays
-    plus the line array (linear in corpus tokens), one partial-agg'd
-    shuffle keyed (id, n, gram) — well-spread, no hot keys beyond a
-    pathological single-document gram —, one rollup shuffle on id, and one
-    shuffle join back to the per-row HOF stats.  Never quadratic in
-    document length (the all-HOF alternative is O(len²) per doc, which
-    dies on 100k-token documents)."""
+    Scale shape: ONE scan, ONE explode of the tagged gram arrays — lines
+    (tag 0), words/1-grams (tag 1, which double as the word- and
+    char-count carriers: n_words = Σcnt, distinct words = row count,
+    normalized length = Σ(len+1)·cnt − 1, and raw length/line count
+    reconstruct from the line rows the same way), plus the requested
+    n-grams — then one partial-agg'd shuffle keyed (id, n, gram) and one
+    rollup shuffle on id.  No join back, no second pass over the text.
+    Never quadratic in document length (the all-HOF alternative is
+    O(len²) per doc, which dies on 100k-token documents).
+
+    ``line_sep`` must be a regex matching exactly one character (the raw
+    length reconstruction counts one separator char between lines)."""
     t = F.col(text_col)
     all_ns = (*top_ns, *dup_ns)
-    if len(set(all_ns)) != len(all_ns) or 0 in all_ns or any(n < 1 for n in all_ns):
+    if len(set(all_ns)) != len(all_ns) or any(n < 2 for n in all_ns):
         raise ValueError(
-            f"top_ns and dup_ns must be disjoint positive ints (0 is the "
-            f"line tag), got top_ns={top_ns} dup_ns={dup_ns}"
+            f"top_ns and dup_ns must be disjoint ints >= 2 (0 is the line "
+            f"tag, 1 the word tag), got top_ns={top_ns} dup_ns={dup_ns}"
         )
-    # tag each gram with its n (lines tagged n=0 — no collision with word
-    # n-grams possible) and explode once
+    # tag each gram with its n (lines tagged 0, words 1 — no collision
+    # with word n-grams possible) and explode once
     # NB: the tag lambda must stay SINGLE-ARG — `lambda g, n=n:` would have
     # arity 2 and PySpark would bind the second parameter to the element
     # INDEX, silently replacing the intended constant
@@ -178,6 +183,7 @@ def repetition_profile(
     tagged = F.flatten(
         F.array(
             F.transform(F.split(t, line_sep), _tag(0)),
+            F.transform(tokens(t), _tag(1)),
             *[F.transform(raw_word_ngrams(t, n), _tag(n)) for n in all_ns],
         )
     )
@@ -185,43 +191,36 @@ def repetition_profile(
         id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
     )
     counts = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    gram_chars = F.col("cnt") * F.length("gram")
+    n_col, cnt = F.col("n"), F.col("cnt")
+    gram_chars = cnt * F.length("gram")
     rolled = counts.groupBy(id_col).agg(
-        F.sum(F.when((F.col("n") == 0) & (F.col("cnt") > 1), F.col("cnt"))).alias("_dl"),
-        F.sum(F.when((F.col("n") == 0) & (F.col("cnt") > 1), gram_chars)).alias("_dlc"),
+        F.sum(F.when(n_col == 1, cnt)).alias("n_words"),
+        F.count(F.when(n_col == 1, True)).alias("_dw"),
+        (F.sum(F.when(n_col == 1, (F.length("gram") + 1) * cnt)) - 1).alias("_nlen"),
+        F.sum(F.when(n_col == 0, cnt)).alias("_nlines"),
+        F.sum(F.when(n_col == 0, gram_chars)).alias("_linechars"),
+        F.sum(F.when((n_col == 0) & (cnt > 1), cnt)).alias("_dl"),
+        F.sum(F.when((n_col == 0) & (cnt > 1), gram_chars)).alias("_dlc"),
+        *[F.max(F.when(n_col == n, gram_chars)).alias(f"_top{n}") for n in top_ns],
         *[
-            F.max(F.when(F.col("n") == n, gram_chars)).alias(f"_top{n}")
-            for n in top_ns
-        ],
-        *[
-            F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1), gram_chars)).alias(f"_dup{n}")
+            F.sum(F.when((n_col == n) & (cnt > 1), gram_chars)).alias(f"_dup{n}")
             for n in dup_ns
         ],
     )
-    words = tokens(t)
-    base = df.select(
-        F.col(id_col),
-        F.length(t).alias("_rlen"),
-        F.length(normalized(t)).alias("_nlen"),
-        F.size(F.split(t, line_sep)).alias("_nlines"),
-        F.size(words).alias("n_words"),
-        (
-            F.lit(1)
-            - F.size(F.array_distinct(words))
-            / F.greatest(F.size(words), F.lit(1)).cast("double")
-        ).alias("_dwf"),
-    )
-    j = base.join(rolled, on=id_col, how="left")
 
     def frac(num: Column, den: Column) -> Column:
         return F.round(F.coalesce(num, F.lit(0)) / F.greatest(den, F.lit(1)).cast("double"), 6)
 
-    return j.select(
+    rlen = F.col("_linechars") + F.col("_nlines") - 1
+    return rolled.select(
         F.col(id_col),
         F.col("n_words"),
-        F.round("_dwf", 6).alias("dup_word_frac"),
+        F.round(
+            F.lit(1) - F.col("_dw") / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
         frac(F.col("_dl"), F.col("_nlines")).alias("dup_line_frac"),
-        frac(F.col("_dlc"), F.col("_rlen")).alias("dup_line_char_frac"),
+        frac(F.col("_dlc"), rlen).alias("dup_line_char_frac"),
         *[frac(F.col(f"_top{n}"), F.col("_nlen")).alias(f"top{n}gram_char_frac") for n in top_ns],
         *[frac(F.col(f"_dup{n}"), F.col("_nlen")).alias(f"dup{n}gram_char_frac") for n in dup_ns],
     )

@@ -3335,8 +3335,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the raw corpus has no repeated lines/5-grams — without the
     plant a cnt>1 bug in either engine would pass the driver gate)."""
     d = F.col("doc_id")
+    # the documents table is one small parquet split — repartition so the
+    # heavy gram projection parallelizes (at cluster scale the scan's own
+    # splits provide this and the repartition is a cheap text shuffle)
     docs = (
         t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn(
             "text",
             F.when(
