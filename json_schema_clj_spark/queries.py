@@ -1148,7 +1148,12 @@ def q_documents_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(exact_plant).unionByName(near_plant)
 
     tcol = F.col("text")
-    non_empty = corpus.where(tcol.isNotNull() & (F.trim(tcol) != ""))
+    # the 3-branch union of one small parquet split is 3 partitions —
+    # repartition so the shingle/hash projections parallelize (A/B'd
+    # 4.0 -> 3.3 s at sf0.1 local[32]; scan splits provide this at scale)
+    non_empty = corpus.where(tcol.isNotNull() & (F.trim(tcol) != "")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # exact groups: min-id keeper per normalized-text hash
     hashed = non_empty.select("doc_id", D.text_hash(tcol).alias("th"))
     keepers = hashed.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
