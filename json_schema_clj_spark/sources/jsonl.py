@@ -57,3 +57,37 @@ def validate_jsonl(
         json_col=json_col,
         config=config,
     )
+
+
+def read_jsonl_stream(
+    spark: SparkSession, path: str, json_col: str = "doc_json"
+) -> DataFrame:
+    """Streaming twin of read_jsonl: readStream.text over a landing
+    directory — new files become micro-batches.  No ingest_id (a
+    monotonic id is only meaningful within one batch run); documents
+    should carry their own key."""
+    raw = spark.readStream.text(path)
+    return raw.where(F.length(F.trim(F.col("value"))) > 0).select(
+        F.col("value").alias(json_col)
+    )
+
+
+def validate_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: dict,
+    config: Optional[dict] = None,
+    json_col: str = "doc_json",
+) -> DataFrame:
+    """Streaming validation of a jsonl landing directory.  The compiled
+    check tree is stateless, so the batch facade applies unchanged to the
+    streaming DataFrame (same plan per micro-batch); route the result to
+    a sink / foreachBatch like any validated stream."""
+    from ..engine import validate_json_column
+
+    return validate_json_column(
+        read_jsonl_stream(spark, path, json_col=json_col),
+        schema,
+        json_col=json_col,
+        config=config,
+    )

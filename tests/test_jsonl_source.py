@@ -77,3 +77,28 @@ def test_jsonl_quarantine_split_roundtrip(spark, tmp_path):
         for r in quarantined.collect()
         for v in r["violations"]
     } == {"$parse"}
+
+
+def test_jsonl_streaming_validation(spark, tmp_path):
+    from json_schema_clj_spark.sources.jsonl import validate_jsonl_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.jsonl").write_text('{"id": 1}\n{not json\n{"id": 0}\n')
+    out = validate_jsonl_stream(spark, str(land), SCHEMA)
+    assert out.isStreaming
+
+    got = {}
+
+    def sink(batch_df, epoch_id):
+        got.setdefault("rows", []).extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    verdicts = {r["doc_json"]: r["valid"] for r in got["rows"]}
+    assert verdicts == {'{"id": 1}': True, "{not json": False, '{"id": 0}': False}

@@ -334,12 +334,17 @@ the engine's clean-host efficiency.
 rows/s** at {bc['meta'].get('images_rows', 0):,} rows on local[32]
 (bench.py times the flagship after the query loop, i.e. with a JIT-warm
 JVM like any long-lived job); {len(bc['queries'])}-query total-of-minima
-**{bc['total_of_minima']} s** at sf0.1 (the set grew 40 → 53 → 59 queries across round 3
-— the schema-inference family, FD/candidate-key discovery,
-schema/partition drift, outlier and format-conformance profiles,
-composite-FK referential, then the pHash pipeline family and the
-triage pair violation_examples/sampled_validation — so totals are not
-comparable across set sizes; per-query minima are).  The slowest
+**{bc['total_of_minima']} s** at sf0.1 (the set grew 40 → 53 → 59 → 70
+queries across round 3 — the schema-inference family, FD/candidate-key
+discovery, schema/partition drift, outlier and format-conformance
+profiles, composite-FK referential, the pHash pipeline family, the
+triage pair violation_examples/sampled_validation, and finally the
+curation fourth wave (repetition profile, PII scan/redact, sequence
+packing + shard spans, corpus mixing) — so totals are not comparable
+across set sizes; per-query minima are.  Minima recorded before a
+query was optimized mid-round supersede downward as new clean runs
+land — e.g. text_repetition_profile 4.89 → ~2.5 s after its one-pass
+rollup).  The slowest
 entries (fd_discovery 3.8 s, candidate_keys 2.6 s) run their EXACT
 per-pair oracle mode by design — the 10^12-row path is the single-pass
 HLL aggregation, plan-audited in tests/test_plan_quality.py and
