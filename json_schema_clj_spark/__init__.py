@@ -21,6 +21,12 @@ agg), referential integrity (broadcast/SMJ anti-join), distribution drift
 multimodal analysis for training-data pipelines.
 """
 
+from .operators.curation import (  # noqa: F401
+    CurationConfig,
+    CurationResult,
+    curate,
+    curation_verdicts,
+)
 from .operators.validate import (  # noqa: F401
     keyword_breakdown,
     validate,
