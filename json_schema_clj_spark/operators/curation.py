@@ -141,8 +141,26 @@ def curation_verdicts(
         near_dropped = docs.select(id_col).limit(0).withColumn("is_near", F.lit(True))
 
     flagged = docs.join(exact_dropped, id_col, "left").join(near_dropped, id_col, "left")
+    out = verdict_rows(flagged, cfg, text_col, id_col)
+    return D.carry_deps(out, deps) if deps is not None else out
+
+
+def verdict_rows(
+    flagged: DataFrame,
+    cfg: CurationConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, verdict, reason) from a frame carrying the drop flags —
+    ``is_exact``/``is_near`` boolean columns (NULL = not dropped, the
+    left-join convention; a NULL condition falls through ``when``).  The
+    shared precedence tail of the batch path AND the streaming path
+    (streaming/curate_stream.py), which derive the flags differently
+    (batch-local sets vs the cross-epoch stores) but must agree on every
+    gate and on reason order."""
+    tcol = F.col(text_col)
     if cfg.max_dup5 is not None:
-        rep = TX.repetition_profile(docs, text_col=text_col, id_col=id_col).select(
+        rep = TX.repetition_profile(flagged, text_col=text_col, id_col=id_col).select(
             id_col, "dup5gram_char_frac"
         )
         flagged = flagged.join(rep, id_col, "left")
@@ -165,23 +183,23 @@ def curation_verdicts(
         )
     reason = reason.otherwise(F.lit("kept"))
 
-    out = flagged.select(
+    return flagged.select(
         id_col,
         F.when(reason == "kept", F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
         reason.alias("reason"),
     )
-    return D.carry_deps(out, deps) if deps is not None else out
 
 
-def curate(
+def redacted_kept(
     docs: DataFrame,
-    cfg: CurationConfig = CurationConfig(),
+    verdicts: DataFrame,
+    cfg: CurationConfig,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> CurationResult:
-    """The full composed run over a (id, text) table, one call."""
-    verdicts = curation_verdicts(docs, cfg, text_col, id_col)
-
+) -> DataFrame:
+    """The surviving corpus: kept rows of ``verdicts`` joined back to the
+    text, PII-redacted when configured, with the token count a tokenizer
+    will actually see.  Shared by ``curate()`` and the streaming path."""
     kept_ids = verdicts.where(F.col("reason") == "kept").select(id_col)
     kept_docs = docs.join(kept_ids, id_col)
     if cfg.redact_pii:
@@ -192,7 +210,18 @@ def curate(
         red = kept_docs.select(
             id_col, text_col, F.lit(0).cast("long").alias("n_redactions")
         )
-    kept = red.withColumn("n_tokens", TX.token_count(F.col(text_col)))
+    return red.withColumn("n_tokens", TX.token_count(F.col(text_col)))
+
+
+def curate(
+    docs: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> CurationResult:
+    """The full composed run over a (id, text) table, one call."""
+    verdicts = curation_verdicts(docs, cfg, text_col, id_col)
+    kept = redacted_kept(docs, verdicts, cfg, text_col, id_col)
 
     pack = (
         PK.pack_chunks(kept.select(id_col, "n_tokens"), "n_tokens", id_col, cfg.capacity)

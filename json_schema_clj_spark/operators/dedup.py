@@ -672,7 +672,10 @@ def minhash_signatures(
             order = np.argsort(d, kind="stable")
             d_sorted, h_sorted = d[order], h0[order]
             if len(d_sorted) == 0:
-                yield pd.DataFrame({"id": ids[:0], "sig": []})
+                # dtype=object, not a bare [] — an empty list column defaults
+                # to float64, which Arrow cannot convert to list<int64> (bites
+                # exactly when EVERY doc in a partition has < k words)
+                yield pd.DataFrame({"id": ids[:0], "sig": pd.Series([], dtype=object)})
                 continue
             starts = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
             present = d_sorted[starts]

@@ -116,6 +116,22 @@ def test_minhash_single_doc_batch_no_phantom_shingles(spark):
         assert sig_alone == sig_many[doc_id], doc_id
 
 
+def test_minhash_all_short_partition_empty_sig_batch(spark):
+    # regression: a partition where EVERY doc has < k words yields an empty
+    # frame whose bare-[] sig column defaulted to float64 — Arrow cannot
+    # convert that to list<int64> and the whole stage crashed.  Mixed and
+    # all-short layouts must both produce signatures only for shingleable
+    # docs.
+    schema = "doc_id long, text string"
+    all_short = spark.createDataFrame([(1, "just two"), (2, "one")], schema).coalesce(1)
+    assert D.minhash_signatures(all_short, k=3).collect() == []
+    mixed = spark.createDataFrame(
+        [(1, "just two"), (2, "alpha beta gamma delta")], schema
+    ).repartition(4)
+    got = D.minhash_signatures(mixed, k=3).collect()
+    assert [r["id"] for r in got] == [2] and len(got[0]["sig"]) == 64
+
+
 def test_minhash_md5_finds_exact_dups(docs):
     # planted exact duplicates (jaccard 1.0) must surface with sim 1.0;
     # every reported pair's sim is a multiple of 1/bands in [0.25, 1]
