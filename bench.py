@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_exact_substring",
     "dedup_shared_runs",
     "documents_curation_verdicts",
+    "curation_one_call",
     "decontamination",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_incremental",

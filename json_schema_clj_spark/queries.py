@@ -1256,6 +1256,136 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_curation_one_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call `curate()` API (operators/curation.py) through the
+    driver gate: PII-planted corpus + exact/near clones run the WHOLE
+    composed pipeline — verdicts, PII-redacted kept corpus, shard-span
+    packing — and the output joins all three members per document.
+    Every stage is replicated in ANSI SQL (the dedup CTEs of
+    SQL_DOCUMENTS_CURATION, the staged PII redaction/counting of
+    SQL_PII_REDACT, the cumsum bin rule of SQL_PACK_CHUNKS), so the whole
+    CurationResult is bit-exact.  NULL members for dropped docs are
+    coalesced to -1 on both sides: integer outputs only."""
+    from .operators import curation as CUR
+
+    docs = _pii_planted(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    exact_plant = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near_plant = docs.where(F.col("doc_id") % 30 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(exact_plant).unionByName(near_plant).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cfg = CUR.CurationConfig(
+        min_tokens=15, max_tokens=90, max_punct_ratio=0.2,
+        near_method="jaccard", near_threshold=0.6, shingle_k=3,
+        max_shingle_freq=50, redact_pii=True, capacity=64,
+    )
+    res = CUR.curate(corpus, cfg)
+    first_bin = res.pack.groupBy("doc_id").agg(F.min("bin_id").alias("bin_id"))
+    out = (
+        res.verdicts
+        .join(res.kept.select("doc_id", "n_redactions", "n_tokens"), "doc_id", "left")
+        .join(first_bin, "doc_id", "left")
+        .select(
+            "doc_id", "verdict", "reason",
+            F.coalesce(F.col("n_redactions"), F.lit(-1)).cast("long").alias("n_redactions"),
+            F.coalesce(F.col("n_tokens"), F.lit(-1)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("bin_id"), F.lit(-1)).cast("long").alias("bin_id"),
+        )
+        .orderBy("doc_id")
+    )
+    return D.carry_deps(out, res.verdicts)
+
+
+def _sql_curation_one_call() -> str:
+    from .operators.pii import PII_PATTERNS
+
+    redacted = "text"
+    for name, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '[{name.upper()}]', 'g')"
+    n_red = " + ".join(expr for _, expr in _pii_staged_count_sqls())
+    return rf"""
+WITH p AS ({_SQL_PII_PLANT}),
+corpus AS (
+  SELECT doc_id, text FROM p
+  UNION ALL
+  SELECT doc_id + 200000, text FROM p WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 300000, coalesce(text, '') || ' zzz' FROM p WHERE doc_id % 30 = 1
+),
+norm AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+  FROM corpus
+),
+ne AS (SELECT * FROM norm WHERE text IS NOT NULL AND trim(text) <> ''),
+keepers AS (SELECT md5(n) AS th, min(doc_id) AS keep_id FROM ne GROUP BY 1),
+exact_dropped AS (
+  SELECT doc_id FROM ne JOIN keepers ON md5(ne.n) = keepers.th
+  WHERE doc_id <> keep_id
+),
+words AS (SELECT doc_id, string_split(n, ' ') AS ws FROM ne),
+sh0 AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS sh
+  FROM words, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+sh AS (
+  SELECT * FROM sh0 WHERE sh NOT IN (
+    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 50
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near_dropped AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE shared / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.6
+),
+r AS (
+  SELECT c.doc_id, c.text,
+         CASE WHEN c.text IS NULL OR trim(c.text) = '' THEN 'empty'
+              WHEN c.doc_id IN (SELECT doc_id FROM exact_dropped) THEN 'exact_dup'
+              WHEN c.doc_id IN (SELECT doc_id FROM near_dropped) THEN 'near_dup'
+              WHEN len(string_split(n.n, ' ')) < 15 THEN 'too_short'
+              WHEN len(string_split(n.n, ' ')) > 90 THEN 'too_long'
+              WHEN length(regexp_replace(c.text, '[^.,;:!?]', '', 'g'))
+                     / CAST(greatest(length(c.text), 1) AS DOUBLE) > 0.2
+                THEN 'too_much_punct'
+              ELSE 'kept' END AS reason
+  FROM corpus c JOIN norm n USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, {n_red} AS n_redactions,
+         len(string_split(trim(regexp_replace(lower({redacted}), '\s+', ' ', 'g')), ' '))
+           AS n_tokens
+  FROM r WHERE reason = 'kept'
+),
+bins AS (
+  SELECT doc_id, n_redactions, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 64 AS BIGINT)
+           AS bin_id
+  FROM kept
+)
+SELECT r.doc_id,
+       CASE WHEN reason = 'kept' THEN 'keep' ELSE 'drop' END AS verdict,
+       reason,
+       coalesce(b.n_redactions, -1) AS n_redactions,
+       coalesce(b.n_tokens, -1) AS n_tokens,
+       coalesce(b.bin_id, -1) AS bin_id
+FROM r LEFT JOIN bins b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 12a2. image feature-extract + resize (oracled via the solid-color corpus)
 
@@ -3673,6 +3803,7 @@ QUERIES = {
     "dedup_shared_runs": q_shared_runs,
     "dedup_shared_runs_md5": q_shared_runs_md5,
     "documents_curation_verdicts": q_documents_curation,
+    "curation_one_call": q_curation_one_call,
     "sample_stratified_orders": q_sample_stratified,
     "images_feature_extract": q_images_feature_extract,
     "images_resize_chain": q_images_resize_chain,
@@ -3764,6 +3895,7 @@ ORACLES = {
     "dedup_shared_runs": SQL_SHARED_RUNS,
     "dedup_shared_runs_md5": SQL_SHARED_RUNS_MD5,
     "documents_curation_verdicts": SQL_DOCUMENTS_CURATION,
+    "curation_one_call": _sql_curation_one_call(),
     "sample_stratified_orders": SQL_SAMPLE_STRATIFIED,
     # solid-color PNG corpus: decoded dims/means are closed forms
     "images_feature_extract": SQL_IMAGES_FEATURE_EXTRACT,
