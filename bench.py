@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "pack_documents_bins",
     "corpus_mix_documents",
     "pack_chunks_documents",
+    "vectors_conformance_embeddings",
+    "vectors_norm_profile_embeddings",
+    "vectors_dim_profile_embeddings",
+    "vectors_dim_drift_embeddings",
 ]
 
 

@@ -3772,6 +3772,208 @@ FROM c ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# vector / embedding column validation (operators/vectors.py): the
+# validation-tier treatment for array<float> payloads — conformance
+# verdicts with fixed check precedence, quantized-norm profile, per-dim
+# stats.  All compared outputs are integers (elements quantize to
+# q = round(x·1024) BIGINT first — exact power-of-two product, so q and
+# every Σ over q are bit-identical between Spark and DuckDB).
+
+
+def q_vectors_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conformance verdict counts over a plant-corrupted embedding corpus:
+    vec_id%20==3 → NULL column, ==7 → truncated to 32 dims, ==11 → NaN
+    injected at position 0, ==15 → zero vector.  The oracle re-applies the
+    same corruption AND the same checks (list predicates) in DuckDB — the
+    counts are re-derived, not plant arithmetic."""
+    from .operators.vectors import vector_conformance
+
+    e = F.col("embedding")
+    m = F.col("vec_id") % 20
+    corrupted = (
+        F.when(m == 3, F.lit(None).cast("array<float>"))
+        .when(m == 7, F.slice(e, 1, 32))
+        .when(
+            m == 11,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")), F.slice(e, 2, 63)
+            ),
+        )
+        .when(m == 15, F.transform(e, lambda x: F.lit(0.0).cast("float")))
+        .otherwise(e)
+    )
+    vecs = t(spark, sf_dir, "embeddings").select(corrupted.alias("e"))
+    return vector_conformance(vecs, "e", expected_dim=64)
+
+
+SQL_VECTORS_CONFORMANCE = r"""
+WITH src AS (
+  SELECT CASE WHEN vec_id % 20 = 3 THEN NULL
+              WHEN vec_id % 20 = 7 THEN embedding[1:32]
+              WHEN vec_id % 20 = 11 THEN ['nan'::FLOAT] || embedding[2:64]
+              WHEN vec_id % 20 = 15 THEN list_transform(embedding, x -> 0.0::FLOAT)
+              ELSE embedding END AS e
+  FROM embeddings
+),
+z AS (
+  SELECT is_null, wrong_dim, nonfinite,
+         NOT is_null AND NOT wrong_dim AND NOT nonfinite
+           AND len(list_filter(e, x -> x != 0.0)) = 0 AS zero_vec
+  FROM (
+    SELECT e, e IS NULL AS is_null,
+           e IS NOT NULL AND len(e) != 64 AS wrong_dim,
+           e IS NOT NULL AND len(e) = 64
+             AND len(list_filter(e, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
+             AS nonfinite
+    FROM src
+  )
+)
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
+       sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS n_wrong_dim,
+       sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS n_nonfinite,
+       sum(CASE WHEN zero_vec THEN 1 ELSE 0 END) AS n_zero_vec,
+       sum(CASE WHEN NOT (is_null OR wrong_dim OR nonfinite OR zero_vec)
+            THEN 1 ELSE 0 END) AS n_ok
+FROM z
+"""
+
+
+def q_vectors_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label quantized-norm profile over a derived corpus exercising
+    the null and dead branches: vec_id%25==5 → NULL embedding, ==10 →
+    elements scaled by 1/4096 (every element quantizes to 0 at the 1/1024
+    resolution → a "dead"/collapsed vector).  min/max/sum of Σq² per
+    label are order-free integer arithmetic — bit-exact vs DuckDB."""
+    from .operators.vectors import vector_norm_profile
+
+    e = F.col("embedding")
+    m = F.col("vec_id") % 25
+    derived = (
+        F.when(m == 5, F.lit(None).cast("array<float>"))
+        .when(
+            m == 10,
+            F.transform(e, lambda x: (x / F.lit(4096.0)).cast("float")),
+        )
+        .otherwise(e)
+    )
+    vecs = t(spark, sf_dir, "embeddings").select(
+        F.col("label"), derived.alias("e")
+    )
+    return vector_norm_profile(vecs, "e", group_col="label").orderBy("grp")
+
+
+SQL_VECTORS_NORM_PROFILE = r"""
+WITH src AS (
+  SELECT label,
+         CASE WHEN vec_id % 25 = 5 THEN NULL
+              WHEN vec_id % 25 = 10
+                THEN list_transform(embedding, x -> CAST(x / 4096.0 AS FLOAT))
+              ELSE embedding END AS e
+  FROM embeddings
+),
+q AS (
+  SELECT label, e IS NULL AS is_null,
+         CASE WHEN e IS NOT NULL THEN CAST(list_aggregate(
+           list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)
+                               * CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)),
+           'sum') AS BIGINT) END AS qnorm2
+  FROM src
+)
+SELECT label AS grp, count(*) AS n_vecs,
+       sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
+       sum(CASE WHEN qnorm2 = 0 THEN 1 ELSE 0 END) AS n_dead,
+       min(qnorm2) AS min_qnorm2,
+       max(qnorm2) AS max_qnorm2,
+       sum(qnorm2) AS sum_qnorm2
+FROM q GROUP BY label ORDER BY grp
+"""
+
+
+def q_vectors_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension stats over the raw embeddings table: 64 rows of
+    (dim, n, n_null_elem, n_zero, min_q, max_q, sum_q, sum_q2) — the
+    dead-dimension / mean-shift screen.  Entirely integer in the
+    quantized domain; the oracle unnests with a 1-based index lambda."""
+    from .operators.vectors import vector_dim_profile
+
+    vecs = t(spark, sf_dir, "embeddings").select("embedding")
+    return vector_dim_profile(vecs, "embedding").orderBy("dim")
+
+
+def q_vectors_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim mean-shift drift between two corpus slices (label<5 vs
+    label>=5) with a planted +0.25 shift on dim 3 of the second slice —
+    at tau_q=128 (0.125 in element units) only the planted dim drifts.
+    The oracle RE-derives both dim profiles and the integer
+    cross-multiplied comparison in DuckDB — nothing is plant arithmetic."""
+    from .operators.vectors import vector_dim_drift
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("label") < 5).select("embedding")
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 3, (x + F.lit(0.25)).cast("float")).otherwise(x),
+    )
+    b = emb.where(F.col("label") >= 5).select(shifted.alias("embedding"))
+    return vector_dim_drift(a, b, "embedding", tau_q=128).orderBy("dim")
+
+
+SQL_VECTORS_DIM_DRIFT = r"""
+WITH a_el AS (
+  SELECT unnest(list_transform(embedding, (x, i) -> {'dim': i - 1, 'x': x}),
+                recursive := true)
+  FROM embeddings WHERE label < 5
+),
+b_el AS (
+  SELECT unnest(list_transform(
+           list_transform(embedding,
+             (x, i) -> CASE WHEN i = 4 THEN CAST(x + 0.25 AS FLOAT) ELSE x END),
+           (x, i) -> {'dim': i - 1, 'x': x}), recursive := true)
+  FROM embeddings WHERE label >= 5
+),
+a AS (
+  SELECT dim, count(*) AS n_a,
+         sum(CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS sum_q_a
+  FROM a_el GROUP BY dim
+),
+b AS (
+  SELECT dim, count(*) AS n_b,
+         sum(CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS sum_q_b
+  FROM b_el GROUP BY dim
+)
+SELECT coalesce(a.dim, b.dim) AS dim,
+       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       coalesce(sum_q_a, 0) AS sum_q_a, coalesce(sum_q_b, 0) AS sum_q_b,
+       CASE WHEN coalesce(n_a, 0) = 0 OR coalesce(n_b, 0) = 0 THEN 1
+            WHEN abs(sum_q_a * n_b - sum_q_b * n_a) > 128 * n_a * n_b THEN 1
+            ELSE 0 END AS drift
+FROM a FULL OUTER JOIN b ON a.dim = b.dim
+ORDER BY dim
+"""
+
+
+SQL_VECTORS_DIM_PROFILE = r"""
+WITH el AS (
+  SELECT unnest(list_transform(embedding, (x, i) -> {'dim': i - 1, 'x': x}),
+                recursive := true)
+  FROM embeddings
+),
+q AS (
+  SELECT dim, x IS NULL AS null_elem,
+         CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS q
+  FROM el
+)
+SELECT dim, count(*) AS n,
+       sum(CASE WHEN null_elem THEN 1 ELSE 0 END) AS n_null_elem,
+       sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS n_zero,
+       min(q) AS min_q, max(q) AS max_q,
+       sum(q) AS sum_q, sum(q * q) AS sum_q2
+FROM q GROUP BY dim ORDER BY dim
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -3862,6 +4064,10 @@ QUERIES = {
     "images_curation_funnel": q_images_curation_funnel,
     "images_magic_conformance": q_images_magic_conformance,
     "suite_conformance": q_suite_conformance,
+    "vectors_conformance_embeddings": q_vectors_conformance,
+    "vectors_norm_profile_embeddings": q_vectors_norm_profile,
+    "vectors_dim_profile_embeddings": q_vectors_dim_profile,
+    "vectors_dim_drift_embeddings": q_vectors_dim_drift,
 }
 
 ORACLES = {
@@ -3964,6 +4170,10 @@ ORACLES = {
     "referential_composite_dangling": SQL_REFERENTIAL_COMPOSITE,
     "partition_schema_drift_orders": SQL_PARTITION_SCHEMA_DRIFT,
     "format_conformance_orders": SQL_FORMAT_CONFORMANCE_ORDERS,
+    "vectors_conformance_embeddings": SQL_VECTORS_CONFORMANCE,
+    "vectors_norm_profile_embeddings": SQL_VECTORS_NORM_PROFILE,
+    "vectors_dim_profile_embeddings": SQL_VECTORS_DIM_PROFILE,
+    "vectors_dim_drift_embeddings": SQL_VECTORS_DIM_DRIFT,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import
