@@ -70,24 +70,40 @@ class CurationResult:
       redacted text (what a tokenizer will actually see)
     * ``pack``     — shard-span manifest over ``kept`` (``pack_chunks``
       layout: every non-trailing bin exactly ``capacity`` tokens), or
-      ``None`` when no capacity was configured
+      ``None`` when no capacity was configured.  Built on FIRST ACCESS:
+      the distributed prefix sum underneath runs two driver-sized eager
+      jobs (quantile boundaries + per-bucket totals), so constructing it
+      inside ``curate()`` would break the nothing-runs-until-you-ask
+      contract; accessing ``.pack`` is the ask.
 
     Call ``release()`` after materializing — the near-dup stage persists
-    its signature frame (computed once, read by the bucket explode and
-    both pair joinbacks), and long-lived sessions should hand those
-    blocks back rather than wait for LRU eviction.
+    its signature frame, ``curate()`` persists the verdicts frame every
+    member reuses (plus the narrow sizes frame under ``pack``), and
+    long-lived sessions should hand those blocks back rather than wait
+    for LRU eviction.
     """
 
     def __init__(self, verdicts: DataFrame, kept: DataFrame,
-                 pack: DataFrame | None, deps: DataFrame | None):
+                 pack_builder, deps: list[DataFrame]):
         self.verdicts = verdicts
         self.kept = kept
-        self.pack = pack
+        self._pack_builder = pack_builder
+        self._pack: DataFrame | None = None
         self._deps = deps
 
+    @property
+    def pack(self) -> DataFrame | None:
+        if self._pack is None and self._pack_builder is not None:
+            self._pack, sizes = self._pack_builder()
+            self._deps.append(sizes)
+            self._pack_builder = None
+        return self._pack
+
     def release(self) -> None:
-        if self._deps is not None:
-            D.release(self._deps)
+        for dep in self._deps:
+            dep.unpersist()
+            D._ckpt_release(dep)
+        self._deps = []
 
 
 def curation_verdicts(
@@ -219,15 +235,39 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> CurationResult:
-    """The full composed run over a (id, text) table, one call."""
+    """The full composed run over a (id, text) table, one call.
+
+    ``verdicts`` feeds every other member (``kept``'s keep-filter, and
+    ``pack`` through ``kept`` — whose two-stage prefix sum evaluates its
+    input twice), so it is persisted here (lazily — no job runs until the
+    caller materializes a member).  Without this, each materialized
+    member re-runs the whole drop-set machinery — the near-dup pair join
+    in particular — once per member instead of once per curation.
+    verdicts is the cheapest frame in the graph to hold: three narrow
+    columns × |docs| rows, no text payload.  ``release()`` hands the
+    blocks back."""
+    from pyspark import StorageLevel
+
     verdicts = curation_verdicts(docs, cfg, text_col, id_col)
+    upstream = list(getattr(verdicts, "_persisted_deps", ()))
+    verdicts.persist(StorageLevel.MEMORY_AND_DISK)
+    # re-attach the full dep set on the verdicts frame too, so query
+    # wrappers that carry_deps() from it can release everything
+    D._with_deps(verdicts, *upstream, verdicts)
     kept = redacted_kept(docs, verdicts, cfg, text_col, id_col)
 
-    pack = (
-        PK.pack_chunks(kept.select(id_col, "n_tokens"), "n_tokens", id_col, cfg.capacity)
-        if cfg.capacity is not None
-        else None
-    )
+    pack_builder = None
+    if cfg.capacity is not None:
+        def pack_builder():
+            # the prefix sum's two eager driver jobs (quantile bounds +
+            # bucket totals) and the final joinback all read this narrow
+            # (id, n_tokens) frame — persist it so they evaluate the kept
+            # pipeline once, not three times
+            sizes = kept.select(id_col, "n_tokens").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            return PK.pack_chunks(sizes, "n_tokens", id_col, cfg.capacity), sizes
+
     return CurationResult(
-        verdicts, kept, pack, deps=verdicts if getattr(verdicts, "_persisted_deps", None) else None
+        verdicts, kept, pack_builder, deps=[*upstream, verdicts]
     )
