@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "vectors_norm_profile_embeddings",
     "vectors_dim_profile_embeddings",
     "vectors_dim_drift_embeddings",
+    "metrics_anomaly_orders",
 ]
 
 

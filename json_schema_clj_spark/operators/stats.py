@@ -256,3 +256,54 @@ def format_conformance_profile(df: DataFrame, col_formats: dict[str, str]) -> Da
         "n_match",
         (F.col("n_rows") - F.col("n_null") - F.col("n_match")).alias("n_mismatch"),
     )
+
+
+def metrics_anomaly(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    k: int = 3,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Median/MAD outlier flags over a metrics history — the ops layer
+    that watches the manifest's per-epoch metric rows (row counts, null
+    counts, violation counts per partition/epoch) and flags the epochs
+    whose value deviates more than ``k`` median-absolute-deviations from
+    that key's own history.  Median/MAD rather than mean/stddev: a real
+    metrics history CONTAINS the anomalies being hunted, and the
+    breakdown point of the mean is zero.
+
+    Input rows are ``(key_cols..., value_col)`` with an INTEGER metric;
+    output keeps every row plus ``(med4, dev4, mad8, anomaly)``.  All
+    derived columns are integer fixed-point so any engine agrees
+    bit-exactly: the exact median of integers is a multiple of 0.5, so
+    ``med4 = 4·median`` is an even integer; ``dev4 = |4·x − med4|`` is
+    integer; the median of integer dev4 is again a multiple of 0.5, so
+    ``mad8 = 2·median(dev4)`` is integer; and the flag
+    ``|x − med| > k·MAD`` cross-multiplies to ``2·dev4 > k·mad8`` —
+    no division or float threshold anywhere.
+
+    Two bounded passes (the deviation needs the median first), each a
+    partial-agg'd shuffle on the key; with ``exact=False`` the medians
+    come from the mergeable ``percentile_approx`` rank sketch (the
+    10^12-row path; flags near the fence can then differ from exact).
+    """
+    pct = (
+        (lambda c: F.percentile(c, F.lit(0.5)))
+        if exact
+        else (lambda c: F.percentile_approx(c, 0.5, accuracy))
+    )
+    x = F.col(value_col).cast("long")
+    med = df.groupBy(*key_cols).agg(
+        F.round(pct(x) * 4).cast("long").alias("med4")
+    )
+    devs = df.join(med, on=key_cols).withColumn(
+        "dev4", F.abs(x * 4 - F.col("med4"))
+    )
+    mad = devs.groupBy(*key_cols).agg(
+        F.round(pct(F.col("dev4")) * 2).cast("long").alias("mad8")
+    )
+    return devs.join(mad, on=key_cols).withColumn(
+        "anomaly", (F.col("dev4") * 2 > F.lit(int(k)) * F.col("mad8")).cast("int")
+    )

@@ -3974,6 +3974,53 @@ FROM q GROUP BY dim ORDER BY dim
 """
 
 
+def q_metrics_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly flags over a metrics history: per-priority
+    monthly order counts, each month flagged when its count deviates
+    more than 3 MAD from that priority's own history (partial months at
+    the date-range edges flag naturally).  Every derived column is
+    integer fixed-point (med4 = 4·median, mad8 = 2·median(|4x−med4|),
+    flag via 2·dev4 > k·mad8) — the oracle re-derives the whole
+    computation in DuckDB with no float threshold anywhere."""
+    from .operators.stats import metrics_anomaly
+
+    orders = t(spark, sf_dir, "orders")
+    hist = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        metrics_anomaly(hist, "n", ["priority"], k=3)
+        .select("priority", "mon", "n", "med4", "dev4", "mad8", "anomaly")
+        .orderBy("priority", "mon")
+    )
+
+
+SQL_METRICS_ANOMALY = r"""
+WITH hist AS (
+  SELECT o_orderpriority AS priority, strftime(o_orderdate, '%Y-%m') AS mon,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+med AS (
+  SELECT priority, CAST(round(quantile_cont(n, 0.5) * 4) AS BIGINT) AS med4
+  FROM hist GROUP BY priority
+),
+devs AS (
+  SELECT h.priority, h.mon, h.n, med4, abs(n * 4 - med4) AS dev4
+  FROM hist h JOIN med USING (priority)
+),
+mad AS (
+  SELECT priority, CAST(round(quantile_cont(dev4, 0.5) * 2) AS BIGINT) AS mad8
+  FROM devs GROUP BY priority
+)
+SELECT priority, mon, n, med4, dev4, mad8,
+       CASE WHEN dev4 * 2 > 3 * mad8 THEN 1 ELSE 0 END AS anomaly
+FROM devs JOIN mad USING (priority)
+ORDER BY priority, mon
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4068,6 +4115,7 @@ QUERIES = {
     "vectors_norm_profile_embeddings": q_vectors_norm_profile,
     "vectors_dim_profile_embeddings": q_vectors_dim_profile,
     "vectors_dim_drift_embeddings": q_vectors_dim_drift,
+    "metrics_anomaly_orders": q_metrics_anomaly,
 }
 
 ORACLES = {
@@ -4174,6 +4222,7 @@ ORACLES = {
     "vectors_norm_profile_embeddings": SQL_VECTORS_NORM_PROFILE,
     "vectors_dim_profile_embeddings": SQL_VECTORS_DIM_PROFILE,
     "vectors_dim_drift_embeddings": SQL_VECTORS_DIM_DRIFT,
+    "metrics_anomaly_orders": SQL_METRICS_ANOMALY,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

@@ -680,3 +680,33 @@ def test_sampled_validation_profile_matches_bruteforce_property(spark):
         assert got == want
 
     check()
+
+
+def test_metrics_anomaly_hand_computed(spark):
+    from json_schema_clj_spark.operators.stats import metrics_anomaly
+
+    hist = spark.createDataFrame(
+        [("a", 10), ("a", 12), ("a", 14), ("a", 16), ("a", 100),
+         ("b", 1), ("b", 2)],
+        "k string, n long",
+    )
+    out = {(r["k"], r["n"]): r for r in metrics_anomaly(hist, "n", ["k"], k=3).collect()}
+    # group a: median 14 -> med4 56; dev4 [16,8,0,8,344]; MAD median 8 -> mad8 16
+    assert out[("a", 14)]["med4"] == 56 and out[("a", 14)]["mad8"] == 16
+    assert out[("a", 100)]["anomaly"] == 1  # 2*344 > 3*16
+    assert all(out[("a", v)]["anomaly"] == 0 for v in (10, 12, 14, 16))
+    # group b: even count -> half-integer median (1.5); med4 = 6 stays exact
+    assert out[("b", 1)]["med4"] == 6
+    assert out[("b", 1)]["dev4"] == 2 and out[("b", 1)]["mad8"] == 4
+    assert out[("b", 1)]["anomaly"] == 0  # 2*2 = 4, not > 3*4
+
+
+def test_metrics_anomaly_degenerate_mad(spark):
+    from json_schema_clj_spark.operators.stats import metrics_anomaly
+
+    hist = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("a", 5), ("a", 5), ("a", 9)], "k string, n long"
+    )
+    out = {r["n"]: r for r in metrics_anomaly(hist, "n", ["k"], k=3).collect()}
+    # MAD = 0: any nonzero deviation flags (standard MAD degenerate case)
+    assert out[9]["anomaly"] == 1 and out[5]["anomaly"] == 0
