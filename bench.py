@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "vectors_dim_profile_embeddings",
     "vectors_dim_drift_embeddings",
     "metrics_anomaly_orders",
+    "images_header_conformance",
 ]
 
 

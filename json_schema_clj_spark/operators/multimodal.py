@@ -538,3 +538,41 @@ def magic_number_violations(df: DataFrame, id_cols: list[str]) -> DataFrame:
         F.concat(F.lit("bytes do not match magic number for fmt="), F.coalesce(F.col("fmt"), F.lit("null"))).alias("message"),
         F.lit("error").alias("severity"),
     )
+
+
+# --- header-level validation (no pixel decode) -----------------------------
+
+#: F.hex() emits uppercase
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+_IHDR_HEX = "49484452"
+
+
+def png_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Parse the PNG signature + IHDR geometry straight out of the binary
+    column — 24 bytes of fixed structure, NO pixel decode, pure Catalyst
+    (substring/hex/conv), so it runs at scan speed inside whole-stage
+    codegen.  This is the 10^12-image pre-pass that validates the
+    metadata columns' dimension CLAIMS (`w`/`h`) against what the bytes
+    actually say, deciding whether the expensive decode pass is needed
+    at all (the container analog of the magic-number conformance check,
+    one structural level deeper).
+
+    Adds ``hdr_ok`` (signature + IHDR tag present, ≥24 bytes) and
+    ``w_hdr``/``h_hdr`` (big-endian uint32s at offsets 16/20; NULL when
+    ``hdr_ok`` is false).  PNG only — JPEG's SOF frame floats behind
+    variable-length segments and goes through the Arrow decode path
+    (functions/jpeg.py) instead.
+    """
+    b = F.col(bytes_col)
+    hdr_ok = (
+        (F.length(b) >= 24)
+        & (F.hex(F.substring(b, 1, 8)) == F.lit(_PNG_SIG_HEX))
+        & (F.hex(F.substring(b, 13, 4)) == F.lit(_IHDR_HEX))
+    )
+    w_hdr = F.when(hdr_ok, F.conv(F.hex(F.substring(b, 17, 4)), 16, 10).cast("long"))
+    h_hdr = F.when(hdr_ok, F.conv(F.hex(F.substring(b, 21, 4)), 16, 10).cast("long"))
+    return (
+        df.withColumn("hdr_ok", hdr_ok)
+        .withColumn("w_hdr", w_hdr)
+        .withColumn("h_hdr", h_hdr)
+    )

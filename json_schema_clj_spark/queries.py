@@ -3974,6 +3974,48 @@ FROM q GROUP BY dim ORDER BY dim
 """
 
 
+def q_images_header_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-metadata dimension conformance WITHOUT pixel decode:
+    parse the IHDR geometry out of real PNG bytes with pure Catalyst
+    substring/conv (scan-speed — the pre-pass that decides whether the
+    decode pass is needed), then compare to the metadata `w`/`h`
+    columns.  Plants via id arithmetic: i%20==9 rows carry a lying
+    metadata width (+1), i%30==11 rows carry garbage bytes (header parse
+    fails) — residues disjoint mod 60, so the oracle is exact."""
+    from .operators.multimodal import png_header_dims
+    from .sources.images import solid_png_images_df
+
+    corpus = solid_png_images_df(spark, _SOLID_N)
+    i = F.substring("image_id", 5, 8).cast("long")
+    tampered = corpus.withColumn(
+        "w", F.when(i % 20 == 9, F.col("w") + 1).otherwise(F.col("w"))
+    ).withColumn(
+        "bytes",
+        F.when(i % 30 == 11, F.unhex(F.lit("DEADBEEF"))).otherwise(F.col("bytes")),
+    )
+    parsed = png_header_dims(tampered, "bytes")
+    return parsed.select(
+        "image_id",
+        "hdr_ok",
+        F.coalesce("w_hdr", F.lit(-1)).alias("w_hdr"),
+        F.coalesce("h_hdr", F.lit(-1)).alias("h_hdr"),
+        (F.col("hdr_ok") & (F.col("w") == F.col("w_hdr"))).alias("w_match"),
+        (F.col("hdr_ok") & (F.col("h") == F.col("h_hdr"))).alias("h_match"),
+    ).orderBy("image_id")
+
+
+SQL_IMAGES_HEADER_CONFORMANCE = f"""
+SELECT printf('img-%08d', i) AS image_id,
+       i % 30 <> 11 AS hdr_ok,
+       CASE WHEN i % 30 = 11 THEN -1 ELSE 8 + i % 5 END AS w_hdr,
+       CASE WHEN i % 30 = 11 THEN -1 ELSE 6 + i % 3 END AS h_hdr,
+       (i % 30 <> 11) AND (i % 20 <> 9) AS w_match,
+       i % 30 <> 11 AS h_match
+FROM generate_series(0, {_SOLID_N - 1}) t(i)
+ORDER BY image_id
+"""
+
+
 def q_metrics_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD anomaly flags over a metrics history: per-priority
     monthly order counts, each month flagged when its count deviates
@@ -4116,6 +4158,7 @@ QUERIES = {
     "vectors_dim_profile_embeddings": q_vectors_dim_profile,
     "vectors_dim_drift_embeddings": q_vectors_dim_drift,
     "metrics_anomaly_orders": q_metrics_anomaly,
+    "images_header_conformance": q_images_header_conformance,
 }
 
 ORACLES = {
@@ -4223,6 +4266,7 @@ ORACLES = {
     "vectors_dim_profile_embeddings": SQL_VECTORS_DIM_PROFILE,
     "vectors_dim_drift_embeddings": SQL_VECTORS_DIM_DRIFT,
     "metrics_anomaly_orders": SQL_METRICS_ANOMALY,
+    "images_header_conformance": SQL_IMAGES_HEADER_CONFORMANCE,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

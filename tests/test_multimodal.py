@@ -125,3 +125,32 @@ def test_qpng_spark_lossy_invariant(spark):
             assert db < 40.0, (img, db)
         else:
             assert 40.0 <= db, (img, db)
+
+
+def test_png_header_dims_catalyst_parse(spark):
+    """Header-only dimension parse agrees with real encodes — including
+    multi-byte big-endian dims — and stays pure Catalyst (no Python)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from json_schema_clj_spark.operators.multimodal import (
+        encode_png,
+        png_header_dims,
+    )
+
+    rows = []
+    for i, (w, h) in enumerate([(8, 6), (300, 70), (1, 1), (257, 511)]):
+        px = np.zeros((h, w, 3), np.uint8)
+        rows.append((f"p{i}", encode_png(px), w, h))
+    rows.append(("bad", b"\xde\xad\xbe\xef", 5, 5))
+    rows.append(("short", b"\x89PNG\r\n\x1a\x0a", 5, 5))  # sig only, no IHDR
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    out = {r["image_id"]: r for r in png_header_dims(df).collect()}
+    for i, (w, h) in enumerate([(8, 6), (300, 70), (1, 1), (257, 511)]):
+        r = out[f"p{i}"]
+        assert r["hdr_ok"] and r["w_hdr"] == w and r["h_hdr"] == h
+    assert not out["bad"]["hdr_ok"] and out["bad"]["w_hdr"] is None
+    assert not out["short"]["hdr_ok"]
+
+    plan = png_header_dims(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
