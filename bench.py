@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "vectors_dim_drift_embeddings",
     "metrics_anomaly_orders",
     "images_header_conformance",
+    "zone_prune_orders",
 ]
 
 

@@ -4063,6 +4063,111 @@ ORDER BY priority, mon
 """
 
 
+# ---------------------------------------------------------------------------
+# Zone-map validation pushdown: per-shard tri-state decisions (all_pass /
+# all_fail / scan) for scalar constraint keywords, from min/max/null-count
+# statistics alone — the metadata-speed pre-pass that lets a 10^12-row
+# validation job skip provably-clean files.  Shards here are o_orderkey
+# ranges (floor(key/2048)) so the maximum-keyword decision genuinely varies
+# across shards (low shards all_pass, the boundary shard scan, high shards
+# all_fail); the oracle recomputes the identical interval logic in SQL.
+
+_ZONE_SHARD_DIV = 2048
+_ZONE_CHECKS = [
+    ("o_orderkey", "maximum", 9999),
+    ("o_orderkey", "exclusiveMinimum", -1),
+    ("o_custkey", "exclusiveMaximum", 0),
+    ("o_custkey", "required", None),
+    ("o_totalprice", "minimum", 100000.0),
+    ("o_orderstatus", "const", "F"),
+    ("o_orderpriority", "enum", ["1-URGENT", "2-HIGH"]),
+]
+
+
+def q_zone_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pushdown over orders: ONE partial-agg'd groupBy computes
+    per-shard min/max/null-count (the statistics parquet footers / Iceberg
+    `files.readable_metrics` already hold), then a single narrow select
+    derives a tri-state decision per (shard, check) plus the per-shard
+    `skippable` rollup.  No row-level predicate ever runs — at 10^12 rows
+    this costs |shards| rows after the one statistics pass (or ZERO table
+    scans when the zone frame comes from table metadata)."""
+    from .operators.prune import prune_validation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    shard = F.floor(F.col("o_orderkey") / _ZONE_SHARD_DIV).cast("long")
+    return prune_validation(orders, shard, _ZONE_CHECKS).orderBy(
+        "shard", "column", "keyword"
+    )
+
+
+SQL_ZONE_PRUNE_ORDERS = f"""
+WITH z AS (
+  SELECT CAST(floor(o_orderkey / {_ZONE_SHARD_DIV}) AS BIGINT) AS shard,
+         count(*) AS n,
+         min(o_orderkey) AS k_min, max(o_orderkey) AS k_max,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+         min(o_custkey) AS c_min, max(o_custkey) AS c_max,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+         min(o_totalprice) AS t_min, max(o_totalprice) AS t_max,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+         min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+         min(o_orderpriority) AS p_min, max(o_orderpriority) AS p_max,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT shard, 'o_orderkey' AS "column", 'maximum' AS keyword,
+         CASE WHEN n - k_nulls = 0 THEN 'all_pass'
+              WHEN k_max <= 9999 THEN 'all_pass'
+              WHEN k_nulls = 0 AND k_min > 9999 THEN 'all_fail'
+              ELSE 'scan' END AS decision FROM z
+  UNION ALL
+  SELECT shard, 'o_orderkey', 'exclusiveMinimum',
+         CASE WHEN n - k_nulls = 0 THEN 'all_pass'
+              WHEN k_min > -1 THEN 'all_pass'
+              WHEN k_nulls = 0 AND k_max <= -1 THEN 'all_fail'
+              ELSE 'scan' END FROM z
+  UNION ALL
+  SELECT shard, 'o_custkey', 'exclusiveMaximum',
+         CASE WHEN n - c_nulls = 0 THEN 'all_pass'
+              WHEN c_max < 0 THEN 'all_pass'
+              WHEN c_nulls = 0 AND c_min >= 0 THEN 'all_fail'
+              ELSE 'scan' END FROM z
+  UNION ALL
+  SELECT shard, 'o_custkey', 'required',
+         CASE WHEN c_nulls = 0 THEN 'all_pass'
+              WHEN c_nulls = n THEN 'all_fail'
+              ELSE 'scan' END FROM z
+  UNION ALL
+  SELECT shard, 'o_totalprice', 'minimum',
+         CASE WHEN n - t_nulls = 0 THEN 'all_pass'
+              WHEN t_min >= 100000.0 THEN 'all_pass'
+              WHEN t_nulls = 0 AND t_max < 100000.0 THEN 'all_fail'
+              ELSE 'scan' END FROM z
+  UNION ALL
+  SELECT shard, 'o_orderstatus', 'const',
+         CASE WHEN n - s_nulls = 0 THEN 'all_pass'
+              WHEN s_min = 'F' AND s_max = 'F' THEN 'all_pass'
+              WHEN s_nulls = 0 AND (s_max < 'F' OR s_min > 'F') THEN 'all_fail'
+              ELSE 'scan' END FROM z
+  UNION ALL
+  SELECT shard, 'o_orderpriority', 'enum',
+         CASE WHEN n - p_nulls = 0 THEN 'all_pass'
+              WHEN p_min = p_max AND p_min IN ('1-URGENT', '2-HIGH') THEN 'all_pass'
+              WHEN p_nulls = 0 AND (p_max < '1-URGENT' OR p_min > '2-HIGH') THEN 'all_fail'
+              ELSE 'scan' END FROM z
+)
+SELECT shard, "column", keyword, decision FROM d
+UNION ALL
+SELECT shard, '*', 'skippable',
+       CASE WHEN bool_and(decision = 'all_pass') THEN 'all_pass' ELSE 'scan' END
+FROM d GROUP BY shard
+ORDER BY shard, "column", keyword
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4159,6 +4264,7 @@ QUERIES = {
     "vectors_dim_drift_embeddings": q_vectors_dim_drift,
     "metrics_anomaly_orders": q_metrics_anomaly,
     "images_header_conformance": q_images_header_conformance,
+    "zone_prune_orders": q_zone_prune_orders,
 }
 
 ORACLES = {
@@ -4267,6 +4373,7 @@ ORACLES = {
     "vectors_dim_drift_embeddings": SQL_VECTORS_DIM_DRIFT,
     "metrics_anomaly_orders": SQL_METRICS_ANOMALY,
     "images_header_conformance": SQL_IMAGES_HEADER_CONFORMANCE,
+    "zone_prune_orders": SQL_ZONE_PRUNE_ORDERS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import
