@@ -50,6 +50,11 @@ def parse_args(argv):
     p.add_argument("--n-parts", type=int, default=64, help="synth input partitions")
     p.add_argument("--skip-table-checks", action="store_true",
                    help="only the resumable validation pass (used by the scaling bench)")
+    p.add_argument("--zone-prune", action="store_true",
+                   help="zone-map pushdown: skip row-level validation for partitions "
+                        "whose statistics prove every check passes (sound only when "
+                        "the schema's whole constraint surface is zone-decidable; "
+                        "otherwise logs the residual keywords and scans everything)")
     p.add_argument("--fail-after-chunks", type=int, default=0,
                    help="TEST HOOK: crash after N committed chunks to exercise resume")
     return p.parse_args(argv)
@@ -106,8 +111,47 @@ def main(argv=None):
     t0 = time.monotonic()
     n_committed_chunks = 0
 
+    # Zone-map pushdown: one statistics pass (metadata-speed on an Iceberg
+    # catalog) proves some partitions can't contain a violation; those skip
+    # the row-level validation entirely but still get a manifest metrics row
+    # (n_rows from the zone frame, n_fail = 0), so resume/summary semantics
+    # are unchanged.  Sound only when the schema has no residual row-level
+    # keywords — zone_prune_plan returns an empty clean set otherwise.
+    clean_parts: set = set()
+    part_rows: dict = {}
+    if args.zone_prune:
+        from json_schema_clj_spark.operators.prune import zone_prune_plan
+
+        plan = zone_prune_plan(df, F.col(args.part_col).cast("long"), schema)
+        part_rows = plan["part_rows"]
+        if plan["residual"]:
+            print(
+                "zone-prune: schema has row-level keywords, scanning everything: "
+                + ", ".join(plan["residual"]),
+                file=sys.stderr,
+            )
+        else:
+            clean_parts = plan["clean_parts"]
+
     def process_chunk(chunk, parts):
         nonlocal n_committed_chunks
+        # zone-pruned partitions skip the row-level pass: their metrics row
+        # comes straight from the zone frame's n_rows with n_fail = 0
+        pruned = [p for p in parts if p in clean_parts]
+        clean_metrics = None
+        if pruned:
+            clean_metrics = spark.createDataFrame(
+                [(int(p), int(part_rows[p]), 0) for p in pruned],
+                "part long, n_rows long, n_fail long",
+            )
+            if len(pruned) == len(parts):
+                if args.fail_after_chunks and n_committed_chunks + 1 > args.fail_after_chunks:
+                    raise RuntimeError(
+                        f"TEST HOOK: injected crash after {n_committed_chunks} chunks"
+                    )
+                n_committed_chunks += 1
+                return clean_metrics
+            chunk = chunk.where(~F.col(args.part_col).cast("long").isin([int(p) for p in pruned]))
         # row_id: per-write row identity (monotonically_increasing_id is
         # stable within one action), so the exploded sink can be rolled back
         # up to exact per-partition FAILING-ROW counts — image_id alone
@@ -157,14 +201,15 @@ def main(argv=None):
             .groupBy(F.col(args.part_col))
             .agg(F.count(F.lit(1)).alias("n_fail"))
         )
-        return (
+        metrics = (
             n_rows.join(n_fail, args.part_col, "left")
             .select(
                 F.col(args.part_col).cast("long").alias("part"),
                 "n_rows",
-                F.coalesce("n_fail", F.lit(0)).alias("n_fail"),
+                F.coalesce("n_fail", F.lit(0)).cast("long").alias("n_fail"),
             )
         )
+        return metrics.unionByName(clean_metrics) if clean_metrics is not None else metrics
 
     result = run_resumable(
         spark,
@@ -182,6 +227,7 @@ def main(argv=None):
         "snapshot_id": result["snapshot_id"],
         "parts_processed": len(result["processed"]),
         "parts_skipped": len(result["skipped"]),
+        "parts_zone_pruned": len(clean_parts & set(result["processed"])),
     }
 
     if not args.skip_table_checks:
@@ -208,13 +254,15 @@ def main(argv=None):
 
         # triage view: k example rows per violated keyword path, derived
         # from the just-written violations sink (one bounded pass over the
-        # tiny sink — never a second validation pass over the table)
-        vio_sink = spark.read.parquet(f"{out}/violations").where(
-            (F.col("run_id") == args.run_id) & (F.col("snap") == snapshot_id)
-        )
-        violation_examples_from_rows(vio_sink, ["image_id"], k=3).write.mode(
-            "overwrite"
-        ).parquet(f"{out}/violation_examples")
+        # tiny sink — never a second validation pass over the table).  A
+        # fully zone-pruned run writes no sink at all — nothing to triage.
+        if os.path.exists(f"{out}/violations"):
+            vio_sink = spark.read.parquet(f"{out}/violations").where(
+                (F.col("run_id") == args.run_id) & (F.col("snap") == snapshot_id)
+            )
+            violation_examples_from_rows(vio_sink, ["image_id"], k=3).write.mode(
+                "overwrite"
+            ).parquet(f"{out}/violation_examples")
 
         m = spark.read.parquet(manifest_path)
         agg = (
@@ -229,10 +277,14 @@ def main(argv=None):
                 "dup_image_ids": spark.read.parquet(f"{out}/dup_image_id").count(),
                 "dup_phash_keys": spark.read.parquet(f"{out}/dup_phash").count(),
                 "bad_magic_rows": spark.read.parquet(f"{out}/bad_magic").count(),
-                "violated_paths": spark.read.parquet(f"{out}/violation_examples")
-                .select("keyword_path")
-                .distinct()
-                .count(),
+                "violated_paths": (
+                    spark.read.parquet(f"{out}/violation_examples")
+                    .select("keyword_path")
+                    .distinct()
+                    .count()
+                    if os.path.exists(f"{out}/violation_examples")
+                    else 0
+                ),
             }
         )
 

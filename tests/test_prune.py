@@ -132,6 +132,87 @@ def test_decisions_match_row_level_truth(spark):
                 assert nfail == r["n"], (r["shard"], c, k)
 
 
+def test_prunable_checks_from_flagship_schema(spark):
+    from json_schema_clj_spark.operators.prune import prunable_checks_from_schema
+    from json_schema_clj_spark.sources.images import FLAGSHIP_SCHEMA, images_df
+
+    df = images_df(spark, 100, n_parts=2)
+    checks, residual = prunable_checks_from_schema(FLAGSHIP_SCHEMA, df.schema)
+    got = {(c, k) for c, k, _ in checks}
+    # required list + typed bounds + enum all extract
+    assert ("image_id", "required") in got
+    assert ("bytes", "required") in got
+    assert ("w", "minimum") in got and ("w", "maximum") in got
+    assert ("fmt", "enum") in got
+    assert ("w", "static_true") in got          # type integer on int column
+    assert ("image_id", "string_nonblank") in got
+    # pattern / length bounds stay row-level
+    assert "image_id.pattern" in residual
+    assert "caption.minLength" in residual and "caption.maxLength" in residual
+
+
+def test_type_check_static_mapping(spark):
+    from json_schema_clj_spark.operators.prune import prunable_checks_from_schema
+
+    df = spark.createDataFrame([(1, "a", 1.5)], "i long, s string, d double")
+    schema = {
+        "properties": {
+            "i": {"type": "integer"},
+            "s": {"type": "integer"},   # mismatched dtype -> every non-null fails
+            "d": {"type": "integer"},   # double is NOT integer (1.0 quirk)
+        }
+    }
+    checks, residual = prunable_checks_from_schema(schema, df.schema)
+    by_col = {c: k for c, k, _ in checks}
+    assert by_col["i"] == "static_true"
+    assert by_col["s"] == "static_false"
+    assert by_col["d"] == "static_false"
+    assert residual == []
+
+
+def test_string_nonblank_decisions(spark):
+    rows = [(0, "hello"), (0, "world"), (1, ""), (1, ""), (2, " lead"), (3, None)]
+    df = spark.createDataFrame(rows, "shard int, s string")
+    d = {
+        (r["shard"], r["keyword"]): r["decision"]
+        for r in prune_validation(df, "shard", [("s", "string_nonblank", None)]).collect()
+    }
+    assert d[(0, "string_nonblank")] == ALL_PASS   # min 'hello' >= '!'
+    assert d[(1, "string_nonblank")] == ALL_FAIL   # all empty
+    assert d[(2, "string_nonblank")] == SCAN       # ' lead' sorts below '!' but isn't blank
+    assert d[(3, "string_nonblank")] == ALL_PASS   # all NULL: type skips missing
+
+
+def test_zone_prune_plan_end_to_end(spark):
+    from json_schema_clj_spark.operators.prune import zone_prune_plan
+
+    # parts 0,1 clean; part 2 has one out-of-range w; part 3 has a NULL fmt
+    rows = []
+    for p in range(4):
+        for i in range(10):
+            w = 0 if (p == 2 and i == 5) else 10 + i
+            fmt = None if (p == 3 and i == 7) else "png"
+            rows.append((p, w, fmt))
+    df = spark.createDataFrame(rows, "part int, w int, fmt string")
+    schema = {
+        "required": ["w", "fmt"],
+        "properties": {
+            "w": {"type": "integer", "minimum": 1},
+            "fmt": {"type": "string", "enum": ["png", "jpeg"]},
+        },
+    }
+    plan = zone_prune_plan(df, F.col("part").cast("long"), schema)
+    assert plan["residual"] == []
+    assert plan["clean_parts"] == {0, 1}
+    assert plan["part_rows"] == {0: 10, 1: 10, 2: 10, 3: 10}
+
+    # any residual keyword disables skipping entirely
+    schema2 = dict(schema, properties={**schema["properties"], "fmt": {"pattern": "^p"}})
+    plan2 = zone_prune_plan(df, F.col("part").cast("long"), schema2)
+    assert plan2["clean_parts"] == set()
+    assert "fmt.pattern" in plan2["residual"]
+
+
 def test_plan_one_shuffle_no_python(spark):
     df = _frame(spark)
     out = prune_validation(df, "shard", [("x", "minimum", 50), ("x", "required", None)])

@@ -120,3 +120,92 @@ def test_spark_submit_pyfiles_resumable(tmp_path):
 
     assert os.path.exists(os.path.join(out_dir, "summary.json"))
     shutil.rmtree(cwd, ignore_errors=True)
+
+
+def test_spark_submit_zone_prune(tmp_path):
+    """--zone-prune skips provably-clean partitions from the row-level pass
+    while producing the SAME verdict totals as the unpruned run."""
+    from pyspark.sql import SparkSession
+
+    from tools.build_pyfiles import build
+
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    cwd = str(tmp_path / "scratch")
+    os.makedirs(cwd)
+
+    # input: parts 0-5 clean, parts 6,7 carry out-of-range w violations
+    spark = SparkSession.builder.master("local[2]").getOrCreate()
+    rows = []
+    for p in range(8):
+        for i in range(100):
+            w = 0 if (p >= 6 and i % 10 == 3) else 16 + i % 9
+            rows.append((f"img-{p:02d}{i:04d}", p, w, 12, "png"))
+    df = spark.createDataFrame(rows, "image_id string, part_id long, w int, h int, fmt string")
+    input_path = str(tmp_path / "input")
+    df.repartition("part_id").write.mode("overwrite").parquet(input_path)
+
+    # fully zone-decidable schema (no pattern/format/length keywords)
+    schema = {
+        "type": "object",
+        "required": ["image_id", "w", "h", "fmt"],
+        "properties": {
+            "w": {"type": "integer", "minimum": 1, "maximum": 65535},
+            "h": {"type": "integer", "minimum": 1},
+            "fmt": {"enum": ["png", "jpeg", "webp"]},
+        },
+    }
+    schema_path = str(tmp_path / "schema.json")
+    with open(schema_path, "w") as f:
+        json.dump(schema, f)
+
+    def run(out_dir, run_id, *extra):
+        env = dict(os.environ)
+        env["PYSPARK_PYTHON"] = sys.executable
+        env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+        env.pop("PYTHONPATH", None)
+        return subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "validate_submit.py"),
+                "--input", input_path,
+                "--output", out_dir,
+                "--run-id", run_id,
+                "--schema", schema_path,
+                "--chunk-size", "3",
+                "--skip-table-checks",
+                *extra,
+            ],
+            cwd=cwd, env=env, capture_output=True, text=True, timeout=420,
+        )
+
+    p_pruned = run(str(tmp_path / "pruned"), "zp-on", "--zone-prune")
+    assert p_pruned.returncode == 0, p_pruned.stderr[-4000:]
+    s_pruned = json.loads(p_pruned.stdout.strip().splitlines()[-1])
+
+    p_full = run(str(tmp_path / "full"), "zp-off")
+    assert p_full.returncode == 0, p_full.stderr[-4000:]
+    s_full = json.loads(p_full.stdout.strip().splitlines()[-1])
+
+    assert s_pruned["parts_zone_pruned"] == 6
+    assert s_full["parts_zone_pruned"] == 0
+
+    # identical verdict totals from both manifests
+    import duckdb
+
+    def totals(out_dir):
+        g = os.path.join(out_dir, "manifest", "*.parquet")
+        return duckdb.sql(
+            f"SELECT sum(n_rows), sum(n_fail) FROM read_parquet('{g}')"
+        ).fetchone()
+
+    assert totals(str(tmp_path / "pruned")) == totals(str(tmp_path / "full")) == (800, 20)
+
+    # pruned run wrote violation subdirs only for the dirty chunk(s)
+    vio_dir = os.path.join(str(tmp_path / "pruned"), "violations")
+    glob = os.path.join(vio_dir, "*", "*", "*", "*.parquet")
+    n = duckdb.sql(f"SELECT count(DISTINCT image_id) FROM read_parquet('{glob}')").fetchone()[0]
+    assert n == 20
