@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "metrics_anomaly_orders",
     "images_header_conformance",
     "zone_prune_orders",
+    "drift_emd_orders",
+    "sessionize_events",
+    "table_diff_orders",
+    "budget_select_documents",
 ]
 
 

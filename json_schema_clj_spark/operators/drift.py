@@ -105,6 +105,62 @@ def chi2_scores(
     )
 
 
+def emd_scores(
+    baseline_sketch: DataFrame,
+    current_sketch: DataFrame,
+) -> DataFrame:
+    """Per-group 1-D Wasserstein-1 (earth-mover's) distance between the
+    baseline and current histograms — the fourth drift lens next to
+    KS/PSI/chi2.  KS sees only the single worst CDF gap and PSI/chi2 are
+    re-binning-sensitive ratio tests; W1 integrates the WHOLE CDF gap, so
+    it is the lens that responds proportionally to a small mean shift
+    (the classic embedding/feature-drift signal).
+
+    On equal-width buckets, W1 between the normalized histograms is
+      (bucket_width / (tot_base · tot_cur)) · Σ_b |cum_base(b)·tot_cur −
+                                                   cum_cur(b)·tot_base|
+    This emits the integer numerator `emd_x = Σ_b |·|` plus the two totals
+    and leaves the division to the caller: every compared value is exact
+    integer arithmetic (order-free sums of products), so two engines can
+    never disagree by a ULP.  Products are carried as DECIMAL(38,0) —
+    cum·tot reaches 10^24 at 10^12-row scale, past BIGINT.
+
+    Same scale shape as drift_scores: a window cumsum + one agg over the
+    |groups|×|buckets| sketch table; nothing is collected.
+    """
+    b = baseline_sketch.select("group", "bucket", F.col("n").alias("n_base"))
+    c = current_sketch.select("group", "bucket", F.col("n").alias("n_cur"))
+    j = b.join(c, on=["group", "bucket"], how="full_outer").fillna(
+        {"n_base": 0, "n_cur": 0}
+    )
+    tot = j.groupBy("group").agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_cur").alias("tot_cur")
+    )
+    j = j.join(tot, on="group")
+    w = Window.partitionBy("group").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(38,0)"
+    cum_base = F.sum("n_base").over(w).cast(dec)
+    cum_cur = F.sum("n_cur").over(w).cast(dec)
+    diff = cum_base * F.col("tot_cur").cast(dec) - cum_cur * F.col("tot_base").cast(dec)
+    # The sketch is sparse (only buckets with mass appear), but the CDF gap
+    # persists across absent bucket indices — each row's |diff| covers the
+    # index range [bucket, next_present_bucket), so weight by that gap.
+    # The trailing row's diff is identically 0 (both CDFs have reached
+    # their totals), so the open-ended tail contributes nothing either way.
+    wl = Window.partitionBy("group").orderBy("bucket")
+    gap = (
+        F.coalesce(F.lead("bucket").over(wl), F.col("bucket") + 1) - F.col("bucket")
+    ).cast(dec)
+    scored = j.select("group", "tot_base", "tot_cur", (F.abs(diff) * gap).alias("d"))
+    return scored.groupBy("group").agg(
+        F.sum("d").cast(dec).alias("emd_x"),
+        F.first("tot_base").alias("tot_base"),
+        F.first("tot_cur").alias("tot_cur"),
+    )
+
+
 def detect_drift(
     df: DataFrame,
     value_col: str,

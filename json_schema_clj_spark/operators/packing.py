@@ -84,6 +84,56 @@ def global_exclusive_cumsum(
     )
 
 
+def grouped_exclusive_cumsum(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    group_col: str,
+    out_col: str = "start_offset",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Per-group exclusive prefix sum of `size_col` in `order_col` order —
+    `global_exclusive_cumsum` generalized so no single group ever becomes
+    one task's window.  Bucket boundaries come from ONE global
+    approxQuantile over `order_col` (shared across groups: within any
+    group the buckets are still ordered and deterministic, which is all
+    exactness needs); windows partition by (group, bucket); the totals
+    fold collects |groups|·|buckets| rows — driver-sized while the group
+    count is (sources, shards, …), which is this operator's contract."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001))) if probs else []
+    within = df.withColumn("_pid", _bucket_of(order_col, bounds)).withColumn(
+        "_cum_in",
+        F.coalesce(
+            F.sum(size_col).over(
+                Window.partitionBy(group_col, "_pid")
+                .orderBy(order_col)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    totals = (
+        within.groupBy(group_col, "_pid").agg(F.sum(size_col).alias("_tot")).collect()
+    )
+    offsets, runs = [], {}
+    for r in sorted(totals, key=lambda r: (str(r[group_col]), r["_pid"])):
+        g = r[group_col]
+        offsets.append((g, r["_pid"], runs.get(g, 0)))
+        runs[g] = runs.get(g, 0) + (r["_tot"] or 0)
+    gtype = df.schema[group_col].dataType.simpleString()
+    off_df = spark.createDataFrame(
+        offsets or [(None, 0, 0)], schema=f"`{group_col}` {gtype}, _pid int, _off long"
+    )
+    return (
+        within.join(F.broadcast(off_df), on=[group_col, "_pid"])
+        .withColumn(out_col, (F.col("_cum_in") + F.col("_off")).cast("long"))
+        .drop("_pid", "_cum_in", "_off")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     size_col: str,

@@ -304,3 +304,47 @@ def corpus_mix(
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_ncopies") - 1)))
         .drop("_ncopies")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str,
+    size_col: str,
+    order_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Quality-ranked token-budget selection — `corpus_mix`'s complement:
+    instead of repeating/sampling every row to hit a budget, KEEP THE BEST
+    rows of each stratum until its token budget is spent.  `order_col` is
+    a globally unique NUMERIC priority (ascending = better; callers encode
+    "quality desc, id asc" into it, e.g. ``-score * 2^32 + id``), and a
+    row is kept iff it STARTS inside its stratum's budget — the exclusive
+    prefix-sum of `size_col` in priority order is < budget.  The
+    straddling row is thus kept (budgets are soft by at most one
+    document), a deterministic rule both engines state identically.
+
+    Scale shape: one `grouped_exclusive_cumsum` (quantile-bucketed
+    windows, |strata|·|buckets| totals collected — never a per-stratum
+    single-partition window) + a literal-threshold filter.  Output keeps
+    every input row with `start_offset` and a `kept` flag so the caller
+    can audit the cut line; strata without a budget are kept=false with
+    offset -1.
+    """
+    from .packing import grouped_exclusive_cumsum
+
+    known = sorted(budgets)
+    in_budget = F.col(stratum_col).isin(known)
+    cum = grouped_exclusive_cumsum(
+        df.where(in_budget), size_col, order_col, stratum_col, n_parts=n_parts
+    )
+    thr = F.lit(None).cast("long")
+    for s in known:
+        thr = F.when(F.col(stratum_col) == s, F.lit(int(budgets[s]))).otherwise(thr)
+    kept = cum.withColumn("kept", F.col("start_offset") < thr)
+    rest = (
+        df.where(~in_budget | F.col(stratum_col).isNull())
+        .withColumn("start_offset", F.lit(-1).cast("long"))
+        .withColumn("kept", F.lit(False))
+    )
+    return kept.unionByName(rest)

@@ -4168,6 +4168,230 @@ ORDER BY shard, "column", keyword
 """
 
 
+# ---------------------------------------------------------------------------
+# 40. Wasserstein-1 (EMD) drift — fourth lens next to KS/PSI/chi2: the
+# integral of the CDF gap, integer-exact via cross-multiplied cumulative
+# counts (operators/drift.py emd_scores).  Same pooled-baseline-vs-group
+# sketch construction as the other drift queries.
+
+
+def q_drift_emd_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "orders")
+    pooled = (
+        DR.histogram_sketch(
+            df.where(F.col("o_orderkey") % 2 == 0),
+            "o_totalprice", "o_orderpriority", _DRIFT_LO, _DRIFT_HI, _DRIFT_BUCKETS,
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    per_group = DR.histogram_sketch(
+        df, "o_totalprice", "o_orderpriority", _DRIFT_LO, _DRIFT_HI, _DRIFT_BUCKETS
+    )
+    groups = per_group.select("group").distinct()
+    base = groups.crossJoin(F.broadcast(pooled))
+    scores = DR.emd_scores(base, per_group)
+    return scores.select(
+        "group",
+        F.col("emd_x").cast("long").alias("emd_x"),
+        "tot_base",
+        "tot_cur",
+    ).orderBy("group")
+
+
+SQL_DRIFT_EMD = f"""
+WITH params AS (SELECT {_DRIFT_LO} lo, {_DRIFT_HI} hi, {_DRIFT_BUCKETS} nb),
+bucketed AS (
+  SELECT o_orderpriority AS grp,
+         least(greatest(CAST(floor((o_totalprice - lo) / ((hi - lo) / nb)) AS BIGINT), 0), nb - 1) AS bucket,
+         o_orderkey
+  FROM orders, params WHERE o_totalprice IS NOT NULL
+),
+pooled AS (
+  SELECT bucket, count(*) AS n_base FROM bucketed WHERE o_orderkey % 2 = 0 GROUP BY bucket
+),
+cur AS (
+  SELECT grp, bucket, count(*) AS n_cur FROM bucketed GROUP BY grp, bucket
+),
+groups AS (SELECT DISTINCT grp FROM cur),
+base AS (SELECT g.grp, p.bucket, p.n_base FROM groups g CROSS JOIN pooled p),
+j AS (
+  SELECT coalesce(b.grp, c.grp) AS grp, coalesce(b.bucket, c.bucket) AS bucket,
+         coalesce(b.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+  FROM base b FULL OUTER JOIN cur c ON b.grp = c.grp AND b.bucket = c.bucket
+),
+tot AS (SELECT grp, sum(n_base) tot_base, sum(n_cur) tot_cur FROM j GROUP BY grp),
+cum AS (
+  SELECT j.grp,
+         sum(j.n_base) OVER w AS cum_base,
+         sum(j.n_cur) OVER w AS cum_cur,
+         coalesce(lead(j.bucket) OVER w, j.bucket + 1) - j.bucket AS gap,
+         tot.tot_base, tot.tot_cur
+  FROM j JOIN tot ON j.grp = tot.grp
+  WINDOW w AS (PARTITION BY j.grp ORDER BY j.bucket)
+)
+SELECT grp AS "group",
+       CAST(sum(abs(cum_base * tot_cur - cum_cur * tot_base) * gap) AS BIGINT) AS emd_x,
+       CAST(max(tot_base) AS BIGINT) AS tot_base,
+       CAST(max(tot_cur) AS BIGINT) AS tot_cur
+FROM cum GROUP BY grp ORDER BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# 41. Event sessionization — gap-based sessions over the events stream via
+# Spark's native session_window aggregate (operators/sessions.py); the
+# row-level gaps-and-islands twin is cross-checked against it in pytest.
+# All outputs are integer epoch seconds/counts.
+
+_SESSION_GAP_S = 21600  # 6 h: sf0.01 yields ~5.7k sessions over 10k events
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sessions as SE
+
+    df = t(spark, sf_dir, "events")
+    out = SE.session_stats(df, "user_id", "ts", _SESSION_GAP_S)
+    return out.select(
+        F.col("key").alias("user_id"),
+        "session_index",
+        "n_events",
+        "start_s",
+        "end_s",
+        "duration_s",
+    ).orderBy("user_id", "session_index")
+
+
+SQL_SESSIONIZE_EVENTS = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {_SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_index
+  FROM g
+)
+SELECT user_id, session_index,
+       count(*) AS n_events,
+       CAST(floor(min(epoch_us(ts)) / 1000000) AS BIGINT) AS start_s,
+       CAST(floor(max(epoch_us(ts)) / 1000000) AS BIGINT) AS end_s,
+       CAST(floor(max(epoch_us(ts)) / 1000000)
+            - floor(min(epoch_us(ts)) / 1000000) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_index
+ORDER BY user_id, session_index
+"""
+
+
+# ---------------------------------------------------------------------------
+# 42. Merkle table diff — differing rows between two snapshots without
+# shuffling the identical bulk (operators/diff.py).  The "current" snapshot
+# is derived from orders in BOTH engines: prices bumped one dollar where
+# o_orderkey % 97 == 3, rows dropped where o_orderkey % 101 == 5.  Money is
+# carried as integer cents so every compared value is exact.
+
+
+def _orders_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+
+
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import diff as DF2
+
+    ref = _orders_cents(spark, sf_dir)
+    cur = ref.where(F.col("o_orderkey") % 101 != 5).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 97 == 3, F.col("cents") + 100
+        ).otherwise(F.col("cents")),
+    )
+    out = DF2.snapshot_diff(ref, cur, key_cols=["o_orderkey"], n_buckets=256)
+    return out.orderBy("o_orderkey", "side")
+
+
+SQL_TABLE_DIFF_ORDERS = """
+WITH ref AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+cur AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderkey % 97 = 3 THEN cents + 100 ELSE cents END AS cents
+  FROM ref WHERE o_orderkey % 101 <> 5
+)
+SELECT *, 'left_only' AS side FROM (SELECT * FROM ref EXCEPT ALL SELECT * FROM cur)
+UNION ALL
+SELECT *, 'right_only' FROM (SELECT * FROM cur EXCEPT ALL SELECT * FROM ref)
+ORDER BY o_orderkey, side
+"""
+
+
+# ---------------------------------------------------------------------------
+# 43. Quality-ranked token-budget selection — keep each source's BEST
+# documents until its budget is spent (operators/text.py budget_select;
+# the selection complement of corpus_mix).  Priority = n_chars desc then
+# doc_id asc, encoded into one numeric key; a doc is kept iff its
+# exclusive prefix sum STARTS under the budget (straddler kept).
+
+_BUDGETS = {"src0": 4000, "src1": 4000, "src2": 100000, "src3": 553}
+
+
+def q_budget_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents").withColumn(
+        "prio",
+        (-F.col("n_chars").cast("long") * F.lit(1 << 32) + F.col("doc_id")).cast(
+            "long"
+        ),
+    )
+    out = TX.budget_select(
+        df, _BUDGETS, "source", "n_chars", "prio", n_parts=8
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", "start_offset", "kept"
+    ).orderBy("doc_id")
+
+
+SQL_BUDGET_SELECT_DOCUMENTS = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         -CAST(n_chars AS BIGINT) * 4294967296 + doc_id AS prio
+  FROM documents
+),
+b AS (
+  SELECT * FROM (VALUES ('src0', 4000), ('src1', 4000), ('src2', 100000),
+                        ('src3', 553)) AS v(source, budget)
+),
+cum AS (
+  SELECT d.doc_id, d.source, d.n_chars, b.budget,
+         coalesce(sum(d.n_chars) OVER (PARTITION BY d.source ORDER BY d.prio
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM d JOIN b ON d.source = b.source
+)
+SELECT doc_id, source, n_chars, CAST(start_offset AS BIGINT) AS start_offset,
+       start_offset < budget AS kept
+FROM cum
+UNION ALL
+SELECT doc_id, source, n_chars, CAST(-1 AS BIGINT), FALSE
+FROM d WHERE source NOT IN (SELECT source FROM b)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4265,6 +4489,10 @@ QUERIES = {
     "metrics_anomaly_orders": q_metrics_anomaly,
     "images_header_conformance": q_images_header_conformance,
     "zone_prune_orders": q_zone_prune_orders,
+    "drift_emd_orders": q_drift_emd_orders,
+    "sessionize_events": q_sessionize_events,
+    "table_diff_orders": q_table_diff_orders,
+    "budget_select_documents": q_budget_select_documents,
 }
 
 ORACLES = {
@@ -4374,6 +4602,10 @@ ORACLES = {
     "metrics_anomaly_orders": SQL_METRICS_ANOMALY,
     "images_header_conformance": SQL_IMAGES_HEADER_CONFORMANCE,
     "zone_prune_orders": SQL_ZONE_PRUNE_ORDERS,
+    "drift_emd_orders": SQL_DRIFT_EMD,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
+    "budget_select_documents": SQL_BUDGET_SELECT_DOCUMENTS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import
