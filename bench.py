@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "table_diff_orders",
     "budget_select_documents",
+    "asof_user_tier_events",
 ]
 
 

@@ -4392,6 +4392,70 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 44. As-of join — each event joined to the per-user dimension version that
+# was current when it happened (operators/asof.py; DuckDB's native ASOF
+# JOIN is the oracle).  The version table is synthesized deterministically
+# in BOTH engines: 4 versions per user opening at 2024-01-01 + v·(7 days +
+# user_id minutes), tier = user_id·10 + v.  All times are integer micros
+# (timezone-proof); output integer seconds/tiers.
+
+_ASOF_EPOCH0_US = 1_704_067_200 * 1_000_000  # 2024-01-01 00:00:00 wall time
+_ASOF_WEEK_US = 7 * 86_400 * 1_000_000
+_ASOF_MIN_US = 60 * 1_000_000
+
+
+def q_asof_user_tier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+    from .operators.sessions import _epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_id", "user_id", _epoch_us(ev, "ts").alias("ts_us")
+    )
+    dims = (
+        facts.select("user_id")
+        .distinct()
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            "user_id",
+            (
+                F.lit(_ASOF_EPOCH0_US)
+                + F.col("v")
+                * (F.lit(_ASOF_WEEK_US) + F.col("user_id") * F.lit(_ASOF_MIN_US))
+            ).cast("long").alias("vfrom_us"),
+            (F.col("user_id") * 10 + F.col("v")).cast("long").alias("tier"),
+        )
+    )
+    out = asof_join(
+        facts, dims, ["user_id"], "ts_us", "vfrom_us", ["tier"], n_parts=8
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("ts_us") / 1_000_000).cast("long").alias("ts_s"),
+        "tier",
+    ).orderBy("event_id")
+
+
+SQL_ASOF_USER_TIER = f"""
+WITH f AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+d AS (
+  SELECT u.user_id,
+         CAST({_ASOF_EPOCH0_US} + v.range * ({_ASOF_WEEK_US} + u.user_id * {_ASOF_MIN_US}) AS BIGINT) AS vfrom_us,
+         CAST(u.user_id * 10 + v.range AS BIGINT) AS tier
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN range(0, 4) v
+)
+SELECT f.event_id, f.user_id,
+       CAST(floor(f.ts_us / 1000000) AS BIGINT) AS ts_s,
+       d.tier
+FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts_us >= d.vfrom_us
+ORDER BY f.event_id
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4493,6 +4557,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "table_diff_orders": q_table_diff_orders,
     "budget_select_documents": q_budget_select_documents,
+    "asof_user_tier_events": q_asof_user_tier_events,
 }
 
 ORACLES = {
@@ -4606,6 +4671,7 @@ ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
     "budget_select_documents": SQL_BUDGET_SELECT_DOCUMENTS,
+    "asof_user_tier_events": SQL_ASOF_USER_TIER,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

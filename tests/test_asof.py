@@ -1,0 +1,69 @@
+"""As-of join: brute-force equality, inclusive boundary, null/no-version
+facts, time-bucket invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_clj_spark.operators.asof import asof_join
+
+
+def _brute(facts, dims):
+    out = []
+    for k, t, fid in facts:
+        best = None
+        if t is not None:
+            for dk, dt, val in dims:
+                if dk == k and dt <= t and (best is None or dt > best[0]):
+                    best = (dt, val)
+        out.append((fid, best[1] if best else None))
+    return sorted(out)
+
+
+FACTS = [
+    # (key, ts, fact_id)
+    (1, 5, 100),
+    (1, 10, 101),   # exactly at version open -> matches it (inclusive)
+    (1, 25, 102),
+    (1, None, 103),  # null ts -> no match
+    (2, 14, 200),
+    (2, 16, 201),
+    (3, 50, 300),   # key with no versions at all
+]
+DIMS = [
+    # (key, vfrom, val)
+    (1, 10, 11),
+    (1, 20, 12),
+    (2, 15, 21),
+]
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 8])
+def test_asof_bruteforce_and_bucket_invariance(spark, n_parts):
+    facts = spark.createDataFrame(FACTS, "k long, ts long, fact_id long")
+    dims = spark.createDataFrame(DIMS, "k long, vfrom long, val long")
+    out = asof_join(facts, dims, ["k"], "ts", "vfrom", ["val"], n_parts=n_parts)
+    got = sorted((r["fact_id"], r["val"]) for r in out.collect())
+    assert got == _brute(
+        [(k, t, f) for k, t, f in FACTS], [(k, v, x) for k, v, x in DIMS]
+    )
+    # every fact row survives exactly once
+    assert [r for r, _ in got] == sorted(f for _, _, f in FACTS)
+
+
+def test_asof_carry_across_buckets(spark):
+    # many facts long after the only version: with several time buckets the
+    # version must carry into every later bucket
+    facts = spark.createDataFrame(
+        [(1, 100 + i, i) for i in range(40)], "k long, ts long, fact_id long"
+    )
+    dims = spark.createDataFrame([(1, 1, 7)], "k long, vfrom long, val long")
+    out = asof_join(facts, dims, ["k"], "ts", "vfrom", ["val"], n_parts=8)
+    vals = {r["val"] for r in out.collect()}
+    assert vals == {7} and out.count() == 40
+
+
+def test_asof_rejects_column_clash(spark):
+    facts = spark.createDataFrame([(1, 1, 2)], "k long, ts long, val long")
+    dims = spark.createDataFrame([(1, 1, 3)], "k long, vfrom long, val long")
+    with pytest.raises(ValueError):
+        asof_join(facts, dims, ["k"], "ts", "vfrom", ["val"])
