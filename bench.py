@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "table_diff_orders",
     "budget_select_documents",
     "asof_user_tier_events",
+    "incremental_validate_orders",
 ]
 
 

@@ -4456,6 +4456,97 @@ ORDER BY f.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 45. Incremental validation — re-validate ONLY the rows that changed
+# between two snapshots: merkle diff (operators/diff.py) narrows 10^12
+# rows to the changed tail, then the ordinary keyword validation runs on
+# that tail alone.  A 100 TB table with 0.1% churn re-validates at the
+# cost of two scans + validating the churn.  Mutations are derived in
+# BOTH engines: price tripled where o_orderkey % 97 == 3 (pushing some
+# rows over the schema's maximum), status corrupted where % 203 == 7.
+
+_INC_MAX_CENTS = 30_000_000  # maximum: 300,000 dollars in cents
+
+
+def q_incremental_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import diff as DF2
+
+    ref = _orders_cents(spark, sf_dir)
+    cur = ref.withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 97 == 3, F.col("cents") * 3).otherwise(
+            F.col("cents")
+        ),
+    ).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 203 == 7, F.lit("Z")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    changed = DF2.snapshot_diff(
+        ref, cur, key_cols=["o_orderkey"], n_buckets=256
+    ).where(F.col("side") == "right_only")
+    schema = {
+        "type": "object",
+        "required": ["o_custkey"],
+        "properties": {
+            "cents": {"type": "integer", "minimum": 100, "maximum": _INC_MAX_CENTS},
+            "o_orderstatus": {"enum": ["O", "F", "P"]},
+        },
+    }
+    validated = with_validation(changed, schema)
+    breakdown = keyword_breakdown(validated, prefilter=~F.col("valid"))
+    n_changed = changed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    ).select(
+        F.lit("_changed_rows").alias("keyword_path"),
+        F.lit("_count").alias("keyword"),
+        F.lit("info").alias("severity"),
+        "n_violations",
+    )
+    return breakdown.unionByName(n_changed).orderBy("keyword_path")
+
+
+SQL_INCREMENTAL_VALIDATE = f"""
+WITH ref AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+cur AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 203 = 7 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+         o_orderpriority,
+         CASE WHEN o_orderkey % 97 = 3 THEN cents * 3 ELSE cents END AS cents
+  FROM ref
+),
+changed AS (
+  SELECT * FROM cur EXCEPT ALL SELECT * FROM ref
+)
+SELECT * FROM (
+  SELECT 'properties/cents/maximum' AS keyword_path, 'maximum' AS keyword,
+         'error' AS severity,
+         count(*) FILTER (WHERE cents IS NOT NULL AND NOT (cents <= {_INC_MAX_CENTS})) AS n_violations
+  FROM changed
+  UNION ALL
+  SELECT 'properties/cents/minimum', 'minimum', 'error',
+         count(*) FILTER (WHERE cents IS NOT NULL AND NOT (cents >= 100))
+  FROM changed
+  UNION ALL
+  SELECT 'properties/o_orderstatus/enum', 'enum', 'error',
+         count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE))
+  FROM changed
+  UNION ALL
+  SELECT 'required', 'required', 'error',
+         count(*) FILTER (WHERE o_custkey IS NULL)
+  FROM changed
+  UNION ALL
+  SELECT '_changed_rows', '_count', 'info', count(*) FROM changed
+) WHERE n_violations > 0 OR keyword_path = '_changed_rows'
+ORDER BY keyword_path
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4558,6 +4649,7 @@ QUERIES = {
     "table_diff_orders": q_table_diff_orders,
     "budget_select_documents": q_budget_select_documents,
     "asof_user_tier_events": q_asof_user_tier_events,
+    "incremental_validate_orders": q_incremental_validate_orders,
 }
 
 ORACLES = {
@@ -4672,6 +4764,7 @@ ORACLES = {
     "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
     "budget_select_documents": SQL_BUDGET_SELECT_DOCUMENTS,
     "asof_user_tier_events": SQL_ASOF_USER_TIER,
+    "incremental_validate_orders": SQL_INCREMENTAL_VALIDATE,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import
