@@ -396,3 +396,62 @@ def test_corpus_mix_expansion_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     assert "Generate" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_snapshot_diff_checksums_partial_agg_no_window(spark):
+    """The merkle screen must be a partial+final hash aggregate over the
+    scan — no window, no exchange of full rows before aggregation."""
+    from json_schema_clj_spark.operators.diff import bucket_checksums
+
+    ref = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    plan = executed(bucket_checksums(ref, ["o_orderkey"], n_buckets=64))
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_asof_join_no_cartesian_no_single_partition(spark):
+    from json_schema_clj_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from json_schema_clj_spark.operators.sessions import _epoch_us
+    from pyspark.sql import functions as F
+
+    facts = ev.select("event_id", "user_id", _epoch_us(ev, "ts").alias("ts_us"))
+    dims = (
+        facts.select("user_id").distinct()
+        .withColumn("v", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            "user_id",
+            (F.lit(0) + F.col("v") * 1000).cast("long").alias("vfrom_us"),
+            F.col("v").cast("long").alias("tier"),
+        )
+    )
+    out = asof_join(facts, dims, ["user_id"], "ts_us", "vfrom_us", ["tier"], n_parts=8)
+    plan = executed(out)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # the carry window partitions by (key, bucket), never globally
+    assert "Window" in plan, plan
+
+
+def test_grouped_cumsum_no_single_partition(spark):
+    from json_schema_clj_spark.operators.packing import grouped_exclusive_cumsum
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = grouped_exclusive_cumsum(docs, "n_chars", "doc_id", "source", n_parts=8)
+    plan = executed(out)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # offsets join back broadcast
+
+
+def test_session_stats_no_single_partition_over_events(spark):
+    from json_schema_clj_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = session_stats(ev, "user_id", "ts", 21600)
+    plan = executed(out)
+    # the event-level aggregation must never collapse to one partition;
+    # the only window runs over the already-aggregated session rows
+    assert "SinglePartition" not in plan, plan
+    assert "session_window" in plan or "SessionWindow" in plan, plan
