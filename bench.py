@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "budget_select_documents",
     "asof_user_tier_events",
     "incremental_validate_orders",
+    "correlation_profile_orders",
 ]
 
 

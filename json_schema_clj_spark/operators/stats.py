@@ -307,3 +307,69 @@ def metrics_anomaly(
     return devs.join(mad, on=key_cols).withColumn(
         "anomaly", (F.col("dev4") * 2 > F.lit(int(k)) * F.col("mad8")).cast("int")
     )
+
+
+def correlation_profile(df: DataFrame, int_cols: list[str]) -> DataFrame:
+    """Pairwise correlation screen over integer columns in ONE aggregation
+    pass — the profiling lens that finds redundant / linearly-coupled
+    columns (the numeric sibling of `fd_candidates`' functional
+    dependencies).
+
+    Emits, per ordered pair (a, b) with a < b, the exact integer moments
+      n, sum_a, sum_b, sum_ab, sum_a2, sum_b2   (rows where BOTH are
+    non-null), from which cov_x = n·Σab − Σa·Σb and the variance
+    numerators var_a_x = n·Σa² − (Σa)², var_b_x analogously, are derived
+    as DECIMAL(38,0) products.  Pearson r = cov_x / sqrt(var_a_x·var_b_x)
+    is left to the caller: every EMITTED value is exact integer
+    arithmetic (order-free sums, cross-multiplied products), so two
+    engines can never disagree — the same no-float discipline as
+    metrics_anomaly and the EMD drift lens.
+
+    Scale shape: |pairs| · 4 sums inside ONE partial+final hash
+    aggregate over a single scan (no per-pair passes, no Expand); the
+    stack to (pair, moments) rows happens on the one aggregated row.
+    Callers pass integer columns (quantize money to cents first).
+    """
+    pairs = [
+        (a, b) for i, a in enumerate(int_cols) for b in int_cols[i + 1 :]
+    ]
+    dec = "decimal(38,0)"
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        va = F.when(both, F.col(a).cast(dec))
+        vb = F.when(both, F.col(b).cast(dec))
+        p = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n_{p}"),
+            F.sum(va).alias(f"sa_{p}"),
+            F.sum(vb).alias(f"sb_{p}"),
+            F.sum(va * vb).alias(f"sab_{p}"),
+            F.sum(va * va).alias(f"sa2_{p}"),
+            F.sum(vb * vb).alias(f"sb2_{p}"),
+        ]
+    wide = df.agg(*aggs)
+    z = F.lit(0).cast(dec)
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"n_{a}__{b}").cast("long").alias("n"),
+            F.coalesce(F.col(f"sa_{a}__{b}"), z).alias("sum_a"),
+            F.coalesce(F.col(f"sb_{a}__{b}"), z).alias("sum_b"),
+            F.coalesce(F.col(f"sab_{a}__{b}"), z).alias("sum_ab"),
+            F.coalesce(F.col(f"sa2_{a}__{b}"), z).alias("sum_a2"),
+            F.coalesce(F.col(f"sb2_{a}__{b}"), z).alias("sum_b2"),
+        )
+        for a, b in pairs
+    ]
+    out = wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    n = F.col("n").cast(dec)
+    return out.select(
+        "col_a",
+        "col_b",
+        "n",
+        (n * F.col("sum_ab") - F.col("sum_a") * F.col("sum_b")).alias("cov_x"),
+        (n * F.col("sum_a2") - F.col("sum_a") * F.col("sum_a")).alias("var_a_x"),
+        (n * F.col("sum_b2") - F.col("sum_b") * F.col("sum_b")).alias("var_b_x"),
+    )

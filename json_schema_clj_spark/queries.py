@@ -4547,6 +4547,55 @@ ORDER BY keyword_path
 """
 
 
+# ---------------------------------------------------------------------------
+# 46. Correlation profile — pairwise integer-exact moment screen over the
+# numeric columns in ONE agg pass (operators/stats.py correlation_profile).
+# Money is quantized to cents first; the DECIMAL(38,0) cross-multiplied
+# outputs leave as VARCHAR on both sides (hash-proof under any numeric
+# stringification, the stats_profile_orders lesson).
+
+
+def q_correlation_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _orders_cents(spark, sf_dir)
+    out = ST.correlation_profile(df, ["o_orderkey", "o_custkey", "cents"])
+    return out.select(
+        "col_a",
+        "col_b",
+        "n",
+        F.col("cov_x").cast("string").alias("cov_x"),
+        F.col("var_a_x").cast("string").alias("var_a_x"),
+        F.col("var_b_x").cast("string").alias("var_b_x"),
+    ).orderBy("col_a", "col_b")
+
+
+SQL_CORRELATION_PROFILE = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS HUGEINT) AS k, CAST(o_custkey AS HUGEINT) AS c,
+         CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT) AS m
+  FROM orders
+),
+pairs AS (
+  SELECT 'o_custkey' AS col_a, 'cents' AS col_b,
+         count(*) FILTER (c IS NOT NULL AND m IS NOT NULL) AS n,
+         sum(c) AS sa, sum(m) AS sb, sum(c*m) AS sab, sum(c*c) AS sa2, sum(m*m) AS sb2
+  FROM src
+  UNION ALL
+  SELECT 'o_orderkey', 'o_custkey',
+         count(*) FILTER (k IS NOT NULL AND c IS NOT NULL),
+         sum(k), sum(c), sum(k*c), sum(k*k), sum(c*c) FROM src
+  UNION ALL
+  SELECT 'o_orderkey', 'cents',
+         count(*) FILTER (k IS NOT NULL AND m IS NOT NULL),
+         sum(k), sum(m), sum(k*m), sum(k*k), sum(m*m) FROM src
+)
+SELECT col_a, col_b, n,
+       CAST(n * sab - sa * sb AS VARCHAR) AS cov_x,
+       CAST(n * sa2 - sa * sa AS VARCHAR) AS var_a_x,
+       CAST(n * sb2 - sb * sb AS VARCHAR) AS var_b_x
+FROM pairs ORDER BY col_a, col_b
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4650,6 +4699,7 @@ QUERIES = {
     "budget_select_documents": q_budget_select_documents,
     "asof_user_tier_events": q_asof_user_tier_events,
     "incremental_validate_orders": q_incremental_validate_orders,
+    "correlation_profile_orders": q_correlation_profile_orders,
 }
 
 ORACLES = {
@@ -4765,6 +4815,7 @@ ORACLES = {
     "budget_select_documents": SQL_BUDGET_SELECT_DOCUMENTS,
     "asof_user_tier_events": SQL_ASOF_USER_TIER,
     "incremental_validate_orders": SQL_INCREMENTAL_VALIDATE,
+    "correlation_profile_orders": SQL_CORRELATION_PROFILE,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

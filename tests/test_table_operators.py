@@ -710,3 +710,38 @@ def test_metrics_anomaly_degenerate_mad(spark):
     out = {r["n"]: r for r in metrics_anomaly(hist, "n", ["k"], k=3).collect()}
     # MAD = 0: any nonzero deviation flags (standard MAD degenerate case)
     assert out[9]["anomaly"] == 1 and out[5]["anomaly"] == 0
+
+
+def test_correlation_profile_hand_computed(spark):
+    from json_schema_clj_spark.operators.stats import correlation_profile
+
+    df = spark.createDataFrame(
+        [(1, 2, None), (2, 4, 10), (3, 6, 30), (4, None, 20)],
+        "x long, y long, z long",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): (
+            r["n"], int(r["cov_x"]), int(r["var_a_x"]), int(r["var_b_x"])
+        )
+        for r in correlation_profile(df, ["x", "y", "z"]).collect()
+    }
+    # x,y over rows 1-3: n=3 Σx=6 Σy=12 Σxy=28 Σx2=14 Σy2=56
+    # cov_x = 3*28-6*12 = 12; var_x = 3*14-36 = 6; var_y = 3*56-144 = 24
+    assert out[("x", "y")] == (3, 12, 6, 24)
+    # x,z over rows 2,3,4: Σx=9 Σz=60 Σxz=190 Σx2=29 Σz2=1400
+    # cov = 3*190-9*60 = 30; var_x = 3*29-81 = 6; var_z = 3*1400-3600 = 600
+    assert out[("x", "z")] == (3, 30, 6, 600)
+    # perfect correlation: cov² == var_a·var_b for x,y (r = 1)
+    n, cov, va, vb = out[("x", "y")]
+    assert cov * cov == va * vb
+
+
+def test_correlation_profile_single_pass_plan(spark):
+    from json_schema_clj_spark.operators.stats import correlation_profile
+
+    df = spark.createDataFrame([(1, 2, 3)], "x long, y long, z long")
+    plan = df.sparkSession._jvm  # noqa: F841  (keep session referenced)
+    out = correlation_profile(df, ["x", "y", "z"])
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan ExistingRDD") <= 1 or p.count("Scan") <= 2, p
+    assert "Expand" not in p, p
