@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "asof_user_tier_events",
     "incremental_validate_orders",
     "correlation_profile_orders",
+    "layout_prune_comparison_orders",
 ]
 
 

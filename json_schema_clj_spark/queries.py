@@ -4596,6 +4596,104 @@ FROM pairs ORDER BY col_a, col_b
 """
 
 
+# ---------------------------------------------------------------------------
+# 47. Layout × zone-pruning comparison — the write-side half of the zone
+# pushdown story: the SAME constraint set over the SAME rows produces
+# mostly-skippable shards when the table is range-clustered on the checked
+# column, and all-scan shards when it is hash-laid-out.  This is the
+# measurement that justifies an Iceberg sort order / clustered write for a
+# validated column: pruning power is a LAYOUT property, not a data
+# property.  Output: (layout, keyword, decision, n_shards) counts.
+
+_LAYOUT_NSHARDS = 16
+_LAYOUT_STEP = 3_125_000  # cents; covers [0, 50M) in 16 range shards
+_LAYOUT_MAX_CENTS = 25_000_000
+
+
+def q_layout_prune_comparison_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import prune as P
+
+    base = _orders_cents(spark, sf_dir)
+    checks = [
+        ("cents", "minimum", 100),
+        ("cents", "maximum", _LAYOUT_MAX_CENTS),
+    ]
+    range_shard = F.least(
+        F.greatest(F.floor(F.col("cents") / _LAYOUT_STEP), F.lit(0)),
+        F.lit(_LAYOUT_NSHARDS - 1),
+    ).cast("long")
+    hash_shard = F.pmod(
+        TX.sample_hash_bucket(F.col("o_orderkey")), F.lit(_LAYOUT_NSHARDS)
+    ).cast("long")
+    outs = []
+    for name, sh in [("range", range_shard), ("hash", hash_shard)]:
+        zones = P.zone_maps(base.withColumn("_sh", sh), "_sh", ["cents"])
+        dec = P.prune_decisions(zones, checks)
+        outs.append(
+            dec.groupBy("keyword", "decision")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shards"))
+            .withColumn("layout", F.lit(name))
+        )
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .select("layout", "keyword", "decision", "n_shards")
+        .orderBy("layout", "keyword", "decision")
+    )
+
+
+SQL_LAYOUT_PRUNE_COMPARISON = f"""
+WITH src AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+sharded AS (
+  SELECT cents,
+         least(greatest(CAST(floor(cents / {_LAYOUT_STEP}) AS BIGINT), 0),
+               {_LAYOUT_NSHARDS - 1}) AS sh_range,
+         ('0x' || substr(md5('s1' || CAST(o_orderkey AS VARCHAR)), 1, 4))::INTEGER
+           % {_LAYOUT_NSHARDS} AS sh_hash
+  FROM src
+),
+layouts AS (
+  SELECT 'range' AS layout, sh_range AS shard, cents FROM sharded
+  UNION ALL
+  SELECT 'hash', sh_hash, cents FROM sharded
+),
+z AS (
+  SELECT layout, shard, count(*) AS n,
+         min(cents) AS mn, max(cents) AS mx,
+         sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS nulls
+  FROM layouts GROUP BY layout, shard
+),
+d AS (
+  SELECT layout, shard, 'minimum' AS keyword,
+         CASE WHEN n - nulls = 0 THEN 'all_pass'
+              WHEN mn >= 100 THEN 'all_pass'
+              WHEN nulls = 0 AND mx < 100 THEN 'all_fail'
+              ELSE 'scan' END AS decision FROM z
+  UNION ALL
+  SELECT layout, shard, 'maximum',
+         CASE WHEN n - nulls = 0 THEN 'all_pass'
+              WHEN mx <= {_LAYOUT_MAX_CENTS} THEN 'all_pass'
+              WHEN nulls = 0 AND mn > {_LAYOUT_MAX_CENTS} THEN 'all_fail'
+              ELSE 'scan' END FROM z
+),
+withskip AS (
+  SELECT layout, shard, keyword, decision FROM d
+  UNION ALL
+  SELECT layout, shard, 'skippable',
+         CASE WHEN bool_and(decision = 'all_pass') THEN 'all_pass'
+              ELSE 'scan' END
+  FROM d GROUP BY layout, shard
+)
+SELECT layout, keyword, decision, count(*) AS n_shards
+FROM withskip GROUP BY layout, keyword, decision
+ORDER BY layout, keyword, decision
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4700,6 +4798,7 @@ QUERIES = {
     "asof_user_tier_events": q_asof_user_tier_events,
     "incremental_validate_orders": q_incremental_validate_orders,
     "correlation_profile_orders": q_correlation_profile_orders,
+    "layout_prune_comparison_orders": q_layout_prune_comparison_orders,
 }
 
 ORACLES = {
@@ -4816,6 +4915,7 @@ ORACLES = {
     "asof_user_tier_events": SQL_ASOF_USER_TIER,
     "incremental_validate_orders": SQL_INCREMENTAL_VALIDATE,
     "correlation_profile_orders": SQL_CORRELATION_PROFILE,
+    "layout_prune_comparison_orders": SQL_LAYOUT_PRUNE_COMPARISON,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import
