@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "incremental_validate_orders",
     "correlation_profile_orders",
     "layout_prune_comparison_orders",
+    "vocab_stats_documents",
 ]
 
 

@@ -8,7 +8,7 @@ md5 where hashing must match, regexp dialects kept to the common subset.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized, raw_word_ngrams
@@ -348,3 +348,43 @@ def budget_select(
         .withColumn("kept", F.lit(False))
     )
     return kept.unionByName(rest)
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus vocabulary profile: the top_k most frequent normalized
+    tokens as (token, n, rank, doc_freq) plus one summary row
+    (token='*', n=total token occurrences, rank=0, doc_freq=vocab size).
+    The first artifact a tokenizer/quality pass reads — heads dominated
+    by markup or boilerplate tokens are the classic crawl-corpus smell.
+
+    Scale shape: ONE explode → partial-aggregated (token) count (doc_freq
+    via count_distinct on the doc id rides the same shuffle); the top-k is
+    sort+limit — Catalyst's TakeOrderedAndProject (per-partition heads
+    merged at the driver), never a global row_number window; the summary
+    row folds from the same counted frame in a second tiny agg over
+    |vocab| rows, not the corpus.  Ties at the boundary break by token
+    text, so the row set is deterministic in any engine."""
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token") != "")
+    counted = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("_doc").alias("doc_freq"),
+    )
+    order = [F.desc("n"), F.asc("token")]
+    top = counted.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "token", "n", "rank", "doc_freq"
+    )
+    summary = counted.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    ).select(F.lit("*").alias("token"), "n", F.lit(0).cast("long").alias("rank"), "doc_freq")
+    return summary.unionByName(ranked)

@@ -4694,6 +4694,44 @@ ORDER BY layout, keyword, decision
 """
 
 
+# ---------------------------------------------------------------------------
+# 48. Vocabulary stats — corpus token-frequency head + summary row
+# (operators/text.py vocab_stats): one explode → one partial-agg'd count,
+# top-k as TakeOrderedAndProject.  The oracle re-derives the same
+# normalization (lower/collapse/trim) and split in SQL.
+
+
+def q_vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return TX.vocab_stats(docs, "text", "doc_id", top_k=20).orderBy("rank", "token")
+
+
+SQL_VOCAB_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+),
+counted AS (
+  SELECT token, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+  FROM toks WHERE token <> '' GROUP BY token
+),
+top AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+         doc_freq
+  FROM counted ORDER BY n DESC, token ASC LIMIT 20
+)
+SELECT * FROM (
+  SELECT '*' AS token, CAST(sum(n) AS BIGINT) AS n, CAST(0 AS BIGINT) AS rank,
+         CAST(count(*) AS BIGINT) AS doc_freq
+  FROM counted
+  UNION ALL
+  SELECT token, CAST(n AS BIGINT), CAST(rank AS BIGINT), CAST(doc_freq AS BIGINT) FROM top
+) ORDER BY rank, token
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4799,6 +4837,7 @@ QUERIES = {
     "incremental_validate_orders": q_incremental_validate_orders,
     "correlation_profile_orders": q_correlation_profile_orders,
     "layout_prune_comparison_orders": q_layout_prune_comparison_orders,
+    "vocab_stats_documents": q_vocab_stats_documents,
 }
 
 ORACLES = {
@@ -4916,6 +4955,7 @@ ORACLES = {
     "incremental_validate_orders": SQL_INCREMENTAL_VALIDATE,
     "correlation_profile_orders": SQL_CORRELATION_PROFILE,
     "layout_prune_comparison_orders": SQL_LAYOUT_PRUNE_COMPARISON,
+    "vocab_stats_documents": SQL_VOCAB_STATS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

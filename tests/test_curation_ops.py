@@ -262,3 +262,21 @@ def test_packing_plan_has_no_global_window(spark):
     out = PK.pack_documents(df, "n_tokens", "doc_id", 64, n_parts=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_vocab_stats_hand_computed_and_plan(spark):
+    from json_schema_clj_spark.operators.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat  the DOG"), (2, "the dog"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: (r["n"], r["rank"], r["doc_freq"])
+           for r in vocab_stats(df, "text", "doc_id", top_k=2).collect()}
+    # counts: the=3 (docs 1,2), dog=2 (docs 1,2), cat=1; summary: 6 tokens/3 vocab
+    assert out["*"] == (6, 0, 3)
+    assert out["the"] == (3, 1, 2)
+    assert out["dog"] == (2, 2, 2)
+    assert "cat" not in out  # beyond top_k
+    plan = vocab_stats(df, "text", "doc_id", top_k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
