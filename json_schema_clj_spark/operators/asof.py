@@ -58,6 +58,13 @@ def asof_join(
     clash = set(dim_cols) & set(facts.columns)
     if clash:
         raise ValueError(f"dim_cols collide with fact columns: {sorted(clash)}")
+    reserved = {"_t", "_is_fact", "_pid"} & (set(facts.columns) | set(dims.columns))
+    if reserved:
+        raise ValueError(f"reserved internal column names in input: {sorted(reserved)}")
+    # a version with a NULL open-time matches nothing (DuckDB ASOF parity:
+    # the range predicate is never true for NULL) — without this filter the
+    # NULL row sorts first and masquerades as open-since-forever
+    dims = dims.where(F.col(dim_ts).isNotNull())
     spark = facts.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
     probs = [i / n_parts for i in range(1, n_parts)]

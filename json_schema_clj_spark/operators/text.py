@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import normalized, raw_word_ngrams
+from .dedup import _with_deps, normalized, raw_word_ngrams
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
 LANG_STOPWORDS = {
@@ -366,17 +366,23 @@ def vocab_stats(
     via count_distinct on the doc id rides the same shuffle); the top-k is
     sort+limit — Catalyst's TakeOrderedAndProject (per-partition heads
     merged at the driver), never a global row_number window; the summary
-    row folds from the same counted frame in a second tiny agg over
-    |vocab| rows, not the corpus.  Ties at the boundary break by token
+    row folds from the SAME persisted counted frame (a second tiny agg
+    over |vocab| cached rows — the corpus is tokenized once; call
+    operators.dedup.release on the result to free the cache).  Ties at the boundary break by token
     text, so the row set is deterministic in any engine."""
     toks = df.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     ).where(F.col("token") != "")
+    # persisted: the top-k branch and the summary branch both read the
+    # counted frame — without the cache each branch re-runs the corpus
+    # explode+count (two full scans); with it the corpus is tokenized
+    # once and both branches read |vocab| cached rows.  release() the
+    # result (operators.dedup.release) to free the blocks.
     counted = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("_doc").alias("doc_freq"),
-    )
+    ).persist()
     order = [F.desc("n"), F.asc("token")]
     top = counted.orderBy(*order).limit(top_k)
     w = Window.orderBy(*order)
@@ -387,4 +393,4 @@ def vocab_stats(
         F.sum("n").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("doc_freq"),
     ).select(F.lit("*").alias("token"), "n", F.lit(0).cast("long").alias("rank"), "doc_freq")
-    return summary.unionByName(ranked)
+    return _with_deps(summary.unionByName(ranked), counted)

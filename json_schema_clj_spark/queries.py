@@ -4575,23 +4575,25 @@ WITH src AS (
   FROM orders
 ),
 pairs AS (
+  -- every moment (not just n) restricted to rows where BOTH pair columns
+  -- are non-null, mirroring the operator's F.when(both, ...) sums
   SELECT 'o_custkey' AS col_a, 'cents' AS col_b,
-         count(*) FILTER (c IS NOT NULL AND m IS NOT NULL) AS n,
+         count(*) AS n,
          sum(c) AS sa, sum(m) AS sb, sum(c*m) AS sab, sum(c*c) AS sa2, sum(m*m) AS sb2
-  FROM src
+  FROM src WHERE c IS NOT NULL AND m IS NOT NULL
   UNION ALL
-  SELECT 'o_orderkey', 'o_custkey',
-         count(*) FILTER (k IS NOT NULL AND c IS NOT NULL),
-         sum(k), sum(c), sum(k*c), sum(k*k), sum(c*c) FROM src
+  SELECT 'o_orderkey', 'o_custkey', count(*),
+         sum(k), sum(c), sum(k*c), sum(k*k), sum(c*c)
+  FROM src WHERE k IS NOT NULL AND c IS NOT NULL
   UNION ALL
-  SELECT 'o_orderkey', 'cents',
-         count(*) FILTER (k IS NOT NULL AND m IS NOT NULL),
-         sum(k), sum(m), sum(k*m), sum(k*k), sum(m*m) FROM src
+  SELECT 'o_orderkey', 'cents', count(*),
+         sum(k), sum(m), sum(k*m), sum(k*k), sum(m*m)
+  FROM src WHERE k IS NOT NULL AND m IS NOT NULL
 )
 SELECT col_a, col_b, n,
-       CAST(n * sab - sa * sb AS VARCHAR) AS cov_x,
-       CAST(n * sa2 - sa * sa AS VARCHAR) AS var_a_x,
-       CAST(n * sb2 - sb * sb AS VARCHAR) AS var_b_x
+       CAST(coalesce(n * sab - sa * sb, 0) AS VARCHAR) AS cov_x,
+       CAST(coalesce(n * sa2 - sa * sa, 0) AS VARCHAR) AS var_a_x,
+       CAST(coalesce(n * sb2 - sb * sb, 0) AS VARCHAR) AS var_b_x
 FROM pairs ORDER BY col_a, col_b
 """
 

@@ -67,3 +67,44 @@ def test_asof_rejects_column_clash(spark):
     dims = spark.createDataFrame([(1, 1, 3)], "k long, vfrom long, val long")
     with pytest.raises(ValueError):
         asof_join(facts, dims, ["k"], "ts", "vfrom", ["val"])
+
+
+def test_asof_null_version_time_matches_nothing(spark):
+    # DuckDB ASOF parity: the range predicate is never true for a NULL
+    # version time — a NULL-vfrom dim row must NOT act as open-since-forever
+    facts = spark.createDataFrame(
+        [(1, 5, 100), (1, 50, 101)], "k long, ts long, fact_id long"
+    )
+    dims = spark.createDataFrame(
+        [(1, None, 9), (1, 40, 11)], "k long, vfrom long, val long"
+    )
+    out = asof_join(facts, dims, ["k"], "ts", "vfrom", ["val"], n_parts=2)
+    got = {r["fact_id"]: r["val"] for r in out.collect()}
+    assert got == {100: None, 101: 11}
+
+
+def test_asof_rejects_reserved_internal_names(spark):
+    facts = spark.createDataFrame([(1, 1, 2)], "k long, ts long, _t long")
+    dims = spark.createDataFrame([(1, 1, 3)], "k long, vfrom long, val long")
+    with pytest.raises(ValueError):
+        asof_join(facts, dims, ["k"], "ts", "vfrom", ["val"])
+
+
+def test_correlation_oracle_sql_null_consistent():
+    # the oracle's moment sums must restrict to both-non-null rows exactly
+    # like the operator; pin it on a null-bearing table in DuckDB directly
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, NULL), (2, 4), (3, 6)) v(a, b)"
+    )
+    n, sa, sab = con.execute(
+        "SELECT count(*), sum(a), sum(a*b) FROM t WHERE a IS NOT NULL AND b IS NOT NULL"
+    ).fetchone()
+    assert (n, sa, sab) == (2, 5, 26)
+    cov = n * sab - sa * con.execute(
+        "SELECT sum(b) FROM t WHERE a IS NOT NULL AND b IS NOT NULL"
+    ).fetchone()[0]
+    # operator definition on the same rows: n=2 Σa=5 Σb=10 Σab=26 → cov=2
+    assert cov == 2

@@ -280,3 +280,6 @@ def test_vocab_stats_hand_computed_and_plan(spark):
     assert "cat" not in out  # beyond top_k
     plan = vocab_stats(df, "text", "doc_id", top_k=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+    # both output branches read the persisted counted frame — the corpus
+    # is tokenized once, not once per branch
+    assert plan.count("InMemoryTableScan") >= 2, plan
