@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "correlation_profile_orders",
     "layout_prune_comparison_orders",
     "vocab_stats_documents",
+    "aggregate_consistency_orders",
 ]
 
 

@@ -142,3 +142,52 @@ def referential_violations(
         ).alias("message"),
         F.lit(severity).alias("severity"),
     )
+
+
+def aggregate_consistency(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    parent_cents,
+    child_cents,
+    tol_bp: int = 0,
+) -> DataFrame:
+    """Cross-table aggregate consistency — validate that a parent table's
+    stored aggregate column equals the rollup of its children (the
+    table-scale analog of the reference's `$data` cross-field `const`,
+    core.clj:500-517, where the "other field" lives one join away).
+
+    `parent_cents` / `child_cents` are integer Column expressions (callers
+    quantize money per ROW before summing, so the rollup is an order-free
+    integer sum — no float accumulation can differ between engines).
+    Output: one row per parent key with (parent_cents, child_cents,
+    status), status ∈ childless | exact | within_tol | mismatch, where
+    within_tol uses the cross-multiplied basis-point rule
+    |parent−child|·10000 <= tol_bp·|parent| (integer arithmetic only).
+
+    Scale shape: one partial-aggregated child rollup shuffle + one join
+    on the parent key (broadcast if the parent is dim-sized, sort-merge
+    otherwise — Catalyst's choice); nothing collected.
+    """
+    rolled = child.groupBy(F.col(child_key).alias("_k")).agg(
+        F.sum(child_cents).cast("long").alias("child_cents")
+    )
+    p = parent.select(
+        F.col(parent_key).alias("_k"), parent_cents.cast("long").alias("parent_cents")
+    )
+    j = p.join(rolled, on="_k", how="left")
+    diff = F.abs(F.col("parent_cents") - F.col("child_cents"))
+    status = (
+        F.when(F.col("child_cents").isNull(), F.lit("childless"))
+        .when(diff == 0, F.lit("exact"))
+        .when(
+            diff * 10000 <= F.lit(int(tol_bp)) * F.abs(F.col("parent_cents")),
+            F.lit("within_tol"),
+        )
+        .otherwise(F.lit("mismatch"))
+    )
+    return j.select(
+        F.col("_k").alias(parent_key), "parent_cents", "child_cents",
+        status.alias("status"),
+    )

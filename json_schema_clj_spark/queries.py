@@ -4705,7 +4705,8 @@ ORDER BY layout, keyword, decision
 
 def q_vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return TX.vocab_stats(docs, "text", "doc_id", top_k=20).orderBy("rank", "token")
+    op = TX.vocab_stats(docs, "text", "doc_id", top_k=20)
+    return D.carry_deps(op.orderBy("rank", "token"), op)
 
 
 SQL_VOCAB_STATS = """
@@ -4731,6 +4732,66 @@ SELECT * FROM (
   UNION ALL
   SELECT token, CAST(n AS BIGINT), CAST(rank AS BIGINT), CAST(doc_freq AS BIGINT) FROM top
 ) ORDER BY rank, token
+"""
+
+
+# ---------------------------------------------------------------------------
+# 49. Cross-table aggregate consistency — does orders.o_totalprice equal
+# the rollup of its lineitems?  (operators/referential.py
+# aggregate_consistency; the $data cross-field const lifted one join away.)
+# Money quantizes to cents PER ROW before summing, so the rollup is an
+# order-free integer sum; tolerance is a cross-multiplied basis-point rule.
+# The driver's TPC-H-ish generator does NOT derive o_totalprice from
+# lineitems, so the report legitimately shows mismatches — the check's job
+# is to measure that, identically in both engines.
+
+
+def q_aggregate_consistency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    per_key = R.aggregate_consistency(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0),
+        F.round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+            * 100,
+            0,
+        ).cast("long"),
+        tol_bp=2500,  # 25%: the generator's price model is loosely coupled
+    )
+    return (
+        per_key.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("status")
+    )
+
+
+SQL_AGGREGATE_CONSISTENCY = """
+WITH rolled AS (
+  SELECT l_orderkey AS k,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT))
+           AS child_cents
+  FROM lineitem GROUP BY 1
+),
+p AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS parent_cents
+  FROM orders
+),
+j AS (
+  SELECT p.parent_cents, r.child_cents,
+         CASE WHEN r.child_cents IS NULL THEN 'childless'
+              WHEN abs(p.parent_cents - r.child_cents) = 0 THEN 'exact'
+              WHEN abs(p.parent_cents - r.child_cents) * 10000
+                   <= 2500 * abs(p.parent_cents) THEN 'within_tol'
+              ELSE 'mismatch' END AS status
+  FROM p LEFT JOIN rolled r ON p.k = r.k
+)
+SELECT status, count(*) AS n_orders FROM j GROUP BY status ORDER BY status
 """
 
 
@@ -4840,6 +4901,7 @@ QUERIES = {
     "correlation_profile_orders": q_correlation_profile_orders,
     "layout_prune_comparison_orders": q_layout_prune_comparison_orders,
     "vocab_stats_documents": q_vocab_stats_documents,
+    "aggregate_consistency_orders": q_aggregate_consistency_orders,
 }
 
 ORACLES = {
@@ -4958,6 +5020,7 @@ ORACLES = {
     "correlation_profile_orders": SQL_CORRELATION_PROFILE,
     "layout_prune_comparison_orders": SQL_LAYOUT_PRUNE_COMPARISON,
     "vocab_stats_documents": SQL_VOCAB_STATS,
+    "aggregate_consistency_orders": SQL_AGGREGATE_CONSISTENCY,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

@@ -745,3 +745,27 @@ def test_correlation_profile_single_pass_plan(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert p.count("Scan ExistingRDD") <= 1 or p.count("Scan") <= 2, p
     assert "Expand" not in p, p
+
+
+def test_aggregate_consistency_statuses(spark):
+    from json_schema_clj_spark.operators.referential import aggregate_consistency
+    from pyspark.sql import functions as F
+
+    parent = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100)], "k long, cents long"
+    )
+    child = spark.createDataFrame(
+        # key 1: exact; key 2: 1 cent off (within 100bp); key 3: way off;
+        # key 4: no children
+        [(1, 60), (1, 40), (2, 99), (3, 10)], "k long, cents long"
+    )
+    out = {
+        r["k"]: (r["parent_cents"], r["child_cents"], r["status"])
+        for r in aggregate_consistency(
+            parent, child, "k", "k", F.col("cents"), F.col("cents"), tol_bp=100
+        ).collect()
+    }
+    assert out[1] == (100, 100, "exact")
+    assert out[2] == (100, 99, "within_tol")
+    assert out[3] == (100, 10, "mismatch")
+    assert out[4] == (100, None, "childless")
