@@ -108,3 +108,35 @@ def test_correlation_oracle_sql_null_consistent():
     ).fetchone()[0]
     # operator definition on the same rows: n=2 Σa=5 Σb=10 Σab=26 → cov=2
     assert cov == 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(1, 3), st.one_of(st.none(), st.integers(0, 50))),
+        min_size=1, max_size=12,
+    ),
+    dims=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 9)),
+        max_size=6, unique_by=lambda d: (d[0], d[1]),
+    ),
+    n_parts=st.sampled_from([1, 2, 5]),
+)
+def test_asof_property_matches_bruteforce(spark, facts, dims, n_parts):
+    rows = [(k, t, i) for i, (k, t) in enumerate(facts)]
+    fdf = spark.createDataFrame(rows, "k long, ts long, fact_id long")
+    ddf = spark.createDataFrame(
+        dims or [(99, 0, 0)], "k long, vfrom long, val long"
+    )
+    out = asof_join(fdf, ddf, ["k"], "ts", "vfrom", ["val"], n_parts=n_parts)
+    got = sorted((r["fact_id"], r["val"]) for r in out.collect())
+    assert got == _brute(rows and [(k, t, f) for k, t, f in rows],
+                         dims if dims else [(99, 0, 0)])
