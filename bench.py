@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "layout_prune_comparison_orders",
     "vocab_stats_documents",
     "aggregate_consistency_orders",
+    "expectations_orders",
 ]
 
 

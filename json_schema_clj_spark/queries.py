@@ -4795,6 +4795,80 @@ SELECT status, count(*) AS n_orders FROM j GROUP BY status ORDER BY status
 """
 
 
+# ---------------------------------------------------------------------------
+# 50. Expectation suite — declarative aggregate-level assertions compiled
+# into ONE aggregation pass (operators/expectations.py): the table-level
+# complement of the row-level keyword validation.  Every threshold is
+# integer (means via cross-multiplication on cents), so verdicts are
+# engine-exact.
+
+
+def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expectations import run_expectations
+
+    df = _orders_cents(spark, sf_dir)
+    suite = [
+        {"type": "row_count_between", "lo": 1000, "hi": 100_000_000},
+        {"type": "null_count_max", "column": "o_custkey", "max": 0},
+        {"type": "mean_between", "column": "cents", "lo": 10_000_000, "hi": 20_000_000},
+        {"type": "sum_between", "column": "cents", "lo": 1, "hi": 10_000_000_000_000},
+        {"type": "distinct_between", "column": "o_orderstatus", "lo": 1, "hi": 3},
+        {"type": "unique", "column": "o_orderkey"},
+        {"type": "values_in_set", "column": "o_orderstatus", "set": ["O", "F", "P"]},
+        {"type": "min_at_least", "column": "cents", "lo": 100},
+        {"type": "max_at_most", "column": "cents", "hi": 25_000_000},
+    ]
+    return run_expectations(df, suite).orderBy("idx")
+
+
+SQL_EXPECTATIONS_ORDERS = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+w AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS custkey_nulls,
+         sum(cents) AS cents_sum, count(cents) AS cents_n,
+         count(DISTINCT o_orderstatus) AS status_d,
+         count(DISTINCT o_orderkey) AS key_d, count(o_orderkey) AS key_n,
+         sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                  THEN 1 ELSE 0 END) AS status_bad,
+         min(cents) AS cents_min, max(cents) AS cents_max
+  FROM src
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS idx, 'row_count_between' AS expectation, '*' AS "column",
+         CAST(n AS VARCHAR) AS observed, n BETWEEN 1000 AND 100000000 AS passed FROM w
+  UNION ALL
+  SELECT 1, 'null_count_max', 'o_custkey', CAST(custkey_nulls AS VARCHAR),
+         custkey_nulls <= 0 FROM w
+  UNION ALL
+  SELECT 2, 'mean_between', 'cents', CAST(cents_sum AS VARCHAR),
+         cents_n = 0 OR (cents_sum >= 10000000 * cents_n AND cents_sum <= 20000000 * cents_n) FROM w
+  UNION ALL
+  SELECT 3, 'sum_between', 'cents', CAST(cents_sum AS VARCHAR),
+         cents_sum BETWEEN 1 AND 10000000000000 FROM w
+  UNION ALL
+  SELECT 4, 'distinct_between', 'o_orderstatus', CAST(status_d AS VARCHAR),
+         status_d BETWEEN 1 AND 3 FROM w
+  UNION ALL
+  SELECT 5, 'unique', 'o_orderkey', CAST(key_n - key_d AS VARCHAR),
+         key_n - key_d = 0 FROM w
+  UNION ALL
+  SELECT 6, 'values_in_set', 'o_orderstatus', CAST(status_bad AS VARCHAR),
+         status_bad = 0 FROM w
+  UNION ALL
+  SELECT 7, 'min_at_least', 'cents', CAST(cents_min AS VARCHAR),
+         cents_min >= 100 FROM w
+  UNION ALL
+  SELECT 8, 'max_at_most', 'cents', CAST(cents_max AS VARCHAR),
+         cents_max <= 25000000 FROM w
+) ORDER BY idx
+"""
+
+
 QUERIES = {
     "validate_lineitem_keywords": q_validate_lineitem,
     "validate_verdicts_orders": q_verdicts_orders,
@@ -4902,6 +4976,7 @@ QUERIES = {
     "layout_prune_comparison_orders": q_layout_prune_comparison_orders,
     "vocab_stats_documents": q_vocab_stats_documents,
     "aggregate_consistency_orders": q_aggregate_consistency_orders,
+    "expectations_orders": q_expectations_orders,
 }
 
 ORACLES = {
@@ -5021,6 +5096,7 @@ ORACLES = {
     "layout_prune_comparison_orders": SQL_LAYOUT_PRUNE_COMPARISON,
     "vocab_stats_documents": SQL_VOCAB_STATS,
     "aggregate_consistency_orders": SQL_AGGREGATE_CONSISTENCY,
+    "expectations_orders": SQL_EXPECTATIONS_ORDERS,
 }
 
 # Oracles whose SQL is derived from repo files at call time (NOT import

@@ -769,3 +769,48 @@ def test_aggregate_consistency_statuses(spark):
     assert out[2] == (100, 99, "within_tol")
     assert out[3] == (100, 10, "mismatch")
     assert out[4] == (100, None, "childless")
+
+
+def test_expectations_hand_computed(spark):
+    from json_schema_clj_spark.operators.expectations import run_expectations
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (2, None, "z")], "k long, v long, s string"
+    )
+    suite = [
+        {"type": "row_count_between", "lo": 3, "hi": 3},
+        {"type": "null_count_max", "column": "v", "max": 0},       # fails: 1 null
+        {"type": "mean_between", "column": "v", "lo": 10, "hi": 15},  # Σ=30 n=2 mean 15 ✓
+        {"type": "unique", "column": "k"},                          # fails: dup 2
+        {"type": "values_in_set", "column": "s", "set": ["a"]},     # fails: z
+        {"type": "min_at_least", "column": "v", "lo": 10},
+        {"type": "max_at_most", "column": "v", "hi": 19},           # fails: 20
+        {"type": "distinct_between", "column": "s", "lo": 2, "hi": 2},
+    ]
+    out = {r["idx"]: (r["observed"], r["passed"]) for r in run_expectations(df, suite).collect()}
+    assert out[0] == ("3", True)
+    assert out[1] == ("1", False)
+    assert out[2] == ("30", True)
+    assert out[3] == ("1", False)   # duplicate excess 1
+    assert out[4] == ("1", False)
+    assert out[5] == ("10", True)
+    assert out[6] == ("20", False)
+    assert out[7] == ("2", True)
+    # single-pass shape: one aggregate, no joins
+    plan = run_expectations(df, suite)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    with _pytest.raises(ValueError):
+        run_expectations(df, [{"type": "nope"}])
+    with _pytest.raises(ValueError):
+        run_expectations(df, [{"type": "unique"}])
+
+
+def test_expectations_all_null_mean_vacuous(spark):
+    from json_schema_clj_spark.operators.expectations import run_expectations
+
+    df = spark.createDataFrame([(None,), (None,)], "v long")
+    out = run_expectations(
+        df, [{"type": "mean_between", "column": "v", "lo": 1, "hi": 2}]
+    ).collect()[0]
+    assert out["passed"] is True and out["observed"] == "0"
