@@ -39,6 +39,13 @@ HEADLINE = [
     "pii_scan_documents",
     "pack_documents_bins",
     "corpus_mix_documents",
+    "table_diff_orders",
+    "asof_user_tier_events",
+    "sessionize_events",
+    "budget_select_documents",
+    "expectations_orders",
+    "aggregate_consistency_orders",
+    "vocab_stats_documents",
 ]
 
 CALLOUTS = {
@@ -57,6 +64,20 @@ CALLOUTS = {
     "decontamination": "benchmark window set broadcasts; train side "
     "streams through the probe with no shuffle on the window key",
     "ann_lsh_topk": "query side broadcast; no BroadcastNestedLoopJoin",
+    "table_diff_orders": "merkle screen = partial+final HashAggregate per "
+    "side; exceptAll only over dirty-bucket rows",
+    "asof_user_tier_events": "union-tag + window partitioned by "
+    "(key, time bucket) — no SinglePartition, no cartesian",
+    "sessionize_events": "native session_window aggregate over events; the "
+    "only row_number window runs on the aggregated session rows",
+    "budget_select_documents": "grouped two-stage prefix sum — windows "
+    "partition by (source, bucket), offsets join back broadcast",
+    "expectations_orders": "the whole 9-expectation suite is ONE "
+    "partial+final HashAggregate over one scan, no joins",
+    "aggregate_consistency_orders": "partial-agg'd child rollup + one "
+    "keyed join; statuses derive in the same projection",
+    "vocab_stats_documents": "explode + partial-agg'd count, top-k as "
+    "TakeOrderedAndProject, summary reads the persisted counted frame",
     "sample_stratified_orders": "the sampling itself is Filter-on-Scan "
     "(no shuffle); the only Exchange is the query wrapper's ORDER BY for "
     "oracle comparison",
