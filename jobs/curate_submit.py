@@ -159,7 +159,14 @@ def main(argv=None):
             .where(F.col("doc_id") != F.col("keep_id"))
             .select("doc_id", F.lit("exact_dup").alias("drop_reason"))
         )
-        pairs = D.lsh_near_duplicates(non_empty, threshold=0.7)
+        # near stage over the exact-dedup KEEPERS only (mirrors curate()):
+        # verdict-equivalent — a dropped clone's keeper has identical text,
+        # so keeper pairs subsume clone pairs — and exact-clone clusters
+        # never inflate the LSH band buckets
+        keeper_docs = non_empty.join(
+            exact_dropped.select("doc_id"), "doc_id", "left_anti"
+        )
+        pairs = D.lsh_near_duplicates(keeper_docs, threshold=0.7)
         near_dropped = (
             pairs.select(F.greatest("id_a", "id_b").alias("doc_id"))
             .distinct()

@@ -132,17 +132,28 @@ def curation_verdicts(
         .select(id_col, F.lit(True).alias("is_exact"))
     )
 
-    # near-dup: drop the larger id of every qualifying pair
+    # near-dup: drop the larger id of every qualifying pair.  The stage
+    # runs over the exact-dedup KEEPERS only, never the raw corpus:
+    # verdict-equivalent — every exact-dropped doc has a keeper with
+    # IDENTICAL normalized text (hence identical shingles/signature), so
+    # keeper-to-keeper pairs subsume clone pairs, and the exact_dup
+    # precedence already outranks near_dup for the dropped clones — and
+    # it removes the worst LSH bucket inflation for free: an exact-clone
+    # cluster of size m (already fully known to the exact stage) would
+    # otherwise multiply every band bucket it touches by m.
     deps = None
     if cfg.near_threshold is not None:
+        keeper_docs = non_empty.join(
+            exact_dropped.select(id_col), id_col, "left_anti"
+        )
         if cfg.near_method == "lsh":
             pairs = D.lsh_near_duplicates(
-                non_empty, text_col, id_col,
+                keeper_docs, text_col, id_col,
                 k=cfg.shingle_k, threshold=cfg.near_threshold,
             )
         else:
             pairs = D.ngram_jaccard_pairs(
-                non_empty, text_col, id_col,
+                keeper_docs, text_col, id_col,
                 k=cfg.shingle_k, threshold=cfg.near_threshold,
                 max_shingle_freq=cfg.max_shingle_freq,
             )

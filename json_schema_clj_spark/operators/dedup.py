@@ -725,6 +725,7 @@ def lsh_near_duplicates(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: (id_a, id_b, sim) where sim is the
     signature agreement rate (unbiased Jaccard estimate).
@@ -733,6 +734,16 @@ def lsh_near_duplicates(
     lands in a candidate bucket iff some whole band agrees.  The join key is
     (band_idx, band_hash) — collision probability tuned by bands/rows so
     shuffle volume stays ~linear in corpus size at 100 TB.
+
+    Hot-bucket guard: (band, bh) buckets holding more than
+    ``max_bucket_size`` ids are dropped before the self-join (same guard
+    and default as :func:`hamming_near_duplicates`).  A boilerplate- or
+    template-dominated web corpus — the normal case in crawl training
+    data — puts millions of docs into one band bucket, and an unguarded
+    self-join goes quadratic in the hottest bucket; capped, the join is
+    ≤ cap²·n_buckets.  Recall is preserved for genuinely near-dup pairs:
+    clone clusters agree on EVERY band, so a pair survives unless all
+    `bands` of its buckets are hot.  Pass ``None`` to disable.
     """
     rows_per_band = num_hashes // bands
     # persist: the signature agg (shingle explode + 64-way min) feeds the
@@ -752,6 +763,14 @@ def lsh_near_duplicates(
     buckets = sigs.select("id", F.explode(band_arr).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bh")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("band", "bh")
+        )
+        buckets = buckets.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
     cand = (
         buckets.alias("a")
         .join(
@@ -797,6 +816,7 @@ def lsh_incremental_near_duplicates(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: near-dup pairs touching the NEW batch
     (new×new plus new×every previously stored batch) WITHOUT recomputing
@@ -845,6 +865,19 @@ def lsh_incremental_near_duplicates(
     buckets.write.mode("overwrite").parquet(f"{store_path}/buckets/batch={batch_id}")
 
     bstore = spark.read.parquet(f"{store_path}/buckets")
+    # Hot-bucket guard over the WHOLE store (history + new batch): the
+    # store accumulates every boilerplate doc ever ingested, so its hot
+    # buckets only grow across batches — counting store-wide keeps the
+    # guard's view identical to what a full-corpus lsh_near_duplicates
+    # run would see.  Same cap/default as hamming_near_duplicates.
+    if max_bucket_size is not None:
+        hot = (
+            bstore.groupBy("band", "bh")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("band", "bh")
+        )
+        bstore = bstore.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
     cand = (
         bstore.where(F.col("batch") == batch_id)
         .alias("a")

@@ -1327,7 +1327,10 @@ exact_dropped AS (
   SELECT doc_id FROM ne JOIN keepers ON md5(ne.n) = keepers.th
   WHERE doc_id <> keep_id
 ),
-words AS (SELECT doc_id, string_split(n, ' ') AS ws FROM ne),
+-- near stage runs over the exact-dedup KEEPERS only, mirroring
+-- curate(): clone pairs are subsumed by their identical-text keepers
+words AS (SELECT doc_id, string_split(n, ' ') AS ws FROM ne
+          WHERE doc_id NOT IN (SELECT doc_id FROM exact_dropped)),
 sh0 AS (
   SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS sh
   FROM words, unnest(generate_series(1, len(ws) - 2)) AS u(i)

@@ -79,15 +79,23 @@ def curate_stream(
             .withColumn("is_exact", F.lit(True))
         )
 
-        # 2. near: incremental LSH; new×stored drops the new side
+        # 2. near: incremental LSH; new×stored drops the new side.  Only
+        # the exact-dedup KEEPERS enter the store (mirrors batch
+        # curate()): an exact-dropped doc's keeper — in this batch or a
+        # prior epoch's store — has identical text, so its buckets and
+        # pairs subsume the clone's, and the store/bucket join never
+        # carries exact-clone inflation.
         if cfg.near_threshold is not None:
+            keeper_docs = non_empty.join(
+                exact_ids.select(id_col), id_col, "left_anti"
+            )
             pairs = lsh_incremental_near_duplicates(
-                non_empty, f"{store_path}/lsh", eb,
+                keeper_docs, f"{store_path}/lsh", eb,
                 text_col=text_col, id_col=id_col,
                 k=cfg.shingle_k, threshold=cfg.near_threshold,
             )
-            ba = non_empty.select(F.col(id_col).alias("id_a"), F.lit(True).alias("a_in"))
-            bb = non_empty.select(F.col(id_col).alias("id_b"), F.lit(True).alias("b_in"))
+            ba = keeper_docs.select(F.col(id_col).alias("id_a"), F.lit(True).alias("a_in"))
+            bb = keeper_docs.select(F.col(id_col).alias("id_b"), F.lit(True).alias("b_in"))
             flagged_pairs = pairs.join(ba, "id_a", "left").join(bb, "id_b", "left")
             drop_id = (
                 F.when(F.col("a_in") & F.col("b_in"), F.col("id_b"))  # new×new: larger id

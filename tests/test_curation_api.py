@@ -138,3 +138,24 @@ def test_string_ids_supported(spark):
     cfg = CurationConfig(min_tokens=5, near_threshold=None)
     r = reasons(curation_verdicts(docs, cfg))
     assert r["a"] == "kept" and r["b"] == "exact_dup" and r["c"] == "too_short"
+
+
+def test_near_stage_runs_on_exact_keepers_only(spark):
+    """The near-dup stage must see the exact-dedup KEEPERS, not the raw
+    corpus: 60 exact clones would push every base-text shingle over
+    max_shingle_freq=50 (stop-shingle guard), hiding the planted near
+    pair — over keepers each shingle's frequency is ~1 and the pair is
+    found.  Also pins verdict equivalence: clones stay exact_dup."""
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base_text) for i in range(60)] + [(900, base_text + " lam")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = CurationConfig(
+        min_tokens=None, near_threshold=0.6, near_method="jaccard",
+        max_shingle_freq=50, redact_pii=False,
+    )
+    res = curate(docs, cfg)
+    got = {r["doc_id"]: r["reason"] for r in res.verdicts.collect()}
+    res.release()
+    assert got[0] == "kept"
+    assert all(got[i] == "exact_dup" for i in range(1, 60))
+    assert got[900] == "near_dup"

@@ -165,7 +165,13 @@ def test_incremental_lsh_bucket_join_is_narrow(spark, tmp_path):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     bucket_scans = [s for s in schemas if "bh:bigint" in s]
     sig_scans = [s for s in schemas if "sig:array" in s]
-    assert len(bucket_scans) == 2, plan  # the (band, bh) self-join sides
+    # the (band, bh) self-join sides read (id, band, bh); the hot-bucket
+    # guard's count scans prune down to (band, bh) only — Catalyst column
+    # pruning keeps even the guard pass id-free
+    full_scans = [s for s in bucket_scans if "id:bigint" in s]
+    guard_scans = [s for s in bucket_scans if "id:bigint" not in s]
+    assert len(full_scans) == 2, plan
+    assert len(guard_scans) == 2, plan
     for s in bucket_scans:
         assert "sig" not in s, s  # narrow: no 64-elem payload through the bucket join
     # the two sig-store scans feed candidate-pair joins only

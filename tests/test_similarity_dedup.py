@@ -468,3 +468,48 @@ def test_cross_contamination_semantics_and_plan(spark):
     # train side on the window key
     assert "BroadcastHashJoin" in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_lsh_hot_bucket_guard_bounds_candidates(spark):
+    """A degenerate (band,bh) bucket — 40 identical boilerplate docs share
+    every band — must be dropped by the guard (pre-guard it contributes
+    C(40,2)=780 quadratic pairs), while a planted clone pair in its own
+    cold buckets is still found."""
+    boiler = [
+        (i, "the same boilerplate template text repeated on every page of the site")
+        for i in range(40)
+    ]
+    plant_text = "a genuinely unique document about distributed validation engines at scale"
+    rows = boiler + [(1000, plant_text), (2000, plant_text)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    guarded = D.lsh_near_duplicates(df, max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert got == {(1000, 2000)}
+    unguarded = D.lsh_near_duplicates(df, max_bucket_size=None)
+    assert unguarded.count() == 780 + 1
+
+
+def test_lsh_incremental_hot_bucket_guard(spark, tmp_path):
+    """The incremental store's guard counts store-wide: a bucket grown hot
+    across history+new batch is dropped from BOTH join sides; the planted
+    cross-batch clone pair in cold buckets survives."""
+    store = str(tmp_path / "lsh-guard-store")
+    plant_text = "a genuinely unique document about distributed validation engines at scale"
+    boiler_text = "the same boilerplate template text repeated on every page of the site"
+    b0 = spark.createDataFrame(
+        [(i, boiler_text) for i in range(40)] + [(1000, plant_text)],
+        ["doc_id", "text"],
+    )
+    D.lsh_incremental_near_duplicates(b0, store, "b0", max_bucket_size=10).collect()
+    b1 = spark.createDataFrame(
+        [(5000, boiler_text), (2000, plant_text)], ["doc_id", "text"]
+    )
+    pairs = D.lsh_incremental_near_duplicates(b1, store, "b1", max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1000, 2000)}
+    # unguarded control: the new boilerplate doc matches all 40 stored ones
+    unguarded = D.lsh_incremental_near_duplicates(
+        spark.createDataFrame([(5001, boiler_text)], ["doc_id", "text"]),
+        store, "b2", max_bucket_size=None,
+    )
+    assert unguarded.count() == 41  # 40 from b0 + the b1 boilerplate doc
