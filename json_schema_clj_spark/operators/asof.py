@@ -21,8 +21,10 @@ time-bucketed so no key ever serializes:
   3. facts and dims union (tagged), one window per (key, bucket) ordered
      by (time, is_fact) — dim sorts FIRST at equal time, giving the
      inclusive `dim_ts <= fact_ts` boundary (DuckDB ASOF semantics) —
-     and `last(dim_col, ignorenulls=True)` carries the current version
-     onto every fact row.
+     and `last(struct(dim_cols), ignorenulls=True)` carries the current
+     version onto every fact row as ONE atomic record (per-column lasts
+     would mix attributes of different versions when the newest match
+     holds NULLs).
 
 One shuffle on (key, bucket); parallel across keys AND across time
 within a key.  Facts with NULL timestamps match nothing (they sort
@@ -110,10 +112,26 @@ def asof_join(
         .orderBy(F.col("_t").asc_nulls_first(), F.col("_is_fact"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # carry ONE struct, not per-column lasts: last(c, ignorenulls) per
+    # column would back-fill a NULL attribute of the newest matching
+    # version from an OLDER version — a mixed-version record no single
+    # dim row ever held, diverging from ASOF row semantics.  The struct
+    # is NULL on fact rows (so they never shadow a version) and carries
+    # the whole matched version row atomically, NULL attributes included.
+    rec = F.last(
+        F.when(
+            F.col("_is_fact") == 0, F.struct(*[F.col(c) for c in dim_cols])
+        ),
+        ignorenulls=True,
+    ).over(w)
     carried = u.select(
         *key_cols,
         "_is_fact",
         *fact_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in dim_cols],
+        rec.alias("_rec"),
     )
-    return carried.where(F.col("_is_fact") == 1).drop("_is_fact")
+    return carried.where(F.col("_is_fact") == 1).select(
+        *key_cols,
+        *fact_cols,
+        *[F.col("_rec").getField(c).alias(c) for c in dim_cols],
+    )

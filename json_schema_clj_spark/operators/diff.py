@@ -32,12 +32,21 @@ _DEC = "decimal(38,0)"
 
 def row_fingerprint(cols: list[str]) -> Column:
     """64-bit row fingerprint over `cols`: xxhash64 of a null-bitmap plus
-    every column (bitmap first, so null layouts can't alias each other)."""
-    bitmap = None
-    for i, c in enumerate(cols):
-        bit = F.when(F.col(c).isNull(), F.lit(1 << i)).otherwise(F.lit(0))
-        bitmap = bit if bitmap is None else bitmap + bit
-    return F.xxhash64(bitmap.cast("long"), *[F.col(c) for c in cols])
+    every column (bitmap first, so null layouts can't alias each other).
+
+    Wide tables: the bitmap is chunked into one signed-long-safe 63-bit
+    word per 63 columns, each hashed as its own leading argument —
+    ``1 << 63`` would overflow LongType (and alias bits), so a single
+    bitmap column caps at 63 columns while this form does not."""
+    bitmaps = []
+    for start in range(0, len(cols), 63):
+        chunk = cols[start : start + 63]
+        bitmap = None
+        for i, c in enumerate(chunk):
+            bit = F.when(F.col(c).isNull(), F.lit(1 << i)).otherwise(F.lit(0))
+            bitmap = bit if bitmap is None else bitmap + bit
+        bitmaps.append(bitmap.cast("long"))
+    return F.xxhash64(*bitmaps, *[F.col(c) for c in cols])
 
 
 def _bucket(key_cols: list[str], n_buckets: int) -> Column:
@@ -51,11 +60,18 @@ def bucket_checksums(
     n_buckets: int = 4096,
 ) -> DataFrame:
     """(bucket, n_rows, checksum): one partial+final hash aggregate, output
-    size `n_buckets` regardless of input size."""
+    size `n_buckets` regardless of input size.
+
+    The fingerprint always covers ``key_cols`` PLUS the compare columns —
+    keys are part of row identity.  Fingerprinting only compare_cols
+    would let a deleted key A and an inserted key B with identical
+    compared values in the same bucket cancel out (equal n_rows AND
+    checksum), silently skipping a genuinely dirty bucket."""
     cols = compare_cols or df.columns
+    fp_cols = [*key_cols] + [c for c in cols if c not in key_cols]
     return df.groupBy(_bucket(key_cols, n_buckets).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_fingerprint(cols).cast(_DEC)).alias("checksum"),
+        F.sum(row_fingerprint(fp_cols).cast(_DEC)).alias("checksum"),
     )
 
 

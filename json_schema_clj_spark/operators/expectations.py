@@ -24,7 +24,8 @@ Expectation types (dicts; `column` required unless noted):
   {"type": "distinct_between", "column": c, "lo": int, "hi": int} (exact)
   {"type": "unique", "column": c}        (no duplicate non-null values)
   {"type": "values_in_set", "column": c, "set": [...]}  (nulls violate —
-      reference enum semantics: NULL is not a member)
+      reference enum semantics: NULL is not a member; an empty set means
+      every row violates)
   {"type": "min_at_least", "column": c, "lo": int}
   {"type": "max_at_most", "column": c, "hi": int}
 """
@@ -53,6 +54,8 @@ def run_expectations(df: DataFrame, suite: list[dict]) -> DataFrame:
             raise ValueError(f"unknown expectation type at index {i}: {e.get('type')!r}")
         if e["type"] != "row_count_between" and "column" not in e:
             raise ValueError(f"expectation at index {i} needs a column: {e}")
+        if e["type"] == "values_in_set" and not isinstance(e.get("set"), list):
+            raise ValueError(f"expectation at index {i} needs a 'set' list: {e}")
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, e in enumerate(suite):
@@ -72,7 +75,14 @@ def run_expectations(df: DataFrame, suite: list[dict]) -> DataFrame:
             aggs.append(F.count_distinct(c).alias(f"_e{i}"))
             aggs.append(F.count(c).alias(f"_e{i}_n"))
         elif t == "values_in_set":
-            bad = ~F.coalesce(c.isin(*e["set"]), F.lit(False))
+            # an empty set is a meaningful suite — no value is a member,
+            # so every row (null included) violates; Column.isin() with
+            # zero args would raise an obscure runtime error instead
+            bad = (
+                F.lit(True)
+                if not e["set"]
+                else ~F.coalesce(c.isin(*e["set"]), F.lit(False))
+            )
             aggs.append(F.sum(bad.cast("long")).alias(f"_e{i}"))
         elif t == "min_at_least":
             aggs.append(F.min(c.cast("long")).alias(f"_e{i}"))

@@ -124,13 +124,19 @@ def grouped_exclusive_cumsum(
         offsets.append((g, r["_pid"], runs.get(g, 0)))
         runs[g] = runs.get(g, 0) + (r["_tot"] or 0)
     gtype = df.schema[group_col].dataType.simpleString()
+    # the offsets join back NULL-SAFELY: groupBy kept a NULL group in the
+    # totals, and a plain equality join on group_col would silently drop
+    # every NULL-group row from the output (they'd never match off_df)
     off_df = spark.createDataFrame(
-        offsets or [(None, 0, 0)], schema=f"`{group_col}` {gtype}, _pid int, _off long"
+        offsets or [(None, 0, 0)], schema=f"`_g` {gtype}, _p int, _off long"
+    )
+    joined = within.join(
+        F.broadcast(off_df),
+        F.col(group_col).eqNullSafe(F.col("_g")) & (F.col("_pid") == F.col("_p")),
     )
     return (
-        within.join(F.broadcast(off_df), on=[group_col, "_pid"])
-        .withColumn(out_col, (F.col("_cum_in") + F.col("_off")).cast("long"))
-        .drop("_pid", "_cum_in", "_off")
+        joined.withColumn(out_col, (F.col("_cum_in") + F.col("_off")).cast("long"))
+        .drop("_g", "_p", "_pid", "_cum_in", "_off")
     )
 
 

@@ -140,3 +140,20 @@ def test_asof_property_matches_bruteforce(spark, facts, dims, n_parts):
     got = sorted((r["fact_id"], r["val"]) for r in out.collect())
     assert got == _brute(rows and [(k, t, f) for k, t, f in rows],
                          dims if dims else [(99, 0, 0)])
+
+
+def test_asof_null_dim_attribute_stays_atomic(spark):
+    """The matched version row is carried as ONE struct: when the newest
+    matching version holds a NULL attribute, that NULL must arrive on the
+    fact row — per-column lasts would back-fill it from an older version,
+    fabricating a record no dim row ever held."""
+    facts = spark.createDataFrame([(1, 30, 900)], ["k", "t", "fact_id"])
+    dims = spark.createDataFrame(
+        [(1, 10, "gold", "eu"), (1, 20, "silver", None)],
+        ["k", "vt", "tier", "region"],
+    )
+    out = asof_join(facts, dims, ["k"], "t", "vt", ["tier", "region"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["tier"] == "silver"
+    assert r["region"] is None  # NOT back-filled to "eu"

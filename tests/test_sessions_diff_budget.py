@@ -253,3 +253,45 @@ def test_budget_select_bruteforce(spark):
     for r in rows:
         if r["source"] not in budgets:
             assert got[r["doc_id"]] == (False, -1)
+
+
+def test_snapshot_diff_key_swap_same_values_detected(spark):
+    """Keys are part of row identity: a deleted key A plus an inserted key
+    B carrying IDENTICAL compared values (same bucket by construction,
+    n_buckets=1) must both surface — fingerprinting only compare_cols
+    would cancel them out and mark the bucket clean."""
+    left = spark.createDataFrame([(1, 10), (3, 7)], ["k", "v"])
+    right = spark.createDataFrame([(2, 10), (3, 7)], ["k", "v"])
+    out = DIFF.snapshot_diff(left, right, ["k"], compare_cols=["v"], n_buckets=1)
+    got = {(r["k"], r["v"], r["side"]) for r in out.collect()}
+    assert got == {(1, 10, "left_only"), (2, 10, "right_only")}
+
+
+def test_row_fingerprint_wide_tables_past_63_columns(spark):
+    """>63 columns: the null bitmap chunks into 63-bit words — 1<<63 would
+    overflow LongType.  Null layouts differing only in column 65 must
+    yield distinct fingerprints."""
+    n_cols = 70
+    cols = [f"c{i}" for i in range(n_cols)]
+    row_a = tuple(1 for _ in range(n_cols))
+    row_b = tuple(None if i == 65 else 1 for i in range(n_cols))
+    df = spark.createDataFrame(
+        [row_a, row_b], schema=", ".join(f"{c} int" for c in cols)
+    )
+    fps = [r["fp"] for r in df.select(DIFF.row_fingerprint(cols).alias("fp")).collect()]
+    assert len(fps) == 2 and fps[0] != fps[1]
+    # and the diff machinery runs end-to-end on the wide table
+    out = DIFF.snapshot_diff(df, df, ["c0"], n_buckets=4)
+    assert out.count() == 0
+
+
+def test_grouped_cumsum_keeps_null_group_rows(spark):
+    """NULL-group rows must flow through (null-safe offsets join), with a
+    correct per-group prefix sum — not silently vanish."""
+    rows = [(None, 1, 10), (None, 2, 20), ("a", 3, 5), ("a", 4, 6)]
+    df = spark.createDataFrame(rows, ["src", "ord", "n"])
+    out = grouped_exclusive_cumsum(df, "n", "ord", "src", n_parts=2)
+    got = {(r["src"], r["ord"]): r["start_offset"] for r in out.collect()}
+    assert len(got) == 4
+    assert got[(None, 1)] == 0 and got[(None, 2)] == 10
+    assert got[("a", 3)] == 0 and got[("a", 4)] == 5

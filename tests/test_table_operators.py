@@ -814,3 +814,20 @@ def test_expectations_all_null_mean_vacuous(spark):
         df, [{"type": "mean_between", "column": "v", "lo": 1, "hi": 2}]
     ).collect()[0]
     assert out["passed"] is True and out["observed"] == "0"
+
+
+def test_expectations_empty_set_every_row_violates(spark):
+    """values_in_set with an empty set is meaningful: no value is a
+    member, so every row (null included) violates — and must not crash
+    on Column.isin() with zero arguments."""
+    from json_schema_clj_spark.operators.expectations import run_expectations
+
+    df = spark.createDataFrame([("a",), ("b",), (None,)], ["s"])
+    out = run_expectations(df, [{"type": "values_in_set", "column": "s", "set": []}])
+    r = out.collect()[0]
+    assert r["observed"] == "3" and r["passed"] is False
+    # malformed: a missing set raises at compile time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="set"):
+        run_expectations(df, [{"type": "values_in_set", "column": "s"}])
