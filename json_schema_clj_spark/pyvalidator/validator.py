@@ -245,8 +245,16 @@ FORMAT_REGEX = {
 
 
 def _valid_regex(x):
+    """Validity in the JVM dialect the reference compiles with
+    (core.clj format-fns → re-pattern → java.util.regex).  Python's `re`
+    (3.11+: lookaround, possessive quantifiers, atomic groups all agree)
+    differs only in named-group spelling — Java `(?<name>…)` / `\\k<name>`
+    vs Python `(?P<name>…)` / `(?P=name)` — so translate those before
+    compiling; `(?<=` / `(?<!` lookbehinds are left untouched."""
+    y = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", x)
+    y = re.sub(r"\\k<([A-Za-z][A-Za-z0-9]*)>", r"(?P=\1)", y)
     try:
-        re.compile(x)
+        re.compile(y)
         return None
     except re.error as e:
         return str(e)
