@@ -26,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import scaling_hunt as SH
 
 REPO = SH.REPO
-OUT = os.path.join(REPO, "BENCH", "bench_clean_r3.json")
+# round-versioned output: floors are per-query clean costs of CURRENT
+# code, so a new round starts its own file (the delta tool picks the
+# newest) rather than inheriting minima measured on superseded plans
+OUT = os.path.join(
+    REPO, "BENCH", os.environ.get("BENCH_CLEAN_FILE", "bench_clean_r4.json")
+)
 
 
 def run_bench() -> dict | None:
