@@ -914,6 +914,7 @@ def minhash_md5_near_duplicates(
     k: int = 3,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Oracle-replicable MinHash-LSH: `bands` independent single-row bands,
     hash family j = lexicographic min of ``md5('j:' || shingle_md5)`` over the
@@ -944,6 +945,16 @@ def minhash_md5_near_duplicates(
     buckets = sigs.select("id", "sig", F.explode(band_structs).alias("b")).select(
         "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    # same hot-bucket guard as lsh_near_duplicates (inert on the planted
+    # oracle corpus, bucket size <= 2); the count pass prunes to (band, bh)
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bh")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("band", "bh")
+        )
+        buckets = buckets.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     sim = F.size(
         F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda e: e)
