@@ -9,11 +9,14 @@ reference's per-row invariant (BASELINE.json input_hint) includes a
 on REAL JPEG reconstruction error end-to-end (encode -> bytes -> parse ->
 Huffman decode -> dequant -> IDCT -> upsample -> PSNR), not a stub.
 
-Scope (documented, raised on): baseline DCT only — progressive (SOF2),
-arithmetic coding, 12-bit precision, and hierarchical modes raise
-NotImplementedError.  Decoder handles multi-table DQT/DHT segments,
-restart intervals (DRI/RSTn), 16-bit quant tables, and sampling factors
-up to 2x2; encoder emits 4:4:4 or 4:2:0 with restart-interval-free scans.
+Scope (documented, raised on): baseline DCT (SOF0/1) and progressive
+Huffman (SOF2 — spectral selection + successive approximation per T.81
+Annex G, encoder in functions/jpeg_progressive.py); arithmetic coding,
+12-bit precision, and hierarchical modes raise NotImplementedError.
+Decoder handles multi-table DQT/DHT segments, restart intervals
+(DRI/RSTn), 16-bit quant tables, multi-scan progressive streams (DC
+first/refine, AC first/refine with EOBRUN), and sampling factors up to
+2x2; the baseline encoder emits 4:4:4 or 4:2:0.
 
 Everything here derives from the published spec; no reference-repo code
 is involved (the reference is a Clojure JSON-schema validator with no
@@ -435,6 +438,309 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
 
 
+def _read_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes starting at `pos`: un-stuff FF00, split on RSTn,
+    stop before the next real marker.  Returns (segments, index of the
+    terminating 0xFF or end-of-data)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF and i + 1 < n:
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # next marker terminates the scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _wrap32(v: int) -> int:
+    # wrap to int32 so corrupt streams can't overflow the coefficient
+    # array (real DC values are <= 12 bits before the point transform)
+    return (v + 2**31) % 2**32 - 2**31
+
+
+def _comp_block_grid(frame: dict, c: dict) -> tuple[int, int]:
+    """Non-interleaved block grid (bw, bh) for one component: T.81 A.2.2 —
+    ceil(comp dimension / 8) of the component's own sample dimensions."""
+    hmax = max(cc["h"] for cc in frame["comps"])
+    vmax = max(cc["v"] for cc in frame["comps"])
+    comp_w = -(-frame["w"] * c["h"] // hmax)
+    comp_h = -(-frame["h"] * c["v"] // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _decode_baseline_scan(
+    frame: dict,
+    comp_zz: dict[int, np.ndarray],
+    huff: dict,
+    scan_comps: list[dict],
+    segments: list[bytes],
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    by_id = {c["id"]: c for c in frame["comps"]}
+    pred = {c["id"]: 0 for c in frame["comps"]}
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    mcu_in_seg = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and mcu_in_seg == restart_interval and seg_idx + 1 < len(segments):
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            mcu_in_seg = 0
+            pred = {c["id"]: 0 for c in frame["comps"]}
+        my, mx = divmod(m, mcus_x)
+        for sc in scan_comps:
+            c = by_id[sc["id"]]
+            dct = huff.get((0, sc["dc"]))
+            act = huff.get((1, sc["ac"]))
+            if dct is None or act is None:
+                raise ValueError("missing Huffman table for scan")
+            bw_ = mcus_x * c["h"]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = comp_zz[c["id"]][(my * c["v"] + by) * bw_ + (mx * c["h"] + bx)]
+                    s = _read_symbol(reader, dct)
+                    if s > 15:
+                        raise ValueError(f"invalid DC category {s}")
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    pred[c["id"]] = _wrap32(pred[c["id"]] + diff)
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _read_symbol(reader, act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run overflow")
+                        zz[k] = _extend(reader.receive(s), s)
+                        k += 1
+        mcu_in_seg += 1
+
+
+def _refine_nonzero(reader: _BitReader, zz: np.ndarray, k: int, p1: int) -> None:
+    """AC refinement correction bit (T.81 G.2, Annex G figure G.12 path):
+    a 1-bit means the already-nonzero coefficient's magnitude grows by
+    1 << Al (unless this scan already set that bit)."""
+    if reader.bit():
+        coef = int(zz[k])
+        if (coef & p1) == 0:
+            zz[k] = coef + (p1 if coef >= 0 else -p1)
+
+
+def _ac_first_unit(
+    reader: _BitReader, act: dict, zz: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """One block of a first AC scan (Ah=0): T.81 G.1.2.2 semantics — the
+    decoded magnitude is scaled by 1 << Al (sign-magnitude point
+    transform), EOBn codes start a run of all-zero bands."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow")
+        zz[k] = _wrap32(_extend(reader.receive(s), s) << al)
+        k += 1
+    return 0
+
+
+def _ac_refine_unit(
+    reader: _BitReader, act: dict, zz: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """One block of a refinement AC scan (Ah = Al + 1): T.81 G.2 — newly
+    significant coefficients arrive as ±1 << Al; every already-nonzero
+    coefficient crossed (by a run, a ZRL, or an EOB run) carries one
+    correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(reader, act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break  # rest of band handled by the EOB logic below
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan coefficient size must be 1")
+                val = p1 if reader.bit() else -p1
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(reader, zz, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement position overflow")
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                _refine_nonzero(reader, zz, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    frame: dict,
+    comp_zz: dict[int, np.ndarray],
+    huff: dict,
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    segments: list[bytes],
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """One progressive scan (T.81 Annex G decode): DC scans may be
+    interleaved; AC scans are single-component over the component's own
+    (non-MCU-padded) block grid.  Restart markers reset DC predictors and
+    the EOB run."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    state = {"seg": 0, "reader": _BitReader(segments[0]), "count": 0}
+
+    def maybe_restart() -> bool:
+        if (
+            restart_interval
+            and state["count"]
+            and state["count"] % restart_interval == 0
+            and state["seg"] + 1 < len(segments)
+        ):
+            state["seg"] += 1
+            state["reader"] = _BitReader(segments[state["seg"]])
+            return True
+        return False
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        comps = [by_id[sc["id"]] for sc in scan_comps]
+        dctabs = {}
+        if ah == 0:
+            for sc in scan_comps:
+                tab = huff.get((0, sc["dc"]))
+                if tab is None:
+                    raise ValueError("missing DC table for scan")
+                dctabs[sc["id"]] = tab
+        pred = {c["id"]: 0 for c in comps}
+
+        def dc_unit(zz: np.ndarray, cid: int) -> None:
+            r = state["reader"]
+            if ah == 0:
+                s = _read_symbol(r, dctabs[cid])
+                if s > 15:
+                    raise ValueError(f"invalid DC category {s}")
+                diff = _extend(r.receive(s), s) if s else 0
+                pred[cid] = _wrap32(pred[cid] + diff)
+                zz[0] = _wrap32(pred[cid] << al)
+            else:  # refinement: one raw bit appends bit Al (G.2, two's
+                # complement — OR works for negatives too)
+                if r.bit():
+                    zz[0] = _wrap32(int(zz[0]) | (1 << al))
+
+        if len(scan_comps) > 1:  # interleaved over MCUs
+            for m in range(mcus_x * mcus_y):
+                if maybe_restart():
+                    pred = {c["id"]: 0 for c in comps}
+                my, mx = divmod(m, mcus_x)
+                for c in comps:
+                    stride = mcus_x * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * stride + (mx * c["h"] + bx)
+                            dc_unit(comp_zz[c["id"]][idx], c["id"])
+                state["count"] += 1
+        else:  # non-interleaved: the component's own block grid
+            c = comps[0]
+            bw_c, bh_c = _comp_block_grid(frame, c)
+            stride = mcus_x * c["h"]
+            for b in range(bw_c * bh_c):
+                if maybe_restart():
+                    pred = {c["id"]: 0 for c in comps}
+                by, bx = divmod(b, bw_c)
+                dc_unit(comp_zz[c["id"]][by * stride + bx], c["id"])
+                state["count"] += 1
+        return
+
+    # AC scan: exactly one component (T.81 G.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se < ss or se > 63:
+        raise ValueError(f"invalid spectral band {ss}..{se}")
+    sc = scan_comps[0]
+    c = by_id[sc["id"]]
+    act = huff.get((1, sc["ac"]))
+    if act is None:
+        raise ValueError("missing AC table for scan")
+    bw_c, bh_c = _comp_block_grid(frame, c)
+    stride = mcus_x * c["h"]
+    eobrun = 0
+    for b in range(bw_c * bh_c):
+        if maybe_restart():
+            eobrun = 0
+        by, bx = divmod(b, bw_c)
+        zz = comp_zz[c["id"]][by * stride + bx]
+        if ah == 0:
+            eobrun = _ac_first_unit(state["reader"], act, zz, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_unit(state["reader"], act, zz, ss, se, al, eobrun)
+        state["count"] += 1
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -442,8 +748,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    comp_zz: dict[int, np.ndarray] = {}
+    mcus_x = mcus_y = 0
+    n_scans = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -483,7 +792,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = payload[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -501,117 +810,50 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(f"invalid sampling factors {hv}x{vv}")
                 comps.append({"id": cid, "h": hv, "v": vv, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"non-baseline SOF 0x{marker:02x}")
+            progressive = marker == 0xC2
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("sampling factors > 2 not supported")
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            comp_zz = {}
+            for c in frame["comps"]:
+                nb = mcus_y * c["v"] * mcus_x * c["h"]
+                comp_zz[c["id"]] = np.zeros((nb, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"unsupported SOF 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
             scan_comps = []
             for c in range(ns):
                 cs, tt = payload[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0xF})
-            scan = (scan_comps, pos)
-            break
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            segments, pos = _split_entropy(data, pos)
+            n_scans += 1
+            if progressive:
+                _decode_prog_scan(
+                    frame, comp_zz, huff, scan_comps, ss, se, ahal >> 4, ahal & 0xF,
+                    segments, restart_interval, mcus_x, mcus_y,
+                )
+            else:
+                if n_scans > 1:
+                    raise NotImplementedError("multi-scan sequential JPEG")
+                _decode_baseline_scan(
+                    frame, comp_zz, huff, scan_comps, segments,
+                    restart_interval, mcus_x, mcus_y,
+                )
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or n_scans == 0:
         raise ValueError("missing SOF/SOS")
-    scan_comps, pos = scan
-
-    # entropy-coded data: up to EOI, un-stuff FF00, split restarts
-    end = data.rfind(b"\xff\xd9")
-    if end < 0:
-        end = len(data)
-    raw = data[pos:end]
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(raw):
-        b = raw[i]
-        if b == 0xFF and i + 1 < len(raw):
-            nxt = raw[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # next marker terminates scan
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError("sampling factors > 2 not supported")
-    mcus_x = -(-frame["w"] // (8 * hmax))
-    mcus_y = -(-frame["h"] // (8 * vmax))
-
-    by_id = {c["id"]: c for c in frame["comps"]}
-    comp_zz: dict[int, np.ndarray] = {}
-    for c in frame["comps"]:
-        nb = mcus_y * c["v"] * mcus_x * c["h"]
-        comp_zz[c["id"]] = np.zeros((nb, 64), dtype=np.int32)
-
-    pred = {c["id"]: 0 for c in frame["comps"]}
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    mcu_in_seg = 0
-
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    n_mcus = mcus_x * mcus_y
-    for m in range(n_mcus):
-        if restart_interval and mcu_in_seg == restart_interval and seg_idx + 1 < len(segments):
-            seg_idx += 1
-            reader = _BitReader(segments[seg_idx])
-            mcu_in_seg = 0
-            pred = {c["id"]: 0 for c in frame["comps"]}
-        my, mx = divmod(m, mcus_x)
-        for sc in scan_comps:
-            c = by_id[sc["id"]]
-            dct = huff.get((0, sc["dc"]))
-            act = huff.get((1, sc["ac"]))
-            if dct is None or act is None:
-                raise ValueError("missing Huffman table for scan")
-            bw_ = mcus_x * c["h"]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = comp_zz[c["id"]][(my * c["v"] + by) * bw_ + (mx * c["h"] + bx)]
-                    s = read_symbol(dct)
-                    if s > 15:
-                        raise ValueError(f"invalid DC category {s}")
-                    diff = _extend(reader.receive(s), s) if s else 0
-                    # wrap to int32 so corrupt streams can't overflow the
-                    # coefficient array (real DC values are <= 12 bits)
-                    pred[c["id"]] = (pred[c["id"]] + diff + 2**31) % 2**32 - 2**31
-                    zz[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = read_symbol(act)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run overflow")
-                        zz[k] = _extend(reader.receive(s), s)
-                        k += 1
-        mcu_in_seg += 1
 
     planes: dict[int, np.ndarray] = {}
     for c in frame["comps"]:

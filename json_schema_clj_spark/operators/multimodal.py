@@ -11,7 +11,10 @@ In this container no image libraries exist, so:
 * **JPEG is REAL**: a pure-numpy baseline-sequential T.81 codec
   (functions/jpeg.py — Annex K tables, 4:4:4/4:2:0, restart intervals),
   so the PSNR ≥ 40 dB lossy branch runs on genuine DCT+quantization
-  reconstruction error.
+  reconstruction error.  Progressive JPEG (SOF2) is real too
+  (functions/jpeg_progressive.py): spectral selection + successive
+  approximation per T.81 Annex G, with the invariant that a complete
+  progressive transmission decodes pixel-identically to baseline.
 * **WEBP (lossless/VP8L) is REAL**: a pure-numpy VP8L codec
   (functions/vp8l.py — canonical prefix codes, color cache, backward
   references, meta prefix codes, and all four transforms: subtract-green,

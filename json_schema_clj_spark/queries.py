@@ -2430,6 +2430,44 @@ def q_images_jpeg_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_IMAGES_JPEG_PSNR = SQL_IMAGES_PSNR_LOSSY
 
 
+def q_images_jpeg_progressive_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE-JPEG lossy PSNR invariant: the corpus is the pure-numpy
+    SOF2 encoder's output (functions/jpeg_progressive.py — spectral
+    selection + successive approximation, per-scan Annex K.2 optimized
+    Huffman tables, mixed 4:4:4/4:2:0), decoded by the multi-scan Annex G
+    decoder in functions/jpeg.py and PSNR-scored against the lossless PNG
+    reference of the same smooth fabric.  A complete progressive
+    transmission reconstructs the SAME quantized coefficients as baseline
+    (pinned pixel-exact by tests/test_jpeg_progressive.py), so the plant
+    margins are exactly the baseline query's: rows with id % 20 == 3 at
+    quality 6 fail the 40 dB bar deterministically, the rest at quality 95
+    pass.  allow_fake=False: a decode bug shows up as a count shift."""
+    from .sources.images import jpeg_progressive_images_df, jpeg_ref_images_df
+
+    cur = jpeg_progressive_images_df(
+        spark, _PSNR_N, seed=5, quality=95,
+        coarse_every=_PSNR_COARSE_EVERY, coarse_quality=6,
+    )
+    ref = jpeg_ref_images_df(spark, _PSNR_N, seed=5)
+    scored = M.psnr_vs_reference(cur, ref, allow_fake=False)
+    status = (
+        F.when(F.col("psnr_db").isNull(), F.lit("pass_lossless"))
+        .when(F.col("psnr_db") >= 40.0, F.lit("pass_psnr_ge_40db"))
+        .otherwise(F.lit("fail_decode_or_psnr"))
+    )
+    return (
+        scored.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+# identical plant rule to the baseline-JPEG invariant: a complete
+# progressive transmission is coefficient-exact vs baseline, so the same
+# rows pass/fail the 40 dB bar
+SQL_IMAGES_JPEG_PROGRESSIVE_PSNR = SQL_IMAGES_PSNR_LOSSY
+
+
 def q_images_webp_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-WEBP lossless invariant: the corpus is the pure-numpy VP8L
     encoder's output (functions/vp8l.py) with per-row option cycling —
@@ -4938,6 +4976,7 @@ QUERIES = {
     "images_phash_pipeline_neardup": q_images_phash_pipeline,
     "images_phash_dedup_clusters": q_images_phash_dedup_clusters,
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
+    "images_jpeg_progressive_psnr": q_images_jpeg_progressive_psnr,
     "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_caption_equality": q_images_caption_equality,
     "images_phash_neardup": q_images_phash_neardup,
@@ -5095,6 +5134,7 @@ ORACLES = {
     "images_phash_pipeline_neardup": SQL_IMAGES_PHASH_PIPELINE,
     "images_phash_dedup_clusters": SQL_IMAGES_PHASH_DEDUP_CLUSTERS,
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
+    "images_jpeg_progressive_psnr": SQL_IMAGES_JPEG_PROGRESSIVE_PSNR,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,
     "images_phash_neardup": SQL_IMAGES_PHASH_NEARDUP,

@@ -225,6 +225,53 @@ def jpeg_images_df(
     )
 
 
+def jpeg_progressive_images_df(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 5,
+    quality: int = 95,
+    coarse_every: int | None = None,
+    coarse_quality: int = 6,
+) -> DataFrame:
+    """PROGRESSIVE-JPEG twin of :func:`jpeg_images_df`: the same smooth
+    fabric pushed through the pure-numpy SOF2 encoder
+    (functions/jpeg_progressive.py — spectral selection + successive
+    approximation, per-scan Annex K.2 optimized Huffman tables).  Rows
+    with ``id % coarse_every == 3`` are encoded at `coarse_quality`
+    (deterministically below the 40 dB invariant); all others at
+    `quality`.  Every fifth row uses 4:2:0 subsampling so the interleaved
+    DC scan and the non-interleaved AC band grids diverge in the
+    distributed decode path."""
+    from ..functions.jpeg_progressive import encode_jpeg_progressive
+    from ..operators.multimodal import smooth_pixels
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                w, h = 24 + int(i) % 9, 16 + int(i) % 7
+                px = smooth_pixels(f"{seed}:{i}".encode(), w, h)
+                if coarse_every and i % coarse_every == 3:
+                    data = encode_jpeg_progressive(px, quality=coarse_quality)
+                else:
+                    data = encode_jpeg_progressive(
+                        px,
+                        quality=quality,
+                        subsampling="420" if i % 5 == 0 else "444",
+                    )
+                rows.append((f"img-{i:08d}", data, w, h, "jpeg", f"caption {i}", int(i)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return spark.range(n_rows).mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
 def jpeg_ref_images_df(spark: SparkSession, n_rows: int, seed: int = 5) -> DataFrame:
     """Lossless PNG reference carrying the SAME smooth fabric as
     :func:`jpeg_images_df` — the other side of the PSNR join."""

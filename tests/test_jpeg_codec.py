@@ -56,11 +56,24 @@ def test_truncated_raises():
         decode_jpeg(b"\x89PNG")  # not a JPEG at all
 
 
-def test_progressive_sof_raises():
+def test_relabelled_progressive_sof_is_malformed():
+    # SOF2 decodes for real now (functions/jpeg_progressive.py), so a
+    # BASELINE scan relabelled progressive is malformed input (its one
+    # interleaved scan claims Ss=0..Se=63, illegal for a progressive DC
+    # scan) — ValueError, not NotImplementedError
     data = bytearray(encode_jpeg(_img(24, 16), quality=90))
     i = bytes(data).find(b"\xff\xc0")
     assert i > 0
     data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
+def test_arithmetic_sof_raises():
+    data = bytearray(encode_jpeg(_img(24, 16), quality=90))
+    i = bytes(data).find(b"\xff\xc0")
+    assert i > 0
+    data[i + 1] = 0xC9  # SOF9: arithmetic sequential — out of scope
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
 
