@@ -563,8 +563,8 @@ def png_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     Adds ``hdr_ok`` (signature + IHDR tag present, ≥24 bytes) and
     ``w_hdr``/``h_hdr`` (big-endian uint32s at offsets 16/20; NULL when
     ``hdr_ok`` is false).  PNG only — JPEG's SOF frame floats behind
-    variable-length segments and goes through the Arrow decode path
-    (functions/jpeg.py) instead.
+    variable-length segments; :func:`jpeg_header_dims` walks that chain
+    in pure Catalyst instead.
     """
     b = F.col(bytes_col)
     hdr_ok = (
@@ -578,4 +578,80 @@ def png_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         df.withColumn("hdr_ok", hdr_ok)
         .withColumn("w_hdr", w_hdr)
         .withColumn("h_hdr", h_hdr)
+    )
+
+
+#: JPEG markers: SOF-class (frame headers carrying mode + dimensions),
+#: and the scan/terminator markers that end the header chain
+_JPEG_SOF_MARKERS = (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+_JPEG_HEADER_CAP = 4096  # header segments scanned; SOF beyond this -> unknown
+_JPEG_WALK_STEPS = 16  # max header segments before SOF (ours use <= 6)
+
+
+def jpeg_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """JPEG twin of :func:`png_header_dims`: find the SOF frame header by
+    WALKING the variable-length marker-segment chain in pure Catalyst —
+    a bounded `F.aggregate` over ``_JPEG_WALK_STEPS`` steps carries a
+    (offset, sof_marker) state across segments (each step reads the
+    marker byte and its big-endian length from a hex projection of the
+    first ``_JPEG_HEADER_CAP`` bytes and hops to the next segment), so
+    the T.81 container's frame mode AND dimension claims are validated
+    at scan speed inside whole-stage codegen with NO Python and NO pixel
+    decode.  Entropy bytes can never false-positive: the walk consumes
+    declared segment lengths instead of pattern-matching markers.
+
+    Adds ``sof_marker`` (int: 0xC0 baseline / 0xC2 progressive / other
+    SOF-class codes; 0 when no SOF found — not a JPEG, truncated, or SOS
+    reached first), and ``w_hdr``/``h_hdr`` (the SOF payload's big-endian
+    uint16 samples-per-line / lines; NULL when ``sof_marker`` is 0).
+    10^12-row path: one projection per row, no shuffle, no UDF.
+    """
+    b = F.col(bytes_col)
+    hx = F.hex(F.substring(b, 1, _JPEG_HEADER_CAP))
+
+    def byte_at(off):  # off: 0-based byte offset Column -> int value (-1 past end)
+        return F.coalesce(
+            F.nullif(F.conv(F.substr(hx, off * 2 + 1, F.lit(2)), 16, 10), F.lit("")).cast("int"),
+            F.lit(-1),
+        )
+
+    def step(acc, _):
+        pos, sof = acc["pos"], acc["sof"]
+        done = (sof != 0) | (pos < 0)
+        ff = byte_at(pos)
+        m = byte_at(pos + 1)
+        seg_len = (byte_at(pos + 2) * 256) + byte_at(pos + 3)
+        invalid = (ff != 0xFF) | (m < 0) | (m == 0xD8) | (m == 0xD9) | (m == 0xDA)
+        nxt = (
+            F.when(done, acc)
+            .when(invalid, F.struct(F.lit(-1).alias("pos"), F.lit(0).alias("sof")))
+            .when(
+                m.isin(*_JPEG_SOF_MARKERS),
+                F.struct(pos.alias("pos"), m.alias("sof")),
+            )
+            .otherwise(
+                F.struct((pos + 2 + seg_len).alias("pos"), F.lit(0).alias("sof"))
+            )
+        )
+        return nxt
+
+    init = F.when(
+        F.hex(F.substring(b, 1, 2)) == F.lit("FFD8"),
+        F.struct(F.lit(2).alias("pos"), F.lit(0).alias("sof")),
+    ).otherwise(F.struct(F.lit(-1).alias("pos"), F.lit(0).alias("sof")))
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_WALK_STEPS)), init, step
+    )
+    out = df.withColumn("_walk", walk)
+    pos, sof = F.col("_walk")["pos"], F.col("_walk")["sof"]
+    # SOF payload: [len:2][precision:1][lines:2][samples/line:2] after the
+    # 2-byte marker -> height at pos+5, width at pos+7 (big-endian uint16)
+    hx2 = F.hex(F.substring(b, 1, _JPEG_HEADER_CAP))
+    h_hdr = F.when(sof != 0, F.conv(F.substr(hx2, (pos + 5) * 2 + 1, F.lit(4)), 16, 10).cast("long"))
+    w_hdr = F.when(sof != 0, F.conv(F.substr(hx2, (pos + 7) * 2 + 1, F.lit(4)), 16, 10).cast("long"))
+    return (
+        out.withColumn("sof_marker", sof)
+        .withColumn("w_hdr", w_hdr)
+        .withColumn("h_hdr", h_hdr)
+        .drop("_walk")
     )

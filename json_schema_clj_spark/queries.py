@@ -2468,6 +2468,64 @@ def q_images_jpeg_progressive_psnr(spark: SparkSession, sf_dir: str) -> DataFram
 SQL_IMAGES_JPEG_PROGRESSIVE_PSNR = SQL_IMAGES_PSNR_LOSSY
 
 
+def q_images_jpeg_header_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-speed JPEG container conformance in PURE Catalyst: walk the
+    T.81 marker-segment chain (bounded F.aggregate — each step hops a
+    declared segment length) to find the SOF frame header, then validate
+    the frame MODE and the metadata columns' dimension CLAIMS (`w`/`h`)
+    against the SOF payload — no Python, no pixel decode, whole-stage
+    codegen (operators/multimodal.py `jpeg_header_dims`).  The corpus
+    mixes baseline (restart-interval rows included), progressive (SOF2)
+    and PNG rows, so all three branches are exercised: baseline rows walk
+    APP0→DQT→DQT[→DRI]→SOF0, progressive rows stop at SOF2, PNG rows
+    fail the SOI gate.  This is the 10^12-row pre-pass that catches
+    wrong-mode or wrong-dimension claims at metadata speed before any
+    decode is scheduled."""
+    from .sources.images import (
+        jpeg_images_df,
+        jpeg_progressive_images_df,
+        png_images_df,
+    )
+
+    base = jpeg_images_df(
+        spark, _PSNR_N, seed=5, quality=95,
+        coarse_every=_PSNR_COARSE_EVERY, coarse_quality=6,
+    )
+    prog = jpeg_progressive_images_df(
+        spark, _PSNR_N, seed=5, quality=95,
+        coarse_every=_PSNR_COARSE_EVERY, coarse_quality=6,
+    )
+    png = png_images_df(spark, _PSNR_N, seed=5)
+    walked = M.jpeg_header_dims(base.unionAll(prog).unionAll(png))
+    mode = (
+        F.when(F.col("sof_marker") == 0xC0, F.lit("baseline"))
+        .when(F.col("sof_marker") == 0xC2, F.lit("progressive"))
+        .when(F.col("sof_marker") == 0, F.lit("none"))
+        .otherwise(F.lit("other"))
+    )
+    dim_ok = (F.col("w_hdr") == F.col("w")) & (F.col("h_hdr") == F.col("h"))
+    return (
+        walked.groupBy(mode.alias("mode"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(dim_ok, 1).otherwise(0)).alias("n_dim_ok"),
+        )
+        .orderBy("mode")
+    )
+
+
+# plant arithmetic: every baseline row carries SOF0, every progressive
+# row SOF2 (both with header dims equal to the claimed w/h — the encoders
+# write the true geometry), every PNG row fails the SOI gate
+SQL_IMAGES_JPEG_HEADER_CONFORMANCE = f"""
+SELECT * FROM (VALUES
+  ('baseline',    CAST({_PSNR_N} AS BIGINT), CAST({_PSNR_N} AS BIGINT)),
+  ('none',        CAST({_PSNR_N} AS BIGINT), CAST(0 AS BIGINT)),
+  ('progressive', CAST({_PSNR_N} AS BIGINT), CAST({_PSNR_N} AS BIGINT))
+) t(mode, n, n_dim_ok) ORDER BY mode
+"""
+
+
 def q_images_webp_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-WEBP lossless invariant: the corpus is the pure-numpy VP8L
     encoder's output (functions/vp8l.py) with per-row option cycling —
@@ -4977,6 +5035,7 @@ QUERIES = {
     "images_phash_dedup_clusters": q_images_phash_dedup_clusters,
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_jpeg_progressive_psnr": q_images_jpeg_progressive_psnr,
+    "images_jpeg_header_conformance": q_images_jpeg_header_conformance,
     "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_caption_equality": q_images_caption_equality,
     "images_phash_neardup": q_images_phash_neardup,
@@ -5135,6 +5194,7 @@ ORACLES = {
     "images_phash_dedup_clusters": SQL_IMAGES_PHASH_DEDUP_CLUSTERS,
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
     "images_jpeg_progressive_psnr": SQL_IMAGES_JPEG_PROGRESSIVE_PSNR,
+    "images_jpeg_header_conformance": SQL_IMAGES_JPEG_HEADER_CONFORMANCE,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,
     "images_phash_neardup": SQL_IMAGES_PHASH_NEARDUP,

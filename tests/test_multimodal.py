@@ -154,3 +154,58 @@ def test_png_header_dims_catalyst_parse(spark):
 
     plan = png_header_dims(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_jpeg_header_dims_marker_walk(spark):
+    """The bounded Catalyst marker walk finds SOF through variable-length
+    segment chains (APP0/DQT/DRI orderings, baseline AND progressive),
+    validates dimension claims, rejects non-JPEG/truncated/SOS-first
+    streams, and gives up past the header cap — all without Python."""
+    import numpy as np
+    import struct as _struct
+
+    from json_schema_clj_spark.functions.jpeg import encode_jpeg, encode_jpeg_gray
+    from json_schema_clj_spark.functions.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+    from json_schema_clj_spark.operators.multimodal import (
+        encode_png,
+        jpeg_header_dims,
+    )
+
+    def px(w, h):
+        return np.zeros((h, w, 3), np.uint8)
+
+    base = encode_jpeg(px(24, 16), quality=90)
+    rows = [
+        ("base", base, 24, 16),
+        ("base_dri", encode_jpeg(px(40, 26), quality=80, restart_interval=2), 40, 26),
+        ("prog", encode_jpeg_progressive(px(31, 19), quality=90), 31, 19),
+        ("gray", encode_jpeg_gray(px(12, 10)[..., 0], quality=90), 12, 10),
+        # a fat COM segment before SOF: the walk must hop it
+        ("com", base[:2] + b"\xff\xfe" + _struct.pack(">H", 502) + b"z" * 500 + base[2:], 24, 16),
+        # claimed dims disagree with the SOF payload
+        ("lying", base, 99, 77),
+        ("png", encode_png(px(9, 9)), 9, 9),
+        ("trunc", base[:6], 24, 16),
+        # SOF pushed past the header cap -> walk gives up cleanly
+        ("far", base[:2] + b"\xff\xfe" + _struct.pack(">H", 5002) + b"z" * 5000 + base[2:], 24, 16),
+        ("garbage", b"\xff\xd8\x00\x00\x00\x00", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    out = {r["image_id"]: r for r in jpeg_header_dims(df).collect()}
+
+    for name in ("base", "base_dri", "gray", "com"):
+        assert out[name]["sof_marker"] == 0xC0, name
+        assert out[name]["w_hdr"] == out[name]["w"], name
+        assert out[name]["h_hdr"] == out[name]["h"], name
+    assert out["prog"]["sof_marker"] == 0xC2
+    assert out["prog"]["w_hdr"] == 31 and out["prog"]["h_hdr"] == 19
+    assert out["lying"]["sof_marker"] == 0xC0
+    assert out["lying"]["w_hdr"] == 24 and out["lying"]["h_hdr"] == 16  # the bytes win
+    for name in ("png", "trunc", "far", "garbage"):
+        assert out[name]["sof_marker"] == 0, name
+        assert out[name]["w_hdr"] is None, name
+
+    plan = jpeg_header_dims(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
