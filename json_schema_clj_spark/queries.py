@@ -2526,6 +2526,55 @@ SELECT * FROM (VALUES
 """
 
 
+_HEALTH_CORRUPT_EVERY = 40
+
+
+def q_images_health_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered multimodal ingestion gate (the batch core of
+    streaming/images_stream.py): per format, magic-number conformance and
+    pure-Catalyst HEADER conformance (PNG IHDR + the JPEG marker walk)
+    gate an Arrow-batched REAL-decode layer plus the caption presence
+    check — one profile row per fmt.  Run here with decode_sample_mod=1
+    (decode everything) so every count is plant arithmetic: truncated PNG
+    rows (id % 40 == 7, bytes halved) PASS the metadata-only header gate
+    and fail only at decode — exactly the layering the gate exists to
+    demonstrate."""
+    from .sources.images import jpeg_progressive_images_df, png_images_df
+    from .streaming.images_stream import image_health_profile
+
+    png = png_images_df(spark, _PSNR_N, seed=5, corrupt_every=_HEALTH_CORRUPT_EVERY)
+    jpg = jpeg_progressive_images_df(spark, _PSNR_N, seed=7).withColumn(
+        "image_id", F.concat(F.lit("j-"), F.col("image_id"))
+    )
+    return image_health_profile(png.unionAll(jpg), decode_sample_mod=1)
+
+
+# plant arithmetic: headers survive the byte-halving truncation (dims are
+# in the first 24 bytes), so only the decode layer drops the corrupted
+# count; the progressive-JPEG corpus is fully intact
+SQL_IMAGES_HEALTH_PROFILE = f"""
+WITH c AS (
+  SELECT count(*) AS n_corrupt
+  FROM generate_series(0, {_PSNR_N - 1}) t(i)
+  WHERE i % {_HEALTH_CORRUPT_EVERY} = 7
+)
+SELECT * FROM (
+  SELECT 'jpeg' AS fmt, CAST({_PSNR_N} AS BIGINT) AS n,
+         CAST({_PSNR_N} AS BIGINT) AS n_magic_ok,
+         CAST({_PSNR_N} AS BIGINT) AS n_hdr_ok,
+         CAST({_PSNR_N} AS BIGINT) AS n_dim_ok,
+         CAST({_PSNR_N} AS BIGINT) AS n_caption_ok,
+         CAST({_PSNR_N} AS BIGINT) AS n_sampled,
+         CAST({_PSNR_N} AS BIGINT) AS n_decoded
+  UNION ALL
+  SELECT 'png', CAST({_PSNR_N} AS BIGINT), CAST({_PSNR_N} AS BIGINT),
+         CAST({_PSNR_N} AS BIGINT), CAST({_PSNR_N} AS BIGINT),
+         CAST({_PSNR_N} AS BIGINT), CAST({_PSNR_N} AS BIGINT),
+         CAST({_PSNR_N} - (SELECT n_corrupt FROM c) AS BIGINT)
+) ORDER BY fmt
+"""
+
+
 def q_images_webp_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-WEBP lossless invariant: the corpus is the pure-numpy VP8L
     encoder's output (functions/vp8l.py) with per-row option cycling —
@@ -5036,6 +5085,7 @@ QUERIES = {
     "images_jpeg_psnr_invariant": q_images_jpeg_psnr,
     "images_jpeg_progressive_psnr": q_images_jpeg_progressive_psnr,
     "images_jpeg_header_conformance": q_images_jpeg_header_conformance,
+    "images_health_profile": q_images_health_profile,
     "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_caption_equality": q_images_caption_equality,
     "images_phash_neardup": q_images_phash_neardup,
@@ -5195,6 +5245,7 @@ ORACLES = {
     "images_jpeg_psnr_invariant": SQL_IMAGES_JPEG_PSNR,
     "images_jpeg_progressive_psnr": SQL_IMAGES_JPEG_PROGRESSIVE_PSNR,
     "images_jpeg_header_conformance": SQL_IMAGES_JPEG_HEADER_CONFORMANCE,
+    "images_health_profile": SQL_IMAGES_HEALTH_PROFILE,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,
     "images_phash_neardup": SQL_IMAGES_PHASH_NEARDUP,
