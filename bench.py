@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "vocab_stats_documents",
     "aggregate_consistency_orders",
     "expectations_orders",
+    "images_jpeg_progressive_psnr",
+    "images_jpeg_header_conformance",
+    "images_health_profile",
+    "images_webp_header_conformance",
 ]
 
 

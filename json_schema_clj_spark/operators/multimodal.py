@@ -581,6 +581,124 @@ def png_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     )
 
 
+_WEBP_WALK_STEPS = 8  # max RIFF chunks scanned before the bitstream chunk
+_WEBP_HEADER_CAP = 1024
+
+
+def webp_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """WebP twin of :func:`jpeg_header_dims`: walk the RIFF chunk chain in
+    pure Catalyst (bounded `F.aggregate`; chunk sizes are little-endian
+    uint32, payloads pad to even) until a bitstream chunk, then decode the
+    dimension claims — VP8L's 14-bit little-endian packed width/height
+    (WebP Lossless Bitstream spec §3), VP8X's 24-bit canvas fields, or the
+    lossy VP8 key-frame tag's 14-bit dims past the 0x9D012A start code.
+    No Python, no decode; scan speed inside whole-stage codegen.
+
+    Adds ``webp_kind`` ('lossless' / 'extended' / 'lossy' / 'none') and
+    ``w_hdr``/``h_hdr`` (NULL when kind is 'none')."""
+    b = F.col(bytes_col)
+    hx = F.hex(F.substring(b, 1, _WEBP_HEADER_CAP))
+
+    def byte_at(off):
+        return F.coalesce(
+            F.nullif(F.conv(F.substr(hx, off * 2 + 1, F.lit(2)), 16, 10), F.lit("")).cast("long"),
+            F.lit(-1),
+        )
+
+    def le32(off):  # little-endian uint32 at 0-based byte offset
+        return (
+            byte_at(off) + byte_at(off + 1) * 256
+            + byte_at(off + 2) * 65536 + byte_at(off + 3) * 16777216
+        )
+
+    def fourcc(off):
+        return F.substr(hx, off * 2 + 1, F.lit(8))
+
+    riff_ok = (
+        (F.hex(F.substring(b, 1, 4)) == F.lit("52494646"))  # "RIFF"
+        & (F.hex(F.substring(b, 9, 4)) == F.lit("57454250"))  # "WEBP"
+    )
+
+    def step(acc, _):
+        pos, kind = acc["pos"], acc["kind"]
+        done = (kind != 0) | (pos < 0)
+        cc = fourcc(pos)
+        size = le32(pos + 4)
+        bad = (size < 0) | (byte_at(pos) < 0)
+        nxt = (
+            F.when(done, acc)
+            .when(bad, F.struct(F.lit(-1).alias("pos"), F.lit(0).alias("kind")))
+            .when(cc == F.lit("5650384C"), F.struct(pos.alias("pos"), F.lit(1).alias("kind")))  # VP8L
+            .when(cc == F.lit("56503858"), F.struct(pos.alias("pos"), F.lit(2).alias("kind")))  # VP8X
+            .when(cc == F.lit("56503820"), F.struct(pos.alias("pos"), F.lit(3).alias("kind")))  # "VP8 "
+            .otherwise(
+                F.struct(
+                    (pos + 8 + size + F.pmod(size, F.lit(2))).cast("long").alias("pos"),
+                    F.lit(0).alias("kind"),
+                )
+            )
+        )
+        return nxt
+
+    init = F.when(
+        riff_ok, F.struct(F.lit(12).cast("long").alias("pos"), F.lit(0).alias("kind"))
+    ).otherwise(F.struct(F.lit(-1).cast("long").alias("pos"), F.lit(0).alias("kind")))
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(_WEBP_WALK_STEPS)), init, step)
+    out = df.withColumn("_wwalk", walk)
+    pos, kind = F.col("_wwalk")["pos"], F.col("_wwalk")["kind"]
+
+    def byte_at2(off):
+        return F.coalesce(
+            F.nullif(
+                F.conv(F.substr(F.hex(F.substring(b, 1, _WEBP_HEADER_CAP)), off * 2 + 1, F.lit(2)), 16, 10),
+                F.lit(""),
+            ).cast("long"),
+            F.lit(-1),
+        )
+
+    # VP8L: payload = [0x2F][14b width-1 | 14b height-1 | ...] packed LSB-first
+    vp8l_bits = (
+        byte_at2(pos + 9) + byte_at2(pos + 10) * 256
+        + byte_at2(pos + 11) * 65536 + byte_at2(pos + 12) * 16777216
+    )
+    vp8l_sig_ok = byte_at2(pos + 8) == 0x2F
+    vp8l_w = F.pmod(vp8l_bits, F.lit(16384)) + 1
+    vp8l_h = F.pmod(F.floor(vp8l_bits / 16384), F.lit(16384)) + 1
+    # VP8X: payload = [flags:1][reserved:3][canvas w-1: 24b LE][canvas h-1: 24b LE]
+    vp8x_w = byte_at2(pos + 12) + byte_at2(pos + 13) * 256 + byte_at2(pos + 14) * 65536 + 1
+    vp8x_h = byte_at2(pos + 15) + byte_at2(pos + 16) * 256 + byte_at2(pos + 17) * 65536 + 1
+    # VP8 (lossy key frame): [frame tag:3][start code 9D 01 2A][w:16 LE][h:16 LE],
+    # dims are the low 14 bits of each field
+    vp8_start_ok = (
+        (byte_at2(pos + 11) == 0x9D) & (byte_at2(pos + 12) == 0x01) & (byte_at2(pos + 13) == 0x2A)
+    )
+    vp8_w = F.pmod(byte_at2(pos + 14) + byte_at2(pos + 15) * 256, F.lit(16384))
+    vp8_h = F.pmod(byte_at2(pos + 16) + byte_at2(pos + 17) * 256, F.lit(16384))
+
+    kind_str = (
+        F.when((kind == 1) & vp8l_sig_ok, F.lit("lossless"))
+        .when(kind == 2, F.lit("extended"))
+        .when((kind == 3) & vp8_start_ok, F.lit("lossy"))
+        .otherwise(F.lit("none"))
+    )
+    w_hdr = (
+        F.when((kind == 1) & vp8l_sig_ok, vp8l_w)
+        .when(kind == 2, vp8x_w)
+        .when((kind == 3) & vp8_start_ok, vp8_w)
+    )
+    h_hdr = (
+        F.when((kind == 1) & vp8l_sig_ok, vp8l_h)
+        .when(kind == 2, vp8x_h)
+        .when((kind == 3) & vp8_start_ok, vp8_h)
+    )
+    return (
+        out.withColumn("webp_kind", kind_str)
+        .withColumn("w_hdr", w_hdr)
+        .withColumn("h_hdr", h_hdr)
+        .drop("_wwalk")
+    )
+
+
 #: JPEG markers: SOF-class (frame headers carrying mode + dimensions),
 #: and the scan/terminator markers that end the header chain
 _JPEG_SOF_MARKERS = (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)

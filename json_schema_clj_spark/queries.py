@@ -2526,6 +2526,82 @@ SELECT * FROM (VALUES
 """
 
 
+_WEBP_LIE_EVERY = 9
+
+
+def q_images_webp_header_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container conformance in PURE Catalyst: walk the RIFF chunk
+    chain (bounded F.aggregate over little-endian chunk sizes) to the
+    bitstream chunk and validate the dimension CLAIMS against VP8L's
+    14-bit packed fields — plus hand-crafted VP8X (24-bit canvas), lossy
+    VP8 (frame-tag dims past the 9D 01 2A start code) and non-RIFF rows so
+    all four kind branches are exercised (operators/multimodal.py
+    `webp_header_dims`).  Plants: rows with id % 9 == 5 claim a wrong
+    width (caught at metadata speed); rows with id % 40 == 7 carry
+    truncated bytes whose HEADERS survive — header conformance is
+    metadata-only by design, the decode invariant catches those."""
+    import struct as _struct
+
+    from .sources.images import webp_images_df
+
+    corpus = webp_images_df(spark, _PSNR_N, seed=5, corrupt_every=_PSNR_CORRUPT_EVERY)
+    lied = corpus.withColumn(
+        "w",
+        F.when(F.col("phash") % _WEBP_LIE_EVERY == 5, F.col("w") + 1).otherwise(F.col("w")),
+    )
+
+    def riff(chunks):
+        body = b"WEBP" + b"".join(
+            cc + _struct.pack("<I", len(p)) + p + (b"\x00" if len(p) % 2 else b"")
+            for cc, p in chunks
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    vp8x = riff([(b"VP8X", bytes(4) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))])
+    vp8 = riff([(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                 + _struct.pack("<H", 320) + _struct.pack("<H", 240) + b"\x00" * 8)])
+    crafted = spark.createDataFrame(
+        [
+            ("crafted-vp8x", vp8x, 640, 480, "webp", "c", 0),
+            ("crafted-vp8", vp8, 320, 240, "webp", "c", 1),
+            ("crafted-none", b"NOTRIFFnope", 1, 1, "webp", "c", 2),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    walked = M.webp_header_dims(lied.unionAll(crafted))
+    dim_ok = (F.col("w_hdr") == F.col("w")) & (F.col("h_hdr") == F.col("h"))
+    return (
+        walked.groupBy("webp_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(dim_ok, 1).otherwise(0)).alias("n_dim_ok"),
+        )
+        .orderBy("webp_kind")
+    )
+
+
+# plant arithmetic: every corpus row is a VP8L stream whose header survives
+# even the byte-halving truncation (the walk needs ~24 bytes; the smallest
+# file is 732), so only the lying-width rows fail the dim check; the three
+# crafted rows pin the extended / lossy / none branches
+SQL_IMAGES_WEBP_HEADER_CONFORMANCE = f"""
+WITH lies AS (
+  SELECT count(*) AS n_lie FROM generate_series(0, {_PSNR_N - 1}) t(i)
+  WHERE i % {_WEBP_LIE_EVERY} = 5
+)
+SELECT * FROM (
+  SELECT 'extended' AS webp_kind, CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS n_dim_ok
+  UNION ALL
+  SELECT 'lossless', CAST({_PSNR_N} AS BIGINT),
+         CAST({_PSNR_N} - (SELECT n_lie FROM lies) AS BIGINT)
+  UNION ALL
+  SELECT 'lossy', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT 'none', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+) ORDER BY webp_kind
+"""
+
+
 _HEALTH_CORRUPT_EVERY = 40
 
 
@@ -5086,6 +5162,7 @@ QUERIES = {
     "images_jpeg_progressive_psnr": q_images_jpeg_progressive_psnr,
     "images_jpeg_header_conformance": q_images_jpeg_header_conformance,
     "images_health_profile": q_images_health_profile,
+    "images_webp_header_conformance": q_images_webp_header_conformance,
     "images_webp_psnr_invariant": q_images_webp_psnr,
     "images_caption_equality": q_images_caption_equality,
     "images_phash_neardup": q_images_phash_neardup,
@@ -5246,6 +5323,7 @@ ORACLES = {
     "images_jpeg_progressive_psnr": SQL_IMAGES_JPEG_PROGRESSIVE_PSNR,
     "images_jpeg_header_conformance": SQL_IMAGES_JPEG_HEADER_CONFORMANCE,
     "images_health_profile": SQL_IMAGES_HEALTH_PROFILE,
+    "images_webp_header_conformance": SQL_IMAGES_WEBP_HEADER_CONFORMANCE,
     "images_webp_psnr_invariant": SQL_IMAGES_WEBP_PSNR,
     "images_caption_equality": SQL_IMAGES_CAPTION_EQUALITY,
     "images_phash_neardup": SQL_IMAGES_PHASH_NEARDUP,

@@ -5,7 +5,7 @@ w, h, fmt, caption, phash) arrives as a stream; each micro-batch gets a
 layered health profile per format:
 
 * magic-number conformance (declared `fmt` vs leading bytes) and HEADER
-  conformance (PNG IHDR geometry + the JPEG marker-walk SOF mode/dims)
+  conformance (PNG IHDR geometry + the JPEG marker-walk SOF mode/dims + the WebP RIFF chunk walk)
   run in pure Catalyst at scan speed — the cheap layers that gate the
   expensive one,
 * REAL pixel decode on a deterministic xxhash64 sample of rows that
@@ -31,6 +31,7 @@ from ..operators.multimodal import (
     compute_phashes,
     jpeg_header_dims,
     png_header_dims,
+    webp_header_dims,
 )
 
 #: F.hex() emits uppercase
@@ -60,10 +61,18 @@ def image_health_profile(df: DataFrame, decode_sample_mod: int = 4) -> DataFrame
         F.col("w_hdr").alias("_p_w"),
         F.col("h_hdr").alias("_p_h"),
     )
-    j = jpeg_header_dims(p)
+    jq = jpeg_header_dims(p)
+    jq = jq.select(
+        *df.columns, "_p_ok", "_p_w", "_p_h",
+        F.col("sof_marker").alias("_sof"),
+        F.col("w_hdr").alias("_j_w"),
+        F.col("h_hdr").alias("_j_h"),
+    )
+    j = webp_header_dims(jq)
     hdr_ok = (
         F.when(F.col("fmt").isin("png", "qpng"), F.col("_p_ok"))
-        .when(F.col("fmt") == "jpeg", F.col("sof_marker") != 0)
+        .when(F.col("fmt") == "jpeg", F.col("_sof") != 0)
+        .when(F.col("fmt") == "webp", F.col("webp_kind") != "none")
         .otherwise(F.lit(False))
     )
     dim_ok = (
@@ -73,7 +82,13 @@ def image_health_profile(df: DataFrame, decode_sample_mod: int = 4) -> DataFrame
         )
         .when(
             F.col("fmt") == "jpeg",
-            (F.col("sof_marker") != 0)
+            (F.col("_sof") != 0)
+            & (F.col("_j_w") == F.col("w"))
+            & (F.col("_j_h") == F.col("h")),
+        )
+        .when(
+            F.col("fmt") == "webp",
+            (F.col("webp_kind") != "none")
             & (F.col("w_hdr") == F.col("w"))
             & (F.col("h_hdr") == F.col("h")),
         )

@@ -209,3 +209,52 @@ def test_jpeg_header_dims_marker_walk(spark):
 
     plan = jpeg_header_dims(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_webp_header_dims_riff_walk(spark):
+    """The RIFF chunk walk finds the bitstream chunk past metadata chunks,
+    decodes VP8L's 14-bit packed dims, VP8X's 24-bit canvas, lossy VP8's
+    frame-tag dims, and rejects non-RIFF bytes — all pure Catalyst."""
+    import struct as _struct
+
+    from json_schema_clj_spark.functions.vp8l import encode_webp
+    from json_schema_clj_spark.operators.multimodal import webp_header_dims
+
+    def riff(chunks):
+        body = b"WEBP" + b"".join(
+            cc + _struct.pack("<I", len(p)) + p + (b"\x00" if len(p) % 2 else b"")
+            for cc, p in chunks
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    import numpy as np
+    real = encode_webp(np.zeros((11, 17, 3), np.uint8))
+    # VP8L payload re-wrapped behind two metadata chunks: the walk must hop
+    vp8l_payload = real[20 : 20 + _struct.unpack("<I", real[16:20])[0]]
+    hopped = riff([(b"ICCP", b"\x01\x02\x03"), (b"EXIF", b"\x05" * 6),
+                   (b"VP8L", vp8l_payload)])
+    vp8x = riff([(b"VP8X", bytes(4) + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))])
+    vp8 = riff([(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                 + _struct.pack("<H", 320) + _struct.pack("<H", 240) + b"\x00" * 8)])
+    rows = [
+        ("real", real, 17, 11),
+        ("hopped", hopped, 17, 11),
+        ("vp8x", vp8x, 640, 480),
+        ("vp8", vp8, 320, 240),
+        ("junk", b"NOTRIFFnope", 1, 1),
+        ("trunc", real[:10], 17, 11),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    out = {r["image_id"]: r for r in webp_header_dims(df).collect()}
+    for name in ("real", "hopped"):
+        assert out[name]["webp_kind"] == "lossless", name
+        assert out[name]["w_hdr"] == 17 and out[name]["h_hdr"] == 11, name
+    assert out["vp8x"]["webp_kind"] == "extended"
+    assert out["vp8x"]["w_hdr"] == 640 and out["vp8x"]["h_hdr"] == 480
+    assert out["vp8"]["webp_kind"] == "lossy"
+    assert out["vp8"]["w_hdr"] == 320 and out["vp8"]["h_hdr"] == 240
+    for name in ("junk", "trunc"):
+        assert out[name]["webp_kind"] == "none" and out[name]["w_hdr"] is None, name
+
+    plan = webp_header_dims(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
