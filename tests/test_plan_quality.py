@@ -461,3 +461,41 @@ def test_session_stats_no_single_partition_over_events(spark):
     # the only window runs over the already-aggregated session rows
     assert "SinglePartition" not in plan, plan
     assert "session_window" in plan or "SessionWindow" in plan, plan
+
+
+def test_header_walks_no_shuffle_no_python(spark):
+    """All three header-conformance parsers (PNG fixed-offset, JPEG marker
+    walk, WebP RIFF walk) must stay single-stage projections: no Exchange,
+    no Python eval nodes — that is what makes them 10^12-row pre-passes."""
+    from json_schema_clj_spark.operators.multimodal import (
+        jpeg_header_dims,
+        png_header_dims,
+        webp_header_dims,
+    )
+
+    df = spark.createDataFrame(
+        [("a", b"\x00" * 32, 1, 1)], "image_id string, bytes binary, w int, h int"
+    )
+    for op in (png_header_dims, jpeg_header_dims, webp_header_dims):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_image_health_profile_single_agg_partial(spark):
+    """The ingestion-gate profile must be ONE aggregation (partial+final
+    around a single exchange on fmt) plus one join for the sampled decode
+    leg — Python appears ONLY in the corpus generator and the decode
+    mapInPandas, never in the conformance layers."""
+    from json_schema_clj_spark.sources.images import png_images_df
+    from json_schema_clj_spark.streaming.images_stream import image_health_profile
+
+    prof = image_health_profile(png_images_df(spark, 40, seed=5), decode_sample_mod=4)
+    plan = prof._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one Aggregate pair in the physical plan
+    phys = prof._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("HashAggregate") == 2 or phys.count("ObjectHashAggregate") == 2, phys
+    assert "CartesianProduct" not in phys, phys
+    # the only Python stages are the generator (MapInPandas over Range) and
+    # the decode leg (MapInPandas); no row-at-a-time eval
+    assert "BatchEvalPython" not in phys, phys
