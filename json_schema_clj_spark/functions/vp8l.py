@@ -23,8 +23,10 @@ real encode → decode → pixel round-trip without any image library:
 * Meta prefix codes: a recursively entropy-coded meta image assigns each
   block a prefix-code group ((red<<8)|green), with per-pixel-position
   group selection — the decoder covers the ENTIRE lossless bitstream
-  spec; only the container-level VP8 (lossy) and VP8X (extended) chunks
-  raise NotImplementedError.
+  spec.  Container-wise, both layouts of a lossless file decode (simple
+  VP8L chunk, and VP8X extended wrapping a VP8L chunk with canvas-dims
+  validation); only lossy VP8 bitstreams and animated VP8X files raise
+  NotImplementedError.
 
 The encoder always produces spec-conformant streams (any conformant VP8L
 decoder can read them); encoder options can emit every transform (uniform
@@ -1066,28 +1068,66 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 # RIFF container
 
 
-def encode_webp(pixels: np.ndarray, **kwargs) -> bytes:
-    """RGB8 HxWx3 -> complete lossless .webp bytes (RIFF + VP8L chunk)."""
+def encode_webp(pixels: np.ndarray, extended: bool = False, **kwargs) -> bytes:
+    """RGB8 HxWx3 -> complete lossless .webp bytes (RIFF + VP8L chunk).
+
+    `extended=True` wraps the same VP8L stream in a VP8X extended-format
+    container (WebP Container spec: VP8X chunk with 24-bit little-endian
+    canvas dims, still image, no feature flags) — the layout real encoders
+    emit whenever any extended feature is present."""
     payload = encode_vp8l(pixels, **kwargs)
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:
         chunk += b"\x00"  # RIFF chunks are 2-byte aligned
+    if extended:
+        h, w = pixels.shape[:2]
+        vp8x = bytes(4) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x + chunk
     body = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+#: VP8X feature flags (WebP Container spec): the ones that change decode
+_VP8X_ANIMATION = 0x02
+_VP8X_ALPHA = 0x10
+
+
 def decode_webp(data: bytes) -> np.ndarray:
-    """Complete .webp bytes -> RGB8 HxWx3 (lossless VP8L only; VP8 lossy
-    and VP8X extended files raise NotImplementedError)."""
+    """Complete .webp bytes -> RGB8 HxWx3.  Lossless streams decode in
+    BOTH container layouts — simple (VP8L chunk) and extended (VP8X
+    header followed by a VP8L chunk; canvas dims are validated against
+    the stream's).  Lossy VP8 bitstreams and animated VP8X files raise
+    NotImplementedError (documented codec-subset bounds); metadata
+    chunks (ICCP/EXIF/XMP) are skipped like any unknown chunk."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
+    canvas = None  # (w, h) claimed by a VP8X header
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
-            return decode_vp8l(data[pos + 8 : pos + 8 + size])
-        if tag in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(f"WebP chunk {tag!r} (lossy/extended) not supported")
+            px = decode_vp8l(payload)
+            if canvas is not None and (px.shape[1], px.shape[0]) != canvas:
+                raise ValueError(
+                    f"VP8X canvas {canvas} disagrees with VP8L dims "
+                    f"{(px.shape[1], px.shape[0])}"
+                )
+            return px
+        if tag == b"VP8X":
+            if len(payload) < 10:
+                raise ValueError("truncated VP8X header")
+            flags = payload[0]
+            if flags & _VP8X_ANIMATION:
+                raise NotImplementedError("animated WebP not supported")
+            canvas = (
+                int.from_bytes(payload[4:7], "little") + 1,
+                int.from_bytes(payload[7:10], "little") + 1,
+            )
+            # a still VP8X file continues with optional metadata chunks and
+            # then the image data chunk — keep walking
+        elif tag == b"VP8 ":
+            raise NotImplementedError("WebP chunk b'VP8 ' (lossy) not supported")
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L chunk in WebP file")

@@ -2658,12 +2658,16 @@ def q_images_webp_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the matching VP8L decoder and PSNR-scored against the lossless PNG
     reference of the same fake-pixel fabric.  VP8L is lossless, so every
     intact row is pixel-exact (PSNR = inf → pass_lossless); rows with
-    id % 40 == 7 carry truncated bytes (planted decode failures).
-    allow_fake=False: a decode bug shows up as a count shift, never as a
-    silent fake-fabric substitution."""
+    id % 40 == 7 carry truncated bytes (planted decode failures), and rows
+    with id % 17 == 2 wrap the same stream in a VP8X EXTENDED container
+    (decodes identically — the decoder validates the canvas dims), so the
+    VP8X path runs distributed.  allow_fake=False: a decode bug shows up
+    as a count shift, never as a silent fake-fabric substitution."""
     from .sources.images import png_images_df, webp_images_df
 
-    cur = webp_images_df(spark, _PSNR_N, seed=5, corrupt_every=_PSNR_CORRUPT_EVERY)
+    cur = webp_images_df(
+        spark, _PSNR_N, seed=5, corrupt_every=_PSNR_CORRUPT_EVERY, extended_every=17
+    )
     ref = png_images_df(spark, _PSNR_N, seed=5)
     scored = M.psnr_vs_reference(cur, ref, allow_fake=False)
     status = (

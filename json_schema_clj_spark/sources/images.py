@@ -297,7 +297,11 @@ def jpeg_ref_images_df(spark: SparkSession, n_rows: int, seed: int = 5) -> DataF
 
 
 def webp_images_df(
-    spark: SparkSession, n_rows: int, seed: int = 5, corrupt_every: int | None = None
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 5,
+    corrupt_every: int | None = None,
+    extended_every: int | None = None,
 ) -> DataFrame:
     """REAL lossless-WebP corpus: the SAME deterministic fake-pixel fabric
     as :func:`png_images_df` (so the PNG reference of the same seed is the
@@ -309,8 +313,11 @@ def webp_images_df(
     cross-channel color transform (i%11==4), and any combination when the
     cycles align.
     `corrupt_every`: rows with id % corrupt_every == 7 get truncated bytes
-    (planted decode failures with exactly known ids).  VP8L is lossless,
-    so every intact row matches the PNG reference pixel-exactly."""
+    (planted decode failures with exactly known ids).  `extended_every`:
+    rows with id % extended_every == 2 wrap the same VP8L stream in a
+    VP8X extended container (still lossless — exercises the decoder's
+    VP8X path distributed).  VP8L is lossless, so every intact row
+    matches the PNG reference pixel-exactly."""
     from ..functions.vp8l import encode_webp
     from ..operators.multimodal import fake_pixels
 
@@ -324,6 +331,7 @@ def webp_images_df(
                 px = fake_pixels(f"{seed}:{i}".encode(), w, h)
                 data = encode_webp(
                     px,
+                    extended=bool(extended_every and i % extended_every == 2),
                     subtract_green=i % 3 == 1,
                     cache_bits=6 if i % 5 == 2 else 0,
                     use_backrefs=i % 4 == 0,

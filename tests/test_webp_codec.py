@@ -254,3 +254,30 @@ def test_property_fuzz_never_hangs():
             pass  # struct.error: RIFF size field mutations on truncation
 
     run()
+
+
+def test_vp8x_extended_container_roundtrip():
+    """A VP8X-wrapped VP8L stream decodes pixel-identically to the simple
+    container; the animation flag and a lying canvas raise."""
+    import numpy as np
+    import pytest
+
+    from json_schema_clj_spark.functions.vp8l import decode_webp, encode_webp
+
+    px = np.random.default_rng(9).integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    simple = encode_webp(px)
+    ext = encode_webp(px, extended=True)
+    assert b"VP8X" in ext and b"VP8X" not in simple
+    assert np.array_equal(decode_webp(ext), px)
+    assert np.array_equal(decode_webp(ext), decode_webp(simple))
+
+    i = ext.find(b"VP8X") + 8
+    animated = bytearray(ext)
+    animated[i] |= 0x02
+    with pytest.raises(NotImplementedError):
+        decode_webp(bytes(animated))
+
+    lying = bytearray(ext)
+    lying[i + 4] = 99  # canvas width low byte
+    with pytest.raises(ValueError):
+        decode_webp(bytes(lying))
