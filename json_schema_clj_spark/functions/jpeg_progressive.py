@@ -428,7 +428,7 @@ def encode_jpeg_progressive(
         for i in scan["comps"]:
             c = comps[i]
             td = c["dc_slot"] if scan["ss"] == 0 and scan["ah"] == 0 else 0
-            ta = 0 if scan["ss"] == 0 else 0
+            ta = 0  # the AC scan encoders always code into table slot 0
             sos += bytes([c["id"], (td << 4) | ta])
         sos += bytes([scan["ss"], scan["se"], (scan["ah"] << 4) | scan["al"]])
         out += _seg(0xFFDA, sos)

@@ -1087,9 +1087,11 @@ def encode_webp(pixels: np.ndarray, extended: bool = False, **kwargs) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-#: VP8X feature flags (WebP Container spec): the ones that change decode
+# VP8X animation flag (WebP Container spec).  The alpha flag needs no
+# handling: an ALPH chunk only pairs with lossy VP8 (which raises), and a
+# VP8L stream's own alpha is dropped by the RGB-only decode like everywhere
+# else in this repo.
 _VP8X_ANIMATION = 0x02
-_VP8X_ALPHA = 0x10
 
 
 def decode_webp(data: bytes) -> np.ndarray:

@@ -550,6 +550,26 @@ _PNG_SIG_HEX = "89504E470D0A1A0A"
 _IHDR_HEX = "49484452"
 
 
+def png_header_struct(b, only=None) -> "F.Column":
+    """PNG signature + IHDR geometry as ONE Catalyst expression:
+    struct(ok boolean, w long, h long) — the expression form of
+    :func:`png_header_dims`.  `only` (a boolean Column) short-circuits
+    the parse to a not-ok result for non-matching rows, so a mixed-format
+    scan pays each parser only on its own format's rows."""
+    hdr_ok = (
+        (F.length(b) >= 24)
+        & (F.hex(F.substring(b, 1, 8)) == F.lit(_PNG_SIG_HEX))
+        & (F.hex(F.substring(b, 13, 4)) == F.lit(_IHDR_HEX))
+    )
+    if only is not None:
+        hdr_ok = only & hdr_ok
+    return F.struct(
+        hdr_ok.alias("ok"),
+        F.when(hdr_ok, F.conv(F.hex(F.substring(b, 17, 4)), 16, 10).cast("long")).alias("w"),
+        F.when(hdr_ok, F.conv(F.hex(F.substring(b, 21, 4)), 16, 10).cast("long")).alias("h"),
+    )
+
+
 def png_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Parse the PNG signature + IHDR geometry straight out of the binary
     column — 24 bytes of fixed structure, NO pixel decode, pure Catalyst
@@ -585,18 +605,14 @@ _WEBP_WALK_STEPS = 8  # max RIFF chunks scanned before the bitstream chunk
 _WEBP_HEADER_CAP = 1024
 
 
-def webp_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """WebP twin of :func:`jpeg_header_dims`: walk the RIFF chunk chain in
-    pure Catalyst (bounded `F.aggregate`; chunk sizes are little-endian
-    uint32, payloads pad to even) until a bitstream chunk, then decode the
-    dimension claims — VP8L's 14-bit little-endian packed width/height
-    (WebP Lossless Bitstream spec §3), VP8X's 24-bit canvas fields, or the
-    lossy VP8 key-frame tag's 14-bit dims past the 0x9D012A start code.
-    No Python, no decode; scan speed inside whole-stage codegen.
-
-    Adds ``webp_kind`` ('lossless' / 'extended' / 'lossy' / 'none') and
-    ``w_hdr``/``h_hdr`` (NULL when kind is 'none')."""
-    b = F.col(bytes_col)
+def webp_header_struct(b, only=None) -> "F.Column":
+    """The RIFF chunk walk as ONE Catalyst expression over a binary
+    column: struct(kind string, w long, h long) — kind is 'lossless' /
+    'extended' / 'lossy' / 'none', w/h the bitstream chunk's dimension
+    claims (NULL when kind is 'none').  Expression form so callers can
+    gate the whole walk behind a format predicate and pay it only on
+    matching rows.  One shared byte-reader closure serves the walk AND
+    the dimension decode (a single hex projection feeds every read)."""
     hx = F.hex(F.substring(b, 1, _WEBP_HEADER_CAP))
 
     def byte_at(off):
@@ -618,6 +634,7 @@ def webp_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         (F.hex(F.substring(b, 1, 4)) == F.lit("52494646"))  # "RIFF"
         & (F.hex(F.substring(b, 9, 4)) == F.lit("57454250"))  # "WEBP"
     )
+    dead = F.struct(F.lit(-1).cast("long").alias("pos"), F.lit(0).alias("kind"))
 
     def step(acc, _):
         pos, kind = acc["pos"], acc["kind"]
@@ -625,9 +642,9 @@ def webp_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         cc = fourcc(pos)
         size = le32(pos + 4)
         bad = (size < 0) | (byte_at(pos) < 0)
-        nxt = (
+        return (
             F.when(done, acc)
-            .when(bad, F.struct(F.lit(-1).alias("pos"), F.lit(0).alias("kind")))
+            .when(bad, dead)
             .when(cc == F.lit("5650384C"), F.struct(pos.alias("pos"), F.lit(1).alias("kind")))  # VP8L
             .when(cc == F.lit("56503858"), F.struct(pos.alias("pos"), F.lit(2).alias("kind")))  # VP8X
             .when(cc == F.lit("56503820"), F.struct(pos.alias("pos"), F.lit(3).alias("kind")))  # "VP8 "
@@ -638,64 +655,76 @@ def webp_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
                 )
             )
         )
-        return nxt
 
+    if only is not None:
+        riff_ok = only & riff_ok
     init = F.when(
         riff_ok, F.struct(F.lit(12).cast("long").alias("pos"), F.lit(0).alias("kind"))
-    ).otherwise(F.struct(F.lit(-1).cast("long").alias("pos"), F.lit(0).alias("kind")))
-    walk = F.aggregate(F.sequence(F.lit(1), F.lit(_WEBP_WALK_STEPS)), init, step)
-    out = df.withColumn("_wwalk", walk)
-    pos, kind = F.col("_wwalk")["pos"], F.col("_wwalk")["kind"]
+    ).otherwise(dead)
 
-    def byte_at2(off):
-        return F.coalesce(
-            F.nullif(
-                F.conv(F.substr(F.hex(F.substring(b, 1, _WEBP_HEADER_CAP)), off * 2 + 1, F.lit(2)), 16, 10),
-                F.lit(""),
-            ).cast("long"),
-            F.lit(-1),
+    def finish(acc):
+        # acc is a lambda variable (F.aggregate's finish argument) — every
+        # reference is cheap; see jpeg_header_struct for why this must not
+        # be applied to the walk expression from outside the aggregate
+        pos, kind = acc["pos"], acc["kind"]
+        # VP8L: payload = [0x2F][14b w-1 | 14b h-1 | ...] packed LSB-first
+        vp8l_bits = (
+            byte_at(pos + 9) + byte_at(pos + 10) * 256
+            + byte_at(pos + 11) * 65536 + byte_at(pos + 12) * 16777216
         )
+        vp8l_ok = (byte_at(pos + 8) == 0x2F) & (byte_at(pos + 12) >= 0)
+        vp8l_w = F.pmod(vp8l_bits, F.lit(16384)) + 1
+        vp8l_h = F.pmod(F.floor(vp8l_bits / 16384), F.lit(16384)) + 1
+        # VP8X: payload = [flags:1][reserved:3][canvas w-1:24b LE][canvas h-1:24b LE]
+        vp8x_ok = (kind == 2) & (byte_at(pos + 17) >= 0)
+        vp8x_w = byte_at(pos + 12) + byte_at(pos + 13) * 256 + byte_at(pos + 14) * 65536 + 1
+        vp8x_h = byte_at(pos + 15) + byte_at(pos + 16) * 256 + byte_at(pos + 17) * 65536 + 1
+        # VP8 lossy key frame: [frame tag:3][start code 9D 01 2A][w:16 LE][h:16 LE],
+        # dims are the low 14 bits of each field
+        vp8_ok = (
+            (byte_at(pos + 11) == 0x9D) & (byte_at(pos + 12) == 0x01)
+            & (byte_at(pos + 13) == 0x2A) & (byte_at(pos + 17) >= 0)
+        )
+        kind_str = (
+            F.when((kind == 1) & vp8l_ok, F.lit("lossless"))
+            .when(vp8x_ok, F.lit("extended"))
+            .when((kind == 3) & vp8_ok, F.lit("lossy"))
+            .otherwise(F.lit("none"))
+        )
+        w = (
+            F.when((kind == 1) & vp8l_ok, vp8l_w)
+            .when(vp8x_ok, vp8x_w)
+            .when((kind == 3) & vp8_ok, F.pmod(byte_at(pos + 14) + byte_at(pos + 15) * 256, F.lit(16384)))
+        )
+        h = (
+            F.when((kind == 1) & vp8l_ok, vp8l_h)
+            .when(vp8x_ok, vp8x_h)
+            .when((kind == 3) & vp8_ok, F.pmod(byte_at(pos + 16) + byte_at(pos + 17) * 256, F.lit(16384)))
+        )
+        return F.struct(kind_str.alias("kind"), w.alias("w"), h.alias("h"))
 
-    # VP8L: payload = [0x2F][14b width-1 | 14b height-1 | ...] packed LSB-first
-    vp8l_bits = (
-        byte_at2(pos + 9) + byte_at2(pos + 10) * 256
-        + byte_at2(pos + 11) * 65536 + byte_at2(pos + 12) * 16777216
-    )
-    vp8l_sig_ok = byte_at2(pos + 8) == 0x2F
-    vp8l_w = F.pmod(vp8l_bits, F.lit(16384)) + 1
-    vp8l_h = F.pmod(F.floor(vp8l_bits / 16384), F.lit(16384)) + 1
-    # VP8X: payload = [flags:1][reserved:3][canvas w-1: 24b LE][canvas h-1: 24b LE]
-    vp8x_w = byte_at2(pos + 12) + byte_at2(pos + 13) * 256 + byte_at2(pos + 14) * 65536 + 1
-    vp8x_h = byte_at2(pos + 15) + byte_at2(pos + 16) * 256 + byte_at2(pos + 17) * 65536 + 1
-    # VP8 (lossy key frame): [frame tag:3][start code 9D 01 2A][w:16 LE][h:16 LE],
-    # dims are the low 14 bits of each field
-    vp8_start_ok = (
-        (byte_at2(pos + 11) == 0x9D) & (byte_at2(pos + 12) == 0x01) & (byte_at2(pos + 13) == 0x2A)
-    )
-    vp8_w = F.pmod(byte_at2(pos + 14) + byte_at2(pos + 15) * 256, F.lit(16384))
-    vp8_h = F.pmod(byte_at2(pos + 16) + byte_at2(pos + 17) * 256, F.lit(16384))
+    return F.aggregate(F.sequence(F.lit(1), F.lit(_WEBP_WALK_STEPS)), init, step, finish)
 
-    kind_str = (
-        F.when((kind == 1) & vp8l_sig_ok, F.lit("lossless"))
-        .when(kind == 2, F.lit("extended"))
-        .when((kind == 3) & vp8_start_ok, F.lit("lossy"))
-        .otherwise(F.lit("none"))
-    )
-    w_hdr = (
-        F.when((kind == 1) & vp8l_sig_ok, vp8l_w)
-        .when(kind == 2, vp8x_w)
-        .when((kind == 3) & vp8_start_ok, vp8_w)
-    )
-    h_hdr = (
-        F.when((kind == 1) & vp8l_sig_ok, vp8l_h)
-        .when(kind == 2, vp8x_h)
-        .when((kind == 3) & vp8_start_ok, vp8_h)
-    )
+
+def webp_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """WebP twin of :func:`jpeg_header_dims`: walk the RIFF chunk chain in
+    pure Catalyst (see :func:`webp_header_struct`; chunk sizes are
+    little-endian uint32, payloads pad to even) until a bitstream chunk,
+    then decode the dimension claims — VP8L's 14-bit little-endian packed
+    width/height (WebP Lossless Bitstream spec §3), VP8X's 24-bit canvas
+    fields, or the lossy VP8 key-frame tag's 14-bit dims past the
+    0x9D012A start code.  No Python, no decode; scan speed inside
+    whole-stage codegen.
+
+    Adds ``webp_kind`` ('lossless' / 'extended' / 'lossy' / 'none') and
+    ``w_hdr``/``h_hdr`` (NULL when kind is 'none')."""
+    s = webp_header_struct(F.col(bytes_col))
+    out = df.withColumn("_whs", s)
     return (
-        out.withColumn("webp_kind", kind_str)
-        .withColumn("w_hdr", w_hdr)
-        .withColumn("h_hdr", h_hdr)
-        .drop("_wwalk")
+        out.withColumn("webp_kind", F.col("_whs")["kind"])
+        .withColumn("w_hdr", F.col("_whs")["w"])
+        .withColumn("h_hdr", F.col("_whs")["h"])
+        .drop("_whs")
     )
 
 
@@ -706,25 +735,27 @@ _JPEG_HEADER_CAP = 4096  # header segments scanned; SOF beyond this -> unknown
 _JPEG_WALK_STEPS = 16  # max header segments before SOF (ours use <= 6)
 
 
-def jpeg_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """JPEG twin of :func:`png_header_dims`: find the SOF frame header by
-    WALKING the variable-length marker-segment chain in pure Catalyst —
-    a bounded `F.aggregate` over ``_JPEG_WALK_STEPS`` steps carries a
-    (offset, sof_marker) state across segments (each step reads the
-    marker byte and its big-endian length from a hex projection of the
-    first ``_JPEG_HEADER_CAP`` bytes and hops to the next segment), so
-    the T.81 container's frame mode AND dimension claims are validated
-    at scan speed inside whole-stage codegen with NO Python and NO pixel
-    decode.  Entropy bytes can never false-positive: the walk consumes
-    declared segment lengths instead of pattern-matching markers.
+def jpeg_header_struct(b, only=None) -> "F.Column":
+    """The JPEG marker walk as ONE Catalyst expression over a binary
+    column: struct(sof int, w long, h long) — sof is the SOF marker code
+    (0xC0 baseline / 0xC2 progressive / ...; 0 = no SOF found) and w/h
+    the SOF payload's big-endian uint16 dims (NULL when sof = 0).
+    Expression form so callers can gate the whole walk behind a format
+    predicate (`F.when(fmt == 'jpeg', jpeg_header_struct(b))`) and pay it
+    only on matching rows.
 
-    Adds ``sof_marker`` (int: 0xC0 baseline / 0xC2 progressive / other
-    SOF-class codes; 0 when no SOF found — not a JPEG, truncated, or SOS
-    reached first), and ``w_hdr``/``h_hdr`` (the SOF payload's big-endian
-    uint16 samples-per-line / lines; NULL when ``sof_marker`` is 0).
-    10^12-row path: one projection per row, no shuffle, no UDF.
-    """
-    b = F.col(bytes_col)
+    Robustness: standalone markers (TEM 0x01, RSTn) hop 2 bytes with no
+    length read, 0xFF fill bytes before a marker hop 1, a segment whose
+    length bytes fall past the header cap (or encode < 2) invalidates the
+    walk, and dim bytes past the cap yield NULL dims rather than a
+    truncated-hex misparse.  Entropy bytes can never false-positive:
+    declared lengths are consumed, never pattern-matched.
+
+    `only` gates the walk's INIT state (non-matching rows start dead and
+    short-circuit every step through the done branch at runtime) — the
+    gate lives INSIDE the single expression, because wrapping the struct
+    in an outer CASE and then extracting fields would duplicate the whole
+    walk per field and blow up Catalyst canonicalization."""
     hx = F.hex(F.substring(b, 1, _JPEG_HEADER_CAP))
 
     def byte_at(off):  # off: 0-based byte offset Column -> int value (-1 past end)
@@ -733,43 +764,72 @@ def jpeg_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             F.lit(-1),
         )
 
+    dead = F.struct(F.lit(-1).alias("pos"), F.lit(0).alias("sof"))
+
     def step(acc, _):
         pos, sof = acc["pos"], acc["sof"]
         done = (sof != 0) | (pos < 0)
         ff = byte_at(pos)
         m = byte_at(pos + 1)
         seg_len = (byte_at(pos + 2) * 256) + byte_at(pos + 3)
+        standalone = (m == 0x01) | ((m >= 0xD0) & (m <= 0xD7))
+        # a length straddling the cap reads a -1 byte -> negative seg_len;
+        # a spec-legal length is >= 2 (it includes its own two bytes)
         invalid = (ff != 0xFF) | (m < 0) | (m == 0xD8) | (m == 0xD9) | (m == 0xDA)
-        nxt = (
+        return (
             F.when(done, acc)
-            .when(invalid, F.struct(F.lit(-1).alias("pos"), F.lit(0).alias("sof")))
-            .when(
-                m.isin(*_JPEG_SOF_MARKERS),
-                F.struct(pos.alias("pos"), m.alias("sof")),
-            )
-            .otherwise(
-                F.struct((pos + 2 + seg_len).alias("pos"), F.lit(0).alias("sof"))
-            )
+            .when(invalid, dead)
+            .when(m == 0xFF, F.struct((pos + 1).alias("pos"), F.lit(0).alias("sof")))  # fill byte
+            .when(standalone, F.struct((pos + 2).alias("pos"), F.lit(0).alias("sof")))
+            .when(m.isin(*_JPEG_SOF_MARKERS), F.struct(pos.alias("pos"), m.alias("sof")))
+            .when(seg_len < 2, dead)
+            .otherwise(F.struct((pos + 2 + seg_len).alias("pos"), F.lit(0).alias("sof")))
         )
-        return nxt
 
+    soi_ok = F.hex(F.substring(b, 1, 2)) == F.lit("FFD8")
+    if only is not None:
+        soi_ok = only & soi_ok
     init = F.when(
-        F.hex(F.substring(b, 1, 2)) == F.lit("FFD8"),
-        F.struct(F.lit(2).alias("pos"), F.lit(0).alias("sof")),
-    ).otherwise(F.struct(F.lit(-1).alias("pos"), F.lit(0).alias("sof")))
-    walk = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_JPEG_WALK_STEPS)), init, step
-    )
-    out = df.withColumn("_walk", walk)
-    pos, sof = F.col("_walk")["pos"], F.col("_walk")["sof"]
-    # SOF payload: [len:2][precision:1][lines:2][samples/line:2] after the
-    # 2-byte marker -> height at pos+5, width at pos+7 (big-endian uint16)
-    hx2 = F.hex(F.substring(b, 1, _JPEG_HEADER_CAP))
-    h_hdr = F.when(sof != 0, F.conv(F.substr(hx2, (pos + 5) * 2 + 1, F.lit(4)), 16, 10).cast("long"))
-    w_hdr = F.when(sof != 0, F.conv(F.substr(hx2, (pos + 7) * 2 + 1, F.lit(4)), 16, 10).cast("long"))
+        soi_ok, F.struct(F.lit(2).alias("pos"), F.lit(0).alias("sof"))
+    ).otherwise(dead)
+
+    def finish(acc):
+        # acc is a LAMBDA VARIABLE here (F.aggregate's finish argument) —
+        # every reference is cheap.  Referencing the walk expression from
+        # OUTSIDE the aggregate would copy the whole walk per byte read
+        # and blow up plan canonicalization (observed: driver OOM).
+        pos, sof = acc["pos"], acc["sof"]
+        # SOF payload: [len:2][precision:1][lines:2][samples/line:2] after
+        # the 2-byte marker -> height at pos+5, width at pos+7 (BE uint16);
+        # any dim byte past the cap (-1) -> NULL dims
+        hb1, hb2 = byte_at(pos + 5), byte_at(pos + 6)
+        wb1, wb2 = byte_at(pos + 7), byte_at(pos + 8)
+        dims_ok = (sof != 0) & (hb1 >= 0) & (hb2 >= 0) & (wb1 >= 0) & (wb2 >= 0)
+        return F.struct(
+            sof.alias("sof"),
+            F.when(dims_ok, (wb1 * 256 + wb2).cast("long")).alias("w"),
+            F.when(dims_ok, (hb1 * 256 + hb2).cast("long")).alias("h"),
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(_JPEG_WALK_STEPS)), init, step, finish)
+
+
+def jpeg_header_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """JPEG twin of :func:`png_header_dims`: find the SOF frame header by
+    WALKING the variable-length marker-segment chain in pure Catalyst
+    (see :func:`jpeg_header_struct`), so the T.81 container's frame mode
+    AND dimension claims are validated at scan speed inside whole-stage
+    codegen with NO Python and NO pixel decode.
+
+    Adds ``sof_marker`` (0 when no SOF found — not a JPEG, truncated, or
+    SOS reached first) and ``w_hdr``/``h_hdr`` (NULL when ``sof_marker``
+    is 0).  10^12-row path: one projection per row, no shuffle, no UDF.
+    """
+    s = jpeg_header_struct(F.col(bytes_col))
+    out = df.withColumn("_jhs", s)
     return (
-        out.withColumn("sof_marker", sof)
-        .withColumn("w_hdr", w_hdr)
-        .withColumn("h_hdr", h_hdr)
-        .drop("_walk")
+        out.withColumn("sof_marker", F.col("_jhs")["sof"])
+        .withColumn("w_hdr", F.col("_jhs")["w"])
+        .withColumn("h_hdr", F.col("_jhs")["h"])
+        .drop("_jhs")
     )

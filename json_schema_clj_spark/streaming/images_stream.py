@@ -9,7 +9,7 @@ layered health profile per format:
   run in pure Catalyst at scan speed — the cheap layers that gate the
   expensive one,
 * REAL pixel decode on a deterministic xxhash64 sample of rows that
-  passed the header gate (Arrow-batched `compute_phashes`; sampling
+  passed the header gate (one Arrow-batched mapInPandas; sampling
   keeps the Python stage a bounded fraction of each epoch),
 * caption presence (the cross-modal claim of the pair table).
 
@@ -28,10 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
-    compute_phashes,
-    jpeg_header_dims,
-    png_header_dims,
-    webp_header_dims,
+    jpeg_header_struct,
+    png_header_struct,
+    webp_header_struct,
 )
 
 #: F.hex() emits uppercase
@@ -45,82 +44,96 @@ def image_health_profile(df: DataFrame, decode_sample_mod: int = 4) -> DataFrame
 
     Columns: fmt, n, n_magic_ok, n_hdr_ok, n_dim_ok, n_caption_ok,
     n_sampled, n_decoded.  `n_hdr_ok`/`n_dim_ok` come from the pure-
-    Catalyst header parsers; `n_decoded` from the Arrow decode of the
-    1-in-`decode_sample_mod` xxhash64 sample of header-clean rows."""
-    head = F.hex(F.substring(F.col("bytes"), 1, 8))
+    Catalyst header parsers, each GATED on its format (a PNG row never
+    pays the JPEG marker walk); `n_decoded` from an Arrow decode of the
+    1-in-`decode_sample_mod` xxhash64 sample of header-clean rows,
+    carried ROW-FOR-ROW through one mapInPandas (no join: duplicate or
+    NULL image_ids can't double-count or drop decode results, and the
+    corpus is scanned exactly once).  Unsampled rows ship a NULL instead
+    of their bytes, so the Arrow transfer stays proportional to the
+    sample fraction."""
+    fmt, b = F.col("fmt"), F.col("bytes")
+    head = F.hex(F.substring(b, 1, 8))
     magic_ok = (
-        F.when(F.col("fmt").isin("png", "qpng"), head == F.lit(_PNG_MAGIC_HEX))
-        .when(F.col("fmt") == "jpeg", head.startswith(_JPEG_MAGIC_HEX))
-        .when(F.col("fmt") == "webp", head.startswith("52494646"))  # "RIFF"
+        F.when(fmt.isin("png", "qpng"), head == F.lit(_PNG_MAGIC_HEX))
+        .when(fmt == "jpeg", head.startswith(_JPEG_MAGIC_HEX))
+        .when(
+            fmt == "webp",
+            (F.hex(F.substring(b, 1, 4)) == "52494646")  # "RIFF"
+            & (F.hex(F.substring(b, 9, 4)) == "57454250"),  # "WEBP"
+        )
         .otherwise(F.lit(False))
     )
-    p = png_header_dims(df)
-    p = p.select(
+    # each walk materialized ONCE as a struct column, its init gated on
+    # the row's format (non-matching rows start in the dead state and
+    # short-circuit every step at runtime).  Downstream expressions touch
+    # only column references — wrapping the struct in an outer CASE and
+    # extracting fields would copy the whole walk per field and blow up
+    # Catalyst canonicalization (observed: OOM in buildCanonicalizedPlan).
+    with_structs = df.select(
         *df.columns,
-        F.col("hdr_ok").alias("_p_ok"),
-        F.col("w_hdr").alias("_p_w"),
-        F.col("h_hdr").alias("_p_h"),
+        png_header_struct(b, only=fmt.isin("png", "qpng")).alias("_ps"),
+        jpeg_header_struct(b, only=fmt == "jpeg").alias("_js"),
+        webp_header_struct(b, only=fmt == "webp").alias("_ws"),
     )
-    jq = jpeg_header_dims(p)
-    jq = jq.select(
-        *df.columns, "_p_ok", "_p_w", "_p_h",
-        F.col("sof_marker").alias("_sof"),
-        F.col("w_hdr").alias("_j_w"),
-        F.col("h_hdr").alias("_j_h"),
-    )
-    j = webp_header_dims(jq)
+    ps, js, ws = F.col("_ps"), F.col("_js"), F.col("_ws")
     hdr_ok = (
-        F.when(F.col("fmt").isin("png", "qpng"), F.col("_p_ok"))
-        .when(F.col("fmt") == "jpeg", F.col("_sof") != 0)
-        .when(F.col("fmt") == "webp", F.col("webp_kind") != "none")
+        F.when(fmt.isin("png", "qpng"), ps["ok"])
+        .when(fmt == "jpeg", js["sof"] != 0)
+        .when(fmt == "webp", ws["kind"] != "none")
         .otherwise(F.lit(False))
     )
-    dim_ok = (
-        F.when(
-            F.col("fmt").isin("png", "qpng"),
-            F.col("_p_ok") & (F.col("_p_w") == F.col("w")) & (F.col("_p_h") == F.col("h")),
-        )
-        .when(
-            F.col("fmt") == "jpeg",
-            (F.col("_sof") != 0)
-            & (F.col("_j_w") == F.col("w"))
-            & (F.col("_j_h") == F.col("h")),
-        )
-        .when(
-            F.col("fmt") == "webp",
-            (F.col("webp_kind") != "none")
-            & (F.col("w_hdr") == F.col("w"))
-            & (F.col("h_hdr") == F.col("h")),
-        )
-        .otherwise(F.lit(False))
-    )
-    annotated = j.select(
-        *df.columns,
+    w_hdr = F.when(fmt.isin("png", "qpng"), ps["w"]).when(fmt == "jpeg", js["w"]).when(fmt == "webp", ws["w"])
+    h_hdr = F.when(fmt.isin("png", "qpng"), ps["h"]).when(fmt == "jpeg", js["h"]).when(fmt == "webp", ws["h"])
+    dim_ok = hdr_ok & (w_hdr == F.col("w")) & (h_hdr == F.col("h"))
+    sampled = F.pmod(F.xxhash64(F.col("image_id")), F.lit(decode_sample_mod)) == 0
+    annotated = with_structs.select(
+        "fmt",
+        "w",
+        "h",
         magic_ok.alias("_magic_ok"),
         hdr_ok.alias("_hdr_ok"),
-        dim_ok.alias("_dim_ok"),
+        F.coalesce(dim_ok, F.lit(False)).alias("_dim_ok"),
         (F.col("caption").isNotNull() & (F.length("caption") > 0)).alias("_cap_ok"),
-        (F.pmod(F.xxhash64(F.col("image_id")), F.lit(decode_sample_mod)) == 0).alias(
-            "_sampled"
-        ),
+        (sampled & hdr_ok).alias("_sampled"),
+        F.when(sampled & hdr_ok, b).alias("_b"),
     )
-    sampled = annotated.where(F.col("_sampled") & F.col("_hdr_ok"))
-    decoded = compute_phashes(sampled).select(
-        "image_id", F.col("decoded").alias("_decoded")
+
+    out_schema = (
+        "fmt string, _magic_ok boolean, _hdr_ok boolean, _dim_ok boolean, "
+        "_cap_ok boolean, _sampled boolean, _decoded boolean"
     )
-    joined = annotated.join(decoded, "image_id", "left")
+
+    def decode_leg(batches):
+        from ..operators.multimodal import decode_image
+
+        for pdf in batches:
+            decoded = []
+            for data, f, w, h in zip(pdf["_b"], pdf["fmt"], pdf["w"], pdf["h"]):
+                if data is None:
+                    decoded.append(False)
+                else:
+                    try:
+                        decode_image(bytes(data), f, int(w), int(h), False)
+                        decoded.append(True)
+                    except Exception:
+                        decoded.append(False)
+            pdf = pdf.assign(_decoded=decoded)
+            yield pdf[
+                ["fmt", "_magic_ok", "_hdr_ok", "_dim_ok", "_cap_ok", "_sampled", "_decoded"]
+            ]
+
+    flagged = annotated.mapInPandas(decode_leg, out_schema)
     return (
-        joined.groupBy("fmt")
+        flagged.groupBy("fmt")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("_magic_ok").cast("long")).alias("n_magic_ok"),
             F.sum(F.col("_hdr_ok").cast("long")).alias("n_hdr_ok"),
             F.sum(F.col("_dim_ok").cast("long")).alias("n_dim_ok"),
             F.sum(F.col("_cap_ok").cast("long")).alias("n_caption_ok"),
-            F.sum((F.col("_sampled") & F.col("_hdr_ok")).cast("long")).alias("n_sampled"),
-            F.sum(F.coalesce(F.col("_decoded"), F.lit(False)).cast("long")).alias(
-                "n_decoded"
-            ),
+            F.sum(F.col("_sampled").cast("long")).alias("n_sampled"),
+            F.sum(F.col("_decoded").cast("long")).alias("n_decoded"),
         )
         .orderBy("fmt")
     )

@@ -191,6 +191,15 @@ def test_jpeg_header_dims_marker_walk(spark):
         # SOF pushed past the header cap -> walk gives up cleanly
         ("far", base[:2] + b"\xff\xfe" + _struct.pack(">H", 5002) + b"z" * 5000 + base[2:], 24, 16),
         ("garbage", b"\xff\xd8\x00\x00\x00\x00", 1, 1),
+        # spec-legal noise the decoder also accepts: FF fill bytes and a
+        # standalone TEM marker before the first real segment
+        ("fill", base[:2] + b"\xff\xff\xff" + base[2:], 24, 16),
+        ("tem", base[:2] + b"\xff\x01" + base[2:], 24, 16),
+        # a segment length that straddles the 4 KiB cap must invalidate,
+        # never hop backwards into scanned payload
+        ("straddle", base[:2] + b"\xff\xfe" + _struct.pack(">H", 4091) + b"\xff\xc0" * 2045 + base[2:], 24, 16),
+        # a degenerate declared length < 2 must invalidate, not loop
+        ("shortlen", base[:2] + b"\xff\xfe\x00\x01" + base[2:], 24, 16),
     ]
     df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
     out = {r["image_id"]: r for r in jpeg_header_dims(df).collect()}
@@ -203,7 +212,10 @@ def test_jpeg_header_dims_marker_walk(spark):
     assert out["prog"]["w_hdr"] == 31 and out["prog"]["h_hdr"] == 19
     assert out["lying"]["sof_marker"] == 0xC0
     assert out["lying"]["w_hdr"] == 24 and out["lying"]["h_hdr"] == 16  # the bytes win
-    for name in ("png", "trunc", "far", "garbage"):
+    for name in ("fill", "tem"):
+        assert out[name]["sof_marker"] == 0xC0, name
+        assert out[name]["w_hdr"] == 24 and out[name]["h_hdr"] == 16, name
+    for name in ("png", "trunc", "far", "garbage", "straddle", "shortlen"):
         assert out[name]["sof_marker"] == 0, name
         assert out[name]["w_hdr"] is None, name
 

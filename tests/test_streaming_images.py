@@ -114,3 +114,19 @@ def test_streaming_matches_batch_and_replays_idempotently(spark, tmp_path):
     # replay with no new data: same rows, no duplicates
     _run_once(spark, src, ckpt, out)
     assert _rows(spark, out) == got
+
+
+def test_duplicate_and_null_ids_do_not_corrupt_counts(spark):
+    """The decode flag is carried row-for-row (no id join), so duplicate
+    image_ids count once each and NULL ids keep their decode result."""
+    from json_schema_clj_spark.sources.images import png_images_df
+
+    base = png_images_df(spark, 6, seed=5)
+    dup = base.limit(2)  # same image_ids appear twice
+    nulled = base.limit(1).withColumn("image_id", F.lit(None).cast("string"))
+    prof = image_health_profile(base.unionAll(dup).unionAll(nulled), decode_sample_mod=1)
+    row = prof.collect()[0]
+    assert row["n"] == 9
+    assert row["n_hdr_ok"] == 9
+    assert row["n_sampled"] == 9
+    assert row["n_decoded"] == 9  # NULL-id row's decode isn't lost
