@@ -105,6 +105,7 @@ def main(argv=None):
     # these imports must resolve from --py-files
     from json_schema_clj_spark.operators import dedup as D
     from json_schema_clj_spark.operators import packing as PK
+    from json_schema_clj_spark.operators.curation import CurationConfig
     from json_schema_clj_spark.operators import pii as PII
     from json_schema_clj_spark.operators import text as TX
 
@@ -166,7 +167,10 @@ def main(argv=None):
         keeper_docs = non_empty.join(
             exact_dropped.select("doc_id"), "doc_id", "left_anti"
         )
-        pairs = D.lsh_near_duplicates(keeper_docs, threshold=0.7)
+        pairs = D.lsh_near_duplicates(
+            keeper_docs, threshold=0.7,
+            max_bucket_size=CurationConfig().lsh_max_bucket_size,
+        )
         near_dropped = (
             pairs.select(F.greatest("id_a", "id_b").alias("doc_id"))
             .distinct()

@@ -51,6 +51,14 @@ class CurationConfig:
     near_method: str = "lsh"  # "lsh" (MinHash banding) | "jaccard" (exact)
     shingle_k: int = 3
     max_shingle_freq: int | None = 50  # stop-shingle guard (jaccard path)
+    # hot-bucket cap for the LSH path: band buckets above this size are
+    # dropped before the candidate self-join (quadratic-blowup guard).
+    # Boundary: a near-identical-but-not-byte-identical cluster LARGER
+    # than the cap has every band bucket hot, so its pairs are dropped
+    # and all members kept — raise or set None (unguarded) if such
+    # clusters matter more than worst-case join size.  Exact clones never
+    # inflate buckets here: the near stage runs on exact-dedup keepers.
+    lsh_max_bucket_size: int | None = 500
     redact_pii: bool = True
     capacity: int | None = None  # tokens per training bin; None = no packing
 
@@ -150,6 +158,7 @@ def curation_verdicts(
             pairs = D.lsh_near_duplicates(
                 keeper_docs, text_col, id_col,
                 k=cfg.shingle_k, threshold=cfg.near_threshold,
+                max_bucket_size=cfg.lsh_max_bucket_size,
             )
         else:
             pairs = D.ngram_jaccard_pairs(

@@ -741,9 +741,15 @@ def lsh_near_duplicates(
     template-dominated web corpus — the normal case in crawl training
     data — puts millions of docs into one band bucket, and an unguarded
     self-join goes quadratic in the hottest bucket; capped, the join is
-    ≤ cap²·n_buckets.  Recall is preserved for genuinely near-dup pairs:
-    clone clusters agree on EVERY band, so a pair survives unless all
-    `bands` of its buckets are hot.  Pass ``None`` to disable.
+    ≤ cap²·n_buckets.  Recall boundary: a pair survives unless ALL
+    `bands` of its buckets are hot — which is exactly the case for a
+    near-dup CLUSTER larger than the cap (every member shares every band
+    bucket), so clusters above ``max_bucket_size`` are kept wholesale
+    rather than deduplicated.  Callers that expect near-dup clusters
+    beyond the cap should raise it or pass ``None`` to disable the guard
+    (CurationConfig exposes this as ``lsh_max_bucket_size``); running the
+    near stage on exact-dedup keepers (as `curate()` does) keeps byte
+    clones from ever inflating the buckets.
     """
     rows_per_band = num_hashes // bands
     # persist: the signature agg (shingle explode + 64-way min) feeds the

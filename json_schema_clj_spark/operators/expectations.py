@@ -54,8 +54,10 @@ def run_expectations(df: DataFrame, suite: list[dict]) -> DataFrame:
             raise ValueError(f"unknown expectation type at index {i}: {e.get('type')!r}")
         if e["type"] != "row_count_between" and "column" not in e:
             raise ValueError(f"expectation at index {i} needs a column: {e}")
-        if e["type"] == "values_in_set" and not isinstance(e.get("set"), list):
-            raise ValueError(f"expectation at index {i} needs a 'set' list: {e}")
+        if e["type"] == "values_in_set" and not isinstance(
+            e.get("set"), (list, tuple, set, frozenset)
+        ):
+            raise ValueError(f"expectation at index {i} needs a 'set' collection: {e}")
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, e in enumerate(suite):

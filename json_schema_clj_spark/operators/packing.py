@@ -127,6 +127,12 @@ def grouped_exclusive_cumsum(
     # the offsets join back NULL-SAFELY: groupBy kept a NULL group in the
     # totals, and a plain equality join on group_col would silently drop
     # every NULL-group row from the output (they'd never match off_df)
+    reserved = {"_g", "_p", "_pid", "_cum_in", "_off"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with internal temp names {sorted(reserved)}"
+        )
     off_df = spark.createDataFrame(
         offsets or [(None, 0, 0)], schema=f"`_g` {gtype}, _p int, _off long"
     )

@@ -206,8 +206,10 @@ def _type_ok(tname, target: Column, dtype, ctx: Ctx) -> Column:
     if t == "string":
         if dtype is None or isinstance(dtype, T.StringType):
             # non-standard quirk: blank strings are NOT valid strings
-            # (core.clj:189-190 "expected not empty string")
-            return target.isNotNull() & (F.trim(target) != F.lit(""))
+            # (core.clj:189-190 "expected not empty string").  str/blank?
+            # means ANY-whitespace-only, not space-only — Spark's trim()
+            # strips only 0x20, so "\t\n" must use a whitespace class
+            return target.isNotNull() & ~target.rlike(r"^\s*$")
         return F.lit(False)
     if t == "boolean":
         if dtype is None or isinstance(dtype, T.BooleanType):
@@ -237,7 +239,7 @@ def _type_ok(tname, target: Column, dtype, ctx: Ctx) -> Column:
         if dtype is None or isinstance(dtype, T.StringType):
             base = target.isNotNull() & target.rlike(formats.TYPE_REGEX[t])
             if t == "uri":
-                base = base & (F.trim(target) != F.lit(""))
+                base = base & ~target.rlike(r"^\s*$")
             return base
         # a NATIVELY-typed temporal column trivially satisfies the
         # corresponding string-format type: the reference only ever sees
@@ -277,7 +279,7 @@ def _compile_type(value, schema, target: Column, ctx: Ctx) -> Compiled:
     if t == "string" and (ctx.dtype is None or isinstance(ctx.dtype, T.StringType)):
         # distinguish the blank-string quirk message (core.clj:186-190)
         msg = F.when(
-            target.isNotNull() & (F.trim(F.coalesce(target, F.lit(""))) == F.lit("")),
+            target.isNotNull() & F.coalesce(target, F.lit("")).rlike(r"^\s*$"),
             F.lit("expected not empty string"),
         ).otherwise(F.lit("expected type of string"))
         return simple_check(ok_all, ctx.schema_path, ctx.instance_path, "type", msg, sev)
@@ -1472,20 +1474,45 @@ def _compile_ref(value, schema, target: Column, ctx: Ctx) -> Compiled:
     return compile_schema(sub, target, replace(ctx, depth=ctx.depth - 1))
 
 
+#: combinator keywords whose branches the reference registers at ONE
+#: unindexed pointer (core.clj:665,778,790,656,768,356 — `conj path :kw`
+#: with first-registration-wins), unlike tuple `items` which registers
+#: each position (`into path [:items idx]`, core.clj:1447)
+_UNINDEXED_BRANCH_KEYS = frozenset(
+    {"anyOf", "oneOf", "allOf", "extends", "disallow", "type"}
+)
+
+
 def _resolve_schema_pointer(ref: str, root: dict):
+    """Document-walk $ref resolution mirroring the reference REGISTRY's
+    pointer space: a pointer ending at a combinator keyword resolves to
+    its FIRST branch (all branches share one registry slot), indexing
+    INTO combinator branches fails (the registry never holds those keys),
+    and tuple-items positions resolve by index."""
     if ref == "#":
         return root
     if not ref.startswith("#/"):
         return None
     node: Any = root
+    prev = None
     for seg in ref[2:].split("/"):
         seg = seg.replace("~1", "/").replace("~0", "~").replace("%25", "%")
         if isinstance(node, dict) and seg in node:
             node = node[seg]
-        elif isinstance(node, list) and seg.isdigit() and int(seg) < len(node):
+        elif (
+            isinstance(node, list)
+            and prev not in _UNINDEXED_BRANCH_KEYS
+            and seg.isdigit()
+            and int(seg) < len(node)
+        ):
             node = node[int(seg)]
         else:
             return None
+        prev = seg
+    if isinstance(node, list):
+        if prev in _UNINDEXED_BRANCH_KEYS and node:
+            return node[0]  # first-registration-wins
+        return None
     return node
 
 

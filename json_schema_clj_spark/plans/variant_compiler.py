@@ -169,7 +169,9 @@ def _variant_type_ok(tname, v: Column, ctx: Ctx):
     if t in ("null", "nil"):
         return is_null_value(v) | v.isNull()
     if t == "string":
-        return is_string(v) & (F.trim(as_string(v)) != F.lit(""))
+        # str/blank? semantics: ANY-whitespace-only is blank (Spark trim
+        # strips only 0x20, so "\t\n" needs the whitespace class)
+        return is_string(v) & ~as_string(v).rlike(r"^\s*$")
     if t == "boolean":
         return is_bool(v)
     if t == "number":
@@ -183,7 +185,7 @@ def _variant_type_ok(tname, v: Column, ctx: Ctx):
     if t in formats.TYPE_REGEX:
         base = is_string(v) & as_string(v).rlike(formats.TYPE_REGEX[t])
         if t == "uri":
-            base = base & (F.trim(as_string(v)) != F.lit(""))
+            base = base & ~as_string(v).rlike(r"^\s*$")
         return base
     return None
 
@@ -208,7 +210,7 @@ def _v_type(value, schema, v: Column, ctx: Ctx) -> Compiled:
         msg: Any = f"expected one of types {', '.join(str(m) for m in members)}"
     elif value == "string":
         msg = F.when(
-            is_string(v) & (F.trim(F.coalesce(as_string(v), F.lit(""))) == F.lit("")),
+            is_string(v) & F.coalesce(as_string(v), F.lit("")).rlike(r"^\s*$"),
             F.lit("expected not empty string"),
         ).otherwise(F.lit("expected type of string"))
     else:

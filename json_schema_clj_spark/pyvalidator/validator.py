@@ -244,17 +244,60 @@ FORMAT_REGEX = {
 }
 
 
+def _jvm_regex_to_python(x: str) -> str:
+    """Rewrite Java named-group syntax to Python's, context-sensitively:
+    a tiny scanner tracks escape pairs and character classes so that an
+    escaped backslash followed by literal `k<a>` is NOT rewritten (it is
+    valid Java meaning backslash-then-text) and `\\k` inside a character
+    class is left alone (illegal in Java; the untouched `\\k` is equally
+    illegal to Python's re, so the verdict matches).  Blind re.sub over
+    the whole pattern got both of those wrong."""
+    out = []
+    i, n = 0, len(x)
+    in_class = False
+    while i < n:
+        c = x[i]
+        if c == "\\" and i + 1 < n:
+            if not in_class:
+                m = re.match(r"\\k<([A-Za-z][A-Za-z0-9]*)>", x[i:])
+                if m:
+                    out.append(f"(?P={m.group(1)})")
+                    i += m.end()
+                    continue
+            out.append(x[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(":
+            m = re.match(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", x[i:])
+            if m:  # named group; (?<= / (?<! lookbehinds don't match [A-Za-z]...>
+                out.append(f"(?P<{m.group(1)}>")
+                i += m.end()
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _valid_regex(x):
     """Validity in the JVM dialect the reference compiles with
     (core.clj format-fns → re-pattern → java.util.regex).  Python's `re`
     (3.11+: lookaround, possessive quantifiers, atomic groups all agree)
     differs only in named-group spelling — Java `(?<name>…)` / `\\k<name>`
-    vs Python `(?P<name>…)` / `(?P=name)` — so translate those before
-    compiling; `(?<=` / `(?<!` lookbehinds are left untouched."""
-    y = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", x)
-    y = re.sub(r"\\k<([A-Za-z][A-Za-z0-9]*)>", r"(?P=\1)", y)
+    vs Python `(?P<name>…)` / `(?P=name)` — translated context-sensitively
+    by :func:`_jvm_regex_to_python` before compiling."""
     try:
-        re.compile(y)
+        re.compile(_jvm_regex_to_python(x))
         return None
     except re.error as e:
         return str(e)

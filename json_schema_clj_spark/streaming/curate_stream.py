@@ -93,6 +93,7 @@ def curate_stream(
                 keeper_docs, f"{store_path}/lsh", eb,
                 text_col=text_col, id_col=id_col,
                 k=cfg.shingle_k, threshold=cfg.near_threshold,
+                max_bucket_size=cfg.lsh_max_bucket_size,
             )
             ba = keeper_docs.select(F.col(id_col).alias("id_a"), F.lit(True).alias("a_in"))
             bb = keeper_docs.select(F.col(id_col).alias("id_b"), F.lit(True).alias("b_in"))

@@ -42,21 +42,32 @@ def load_driver(path: str) -> dict[str, float]:
             pass
     # tail may hold only the truncated suffix of the JSON line — recover
     # the per-query pairs directly
-    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d.get("tail", ""))
-    skip = {"sf", "cpus", "images_rows", "images_rows_per_sec", "value"}
-    return {k: float(v) for k, v in pairs if k not in skip}
+    # scope the scrape to the "queries" object so stray numeric metadata
+    # in the tail can never masquerade as a query row
+    tail = d.get("tail", "")
+    qm = re.search(r'"queries"\s*:\s*\{([^}]*)', tail, re.S)
+    if not qm:
+        return {}
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', qm.group(1))
+    return {k: float(v) for k, v in pairs}
 
 
 def main() -> None:
     driver_path = (
         sys.argv[1]
         if len(sys.argv) > 1
-        else sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))[-1]
+        else max(
+            glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+            key=lambda f: int(re.search(r"_r(\d+)", f).group(1)),
+        )
     )
     clean_path = (
         sys.argv[2]
         if len(sys.argv) > 2
-        else sorted(glob.glob(os.path.join(REPO, "BENCH", "bench_clean_r*.json")))[-1]
+        else max(
+            glob.glob(os.path.join(REPO, "BENCH", "bench_clean_r*.json")),
+            key=lambda f: int(re.search(r"_r(\d+)", f).group(1)),
+        )
     )
     driver = load_driver(driver_path)
     clean = json.load(open(clean_path))["queries"]

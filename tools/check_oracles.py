@@ -53,11 +53,13 @@ def frame_repr(cols, rows):
 def decimal_columns(con: "duckdb.DuckDBPyConnection", sql: str) -> list[tuple[str, str]]:
     """Columns of the oracle's Arrow schema typed decimal128/256 — the
     HUGEINT footprint.  Any hit is a latent driver hash failure."""
-    schema = con.execute(sql).arrow().schema
+    # DESCRIBE plans the query without executing it — the oracle runs
+    # once (in oracle_frame), not twice per check
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
     return [
-        (f.name, str(f.type))
-        for f in schema
-        if pa.types.is_decimal(f.type)
+        (name, ctype)
+        for name, ctype, *_ in desc
+        if "DECIMAL" in ctype.upper() or "HUGEINT" in ctype.upper()
     ]
 
 
