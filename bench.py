@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "images_jpeg_header_conformance",
     "images_health_profile",
     "images_webp_header_conformance",
+    "referential_bucketed_dangling",
 ]
 
 

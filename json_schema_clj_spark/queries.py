@@ -451,6 +451,37 @@ GROUP BY l_partkey ORDER BY l_partkey
 """
 
 
+def q_dangling_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout referential check (operators/bucketing.py): fact
+    and dim are materialized once as bucketed+sorted catalog tables, then
+    the dangling anti-join compiles with ZERO Exchange nodes — the
+    co-located tier of the referential family (broadcast: small dims;
+    bloom: big dims; bucketed: the same join repeated every run, where
+    one layout write amortizes all subsequent shuffles).  Bucketing is
+    pure layout, so the result equals the plain anti-join — which is the
+    oracle.  Plan property pinned by tests/test_bucketing.py."""
+    from .operators.bucketing import bucketed_dangling, write_bucketed
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    dim = t(spark, sf_dir, "part").select("p_partkey").where(
+        F.pmod(F.col("p_partkey"), F.lit(9)) != 0
+    )
+    write_bucketed(li, "jscs_bk_lineitem", "l_partkey", 8)
+    write_bucketed(dim, "jscs_bk_part", "p_partkey", 8)
+    bad = bucketed_dangling(
+        spark, "jscs_bk_lineitem", "l_partkey", "jscs_bk_part", "p_partkey"
+    )
+    return bad.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).orderBy("l_partkey")
+
+
+SQL_DANGLING_BUCKETED = """
+SELECT l_partkey, count(*) AS n FROM lineitem
+WHERE l_partkey IS NOT NULL
+  AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 9 <> 0)
+GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+
 def q_dangling_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-dimension path: bloom-prefiltered exact dangling keys.  The
     oracle is a plain anti-join — the bloom stage is a prefilter, so the
@@ -5110,6 +5141,7 @@ QUERIES = {
     "uniqueness_orders_custkey": q_duplicates_orders_custkey,
     "referential_dangling_partkeys": q_dangling_partkeys,
     "referential_bloom_dangling": q_dangling_bloom,
+    "referential_bucketed_dangling": q_dangling_bucketed,
     "referential_coverage_partkeys": q_referential_coverage,
     "drift_ks_psi_orders": q_drift_orders,
     "tpch_q1_pricing_summary": q_pricing_summary,
@@ -5264,6 +5296,10 @@ _R4_SPILL = [
 _R4_DEMOTED = [
     "images_jpeg_psnr_invariant", "images_psnr_lossy",
     "skew_hot_keys_orders_custkey", "infer_json_paths_nested_orders",
+    # added late in round 4, behind the full window — its construction is
+    # the gated referential_dangling_partkeys with a bucketed layout
+    # (pure layout, result-identical); round 5 rotates it in
+    "referential_bucketed_dangling",
 ]
 _deferred = set(_R3_GREEN_HEAD) | set(_R4_SPILL) | set(_R4_DEMOTED)
 QUERIES = {
@@ -5290,6 +5326,7 @@ ORACLES = {
     "uniqueness_orders_custkey": SQL_DUPLICATES_ORDERS_CUSTKEY,
     "referential_dangling_partkeys": SQL_DANGLING_PARTKEYS,
     "referential_bloom_dangling": SQL_DANGLING_BLOOM,
+    "referential_bucketed_dangling": SQL_DANGLING_BUCKETED,
     "referential_coverage_partkeys": SQL_REFERENTIAL_COVERAGE,
     "drift_ks_psi_orders": SQL_DRIFT_ORDERS,
     "tpch_q1_pricing_summary": SQL_PRICING_SUMMARY,
