@@ -46,6 +46,10 @@ HEADLINE = [
     "expectations_orders",
     "aggregate_consistency_orders",
     "vocab_stats_documents",
+    "images_jpeg_header_conformance",
+    "images_webp_header_conformance",
+    "images_health_profile",
+    "referential_bucketed_dangling",
 ]
 
 CALLOUTS = {
@@ -78,6 +82,18 @@ CALLOUTS = {
     "keyed join; statuses derive in the same projection",
     "vocab_stats_documents": "explode + partial-agg'd count, top-k as "
     "TakeOrderedAndProject, summary reads the persisted counted frame",
+    "images_jpeg_header_conformance": "the T.81 marker walk is one "
+    "Project expression (bounded aggregate over a hex projection) — no "
+    "Python eval, no extra Exchange beyond the final groupBy",
+    "images_webp_header_conformance": "RIFF chunk walk as one Project "
+    "expression; the crafted VP8X/lossy/non-RIFF rows ride the same "
+    "single agg",
+    "images_health_profile": "format-gated header structs materialized "
+    "once, decode flag carried row-for-row through ONE mapInPandas (no "
+    "id join), single partial+final agg on fmt",
+    "referential_bucketed_dangling": "SortMergeJoin LeftAnti over two "
+    "bucketed scans with ZERO Exchange nodes — the layout write paid "
+    "the shuffle once",
     "sample_stratified_orders": "the sampling itself is Filter-on-Scan "
     "(no shuffle); the only Exchange is the query wrapper's ORDER BY for "
     "oracle comparison",
