@@ -40,6 +40,21 @@ def write_bucketed(
     should co-locate joins with this one must use the SAME bucket count
     on the SAME key semantics (Spark only elides the shuffle when the
     output partitionings match)."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a managed-table location can survive a session that never
+        # registered the table (fresh in-memory catalog + old warehouse
+        # dir) — saveAsTable then fails LOCATION_ALREADY_EXISTS.  Drop
+        # the catalog entry AND the orphan location through the Hadoop
+        # FS API (works on any filesystem, not just local).
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc.sc()
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.split('.')[-1]}")
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)
