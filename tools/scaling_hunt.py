@@ -494,7 +494,25 @@ Reference baseline: the reference publishes no performance numbers
 (/root/reference/README.md:36 roadmap; correctness-only CI) — targets come
 from BASELINE.json, evidenced here.
 {flagship_note}"""
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        # preserve sections other tools appended (the per-query delta
+        # table from tools/bench_delta.py lives in this file too) — only
+        # the scaling sections this writer owns are regenerated
+        preserved = ""
+        if os.path.exists(path):
+            cur = open(path).read()
+            i = cur.find("## Per-query clean-minimum")
+            if i >= 0:
+                j = cur.find("\n## Workload shape", i)
+                preserved = cur[i:j] if j > 0 else cur[i:]
+        if preserved:
+            anchor = "## Workload shape"
+            k = md.find(anchor)
+            if k > 0:
+                md = md[:k] + preserved.rstrip() + "\n\n" + md[k:]
+            else:
+                md = md + "\n" + preserved
+        with open(path, "w") as f:
             f.write(md)
         print("wrote BENCH/BASELINE.md")
     return out
