@@ -159,3 +159,31 @@ def test_near_stage_runs_on_exact_keepers_only(spark):
     assert got[0] == "kept"
     assert all(got[i] == "exact_dup" for i in range(1, 60))
     assert got[900] == "near_dup"
+
+
+def test_lsh_hot_bucket_knob_boundary(spark):
+    """The exposed lsh_max_bucket_size knob's documented recall boundary:
+    with a cap SMALLER than a near-dup cluster, every band bucket of the
+    cluster is hot, pairs are dropped, and all members are KEPT; the
+    default cap (larger than the cluster) dedups them down to one."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" variant {i % 2}") for i in range(6)]
+    # 6 docs in 2 exact-identical groups of 3 -> exact dedup keeps 2
+    # keepers whose texts are near-dups of each other
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dedup_cfg = CurationConfig(min_tokens=2, near_threshold=0.5, redact_pii=False)
+    res = curate(docs, dedup_cfg)
+    r = {row["doc_id"]: row["reason"] for row in res.verdicts.collect()}
+    assert r[0] == "kept" and r[1] == "near_dup"  # keepers 0,1: near pair fires
+    res.release()
+
+    capped_cfg = CurationConfig(
+        min_tokens=2, near_threshold=0.5, redact_pii=False, lsh_max_bucket_size=1
+    )
+    res2 = curate(docs, capped_cfg)
+    r2 = {row["doc_id"]: row["reason"] for row in res2.verdicts.collect()}
+    # cap 1 < cluster size 2: both keepers' buckets are hot, the pair is
+    # dropped, both survive — the boundary the docstring promises
+    assert r2[0] == "kept" and r2[1] == "kept"
+    res2.release()
