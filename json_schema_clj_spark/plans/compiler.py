@@ -23,6 +23,7 @@ multimethod (custom keywords `discriminator`, `exclusiveProperties`,
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import replace
 from decimal import Decimal
 from typing import Any, Callable, Optional
@@ -495,12 +496,41 @@ KEYWORD_COMPILERS["minItems"] = make_comparator(
 KEYWORD_COMPILERS["maxItems"] = make_comparator(
     "maxItems", "le", lambda dt: isinstance(dt, T.ArrayType), F.size, _is_number_py, " array length"
 )
-KEYWORD_COMPILERS["formatMinimum"] = make_comparator(
-    "formatMinimum", "ge", lambda dt: isinstance(dt, T.StringType), _ident, _is_str_py, ""
-)
-KEYWORD_COMPILERS["formatMaximum"] = make_comparator(
-    "formatMaximum", "le", lambda dt: isinstance(dt, T.StringType), _ident, _is_str_py, ""
-)
+_TIME_TZ_RE = r"(Z|[+-]\d+:\d+)$"
+
+
+def _format_bound(keyword: str, op: str):
+    """formatMinimum/Maximum with the reference's compile-time guards
+    (core.clj:1114-1140): `format: "unknown"` compiles NO check at all,
+    and `format: "time"` strips the trailing timezone from BOTH the value
+    and the bound before the lexicographic compare
+    (compile-format-coerce, core.clj:1104-1105)."""
+    plain = make_comparator(
+        keyword, op, lambda dt: isinstance(dt, T.StringType), _ident, _is_str_py, ""
+    )
+    timed = make_comparator(
+        keyword, op, lambda dt: isinstance(dt, T.StringType),
+        lambda c: F.regexp_replace(c, _TIME_TZ_RE, ""), _is_str_py, "",
+    )
+
+    def fn(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+        fmt = schema.get("format")
+        if fmt == "unknown":
+            return None
+        if fmt == "time":
+            if isinstance(value, dict):  # $data bound needs runtime coercion
+                raise ColumnBackendUnsupported(
+                    "$data formatM* bound with time coercion needs the Python backend"
+                )
+            bound = re.sub(_TIME_TZ_RE, "", value) if isinstance(value, str) else value
+            return timed(bound, schema, target, ctx)
+        return plain(value, schema, target, ctx)
+
+    return fn
+
+
+KEYWORD_COMPILERS["formatMinimum"] = _format_bound("formatMinimum", "ge")
+KEYWORD_COMPILERS["formatMaximum"] = _format_bound("formatMaximum", "le")
 
 
 def _exclusive_numeric(keyword: str, op: str, absorbed_by: str):
@@ -716,6 +746,14 @@ def _compile_required(value, schema, target: Column, ctx: Ctx) -> Optional[Compi
 
 @register_keyword("dependencies")
 def _compile_dependencies(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
+    # documented conflation boundary: the reference's `contains?`
+    # (core.clj:564,571,585) counts a nil-VALUED key as present/satisfied,
+    # but Spark structs cannot distinguish absent from null, so this
+    # backend uses isNotNull like every other keyword (the Python backend
+    # carries the exact contains? semantics for map-shaped documents).
+    # Error shape also differs deliberately: one violation per missing
+    # dep (richer for violation_rows) vs the reference's single
+    # aggregated "(…) are required" message.
     sev = ctx.severity("dependencies")
     comps = []
     for key, dep in value.items():
@@ -1180,12 +1218,29 @@ def _array_elem_dtype(ctx: Ctx):
 
 @register_keyword("items")
 def _compile_items(value, schema, target: Column, ctx: Ctx) -> Optional[Compiled]:
-    if ctx.dtype is not None and not isinstance(ctx.dtype, T.ArrayType):
-        return None
     sev = ctx.severity("items")
+    if ctx.dtype is not None and not isinstance(ctx.dtype, T.ArrayType):
+        if isinstance(value, list):
+            # reference quirk (core.clj:1451-1452): TUPLE-form items on a
+            # non-sequential value is an error (the single-schema form
+            # passes through) — a known-non-array column fails every
+            # non-null row
+            return _null_pass(
+                target,
+                simple_check(
+                    F.lit(False), ctx.schema_path, ctx.instance_path,
+                    "items", "expected array", sev,
+                ),
+            )
+        return None
     elem_dt = _array_elem_dtype(ctx)
     if isinstance(value, list):
         # tuple form + additionalItems (core.clj:1444-1479)
+        if schema.get("additionalItems") is True:
+            # core.clj:1462: `(= true ai)` returns ctx before ANY
+            # positional validator runs — additionalItems: true disables
+            # tuple validation entirely (array-typed values all pass)
+            return None
         comps = []
         for i, sub in enumerate(value):
             elem = F.element_at(target, i + 1)
@@ -1394,9 +1449,14 @@ def _compile_disallow(value, schema, target: Column, ctx: Ctx) -> Compiled:
 
 @register_keyword("if")
 def _compile_if(value, schema, target: Column, ctx: Ctx) -> Compiled:
+    # (or th true) quirk, core.clj:735-736: then/else of FALSE coerces to
+    # true (Clojure `or` skips falsy), never an always-fail schema
+    th_s, el_s = schema.get("then"), schema.get("else")
+    th_s = True if th_s is None or th_s is False else th_s
+    el_s = True if el_s is None or el_s is False else el_s
     cond = _probe_ok(value, target, ctx)
-    th = compile_schema(schema.get("then", True), target, replace(ctx, schema_path=ctx.schema_path[:-1] + ("then",)))
-    el = compile_schema(schema.get("else", True), target, replace(ctx, schema_path=ctx.schema_path[:-1] + ("else",)))
+    th = compile_schema(th_s, target, replace(ctx, schema_path=ctx.schema_path[:-1] + ("then",)))
+    el = compile_schema(el_s, target, replace(ctx, schema_path=ctx.schema_path[:-1] + ("else",)))
     return Compiled(
         ok=F.when(cond, th.ok).otherwise(el.ok),
         violations=F.when(cond, th.violations).otherwise(el.violations),

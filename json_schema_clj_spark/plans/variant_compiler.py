@@ -761,6 +761,17 @@ def _v_items(value, schema, v: Column, ctx: Ctx) -> Optional[Compiled]:
             ),
         )
     if isinstance(value, list):
+        if schema.get("additionalItems") is True:
+            # core.clj:1462 quirk: `(= true ai)` returns ctx before any
+            # positional validator runs — tuple validation is disabled,
+            # only the expected-array type error remains
+            return Compiled(
+                ok=F.when(v.isNull() | is_array(v), F.lit(True)).otherwise(F.lit(False)),
+                violations=F.when(v.isNull() | is_array(v), _empty()).otherwise(
+                    violation(ctx.schema_path, ctx.instance_path, "items",
+                              "expected array", ctx.severity("items"))
+                ),
+            )
         comps = []
         for i, sub in enumerate(value):
             elem = F.element_at(arr, i + 1)
@@ -917,10 +928,15 @@ def _v_disallow(value, schema, v: Column, ctx: Ctx) -> Compiled:
 
 @register("if")
 def _v_if(value, schema, v: Column, ctx: Ctx) -> Compiled:
+    # (or th true) quirk, core.clj:735-736: then/else of FALSE coerces
+    # to true (Clojure `or` skips falsy), never an always-fail schema
+    th_s, el_s = schema.get("then"), schema.get("else")
+    th_s = True if th_s is None or th_s is False else th_s
+    el_s = True if el_s is None or el_s is False else el_s
     cond = compile_variant(value, v, ctx).ok
-    th = compile_variant(schema.get("then", True), v,
+    th = compile_variant(th_s, v,
                          replace(ctx, schema_path=ctx.schema_path[:-1] + ("then",)))
-    el = compile_variant(schema.get("else", True), v,
+    el = compile_variant(el_s, v,
                          replace(ctx, schema_path=ctx.schema_path[:-1] + ("else",)))
     return Compiled(
         ok=F.when(cond, th.ok).otherwise(el.ok),

@@ -1038,6 +1038,12 @@ def _k_items(value, schema, cc):
             if not isinstance(v, list):
                 _add_error(run, "items", path, "expected array")
                 return
+            if ai is True and v:
+                # reference quirk, core.clj:1462: the `(= true ai)` cond
+                # branch returns ctx BEFORE any positional validator runs,
+                # so additionalItems: true disables tuple validation for
+                # every non-empty array
+                return
             for i, vv in enumerate(v):
                 if i < len(subs):
                     subs[i](vv, path + (i,), run)
@@ -1188,9 +1194,16 @@ def _k_disallow(value, schema, cc):
 
 @keyword("if")
 def _k_if(value, schema, cc):
+    # (or th true) quirk, core.clj:735-736: Clojure `or` skips falsy
+    # values, so then/else of FALSE (or absent) is silently coerced to
+    # true (a no-op branch), never an always-fail schema.  Only
+    # false/nil are falsy in Clojure — 0 and {} stay as written.
+    def _coerce(x):
+        return True if x is None or x is False else x
+
     pred = _compile(value, cc.push("if"), cc)
-    th = _compile(schema.get("then", True), cc.push("then"), cc)
-    el = _compile(schema.get("else", True), cc.push("else"), cc)
+    th = _compile(_coerce(schema.get("then")), cc.push("then"), cc)
+    el = _compile(_coerce(schema.get("else")), cc.push("else"), cc)
 
     def vfn(v, path, run):
         if not _probe(pred, v, path, run).errors:

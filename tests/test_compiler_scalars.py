@@ -345,3 +345,55 @@ def test_false_schema(spark):
     assert vm == {"a": False}
     vm = _valid_map(spark, [("a", 1)], "k string, x long", {"properties": {"x": True}})
     assert vm == {"a": True}
+
+
+def test_if_boolean_then_else_coerce_to_noop(spark):
+    # (or th true) quirk, core.clj:735-736: then/else of FALSE is a no-op
+    # branch, never an always-fail schema
+    schema = {"properties": {"x": {"if": {"minimum": 0}, "then": False}}}
+    vm = _valid_map(spark, [("a", 1), ("b", -1)], "k string, x long", schema)
+    assert vm == {"a": True, "b": True}
+    schema = {"properties": {"x": {"if": {"minimum": 0}, "else": False}}}
+    vm = _valid_map(spark, [("a", 1), ("b", -1)], "k string, x long", schema)
+    assert vm == {"a": True, "b": True}
+
+
+def test_tuple_items_additional_true_disables_validation(spark):
+    # core.clj:1462 quirk: `(= true ai)` short-circuits before any
+    # positional validator runs
+    schema = {"properties": {"xs": {"items": [{"type": "string"}],
+                                    "additionalItems": True}}}
+    vm = _valid_map(
+        spark, [("a", [5]), ("b", [7, 8])],
+        "k string, xs array<long>", schema,
+    )
+    assert vm == {"a": True, "b": True}
+    # without the ai=true rider the tuple IS enforced
+    schema2 = {"properties": {"xs": {"items": [{"type": "string"}]}}}
+    vm2 = _valid_map(spark, [("a", [5])], "k string, xs array<long>", schema2)
+    assert vm2 == {"a": False}
+
+
+def test_tuple_items_on_non_array_column_errors(spark):
+    # core.clj:1451-1452 quirk: TUPLE items on a non-sequential value is
+    # an error; the single-schema form passes through
+    tuple_schema = {"properties": {"x": {"items": [{"type": "integer"}]}}}
+    vm = _valid_map(spark, [("a", "hello")], "k string, x string", tuple_schema)
+    assert vm == {"a": False}
+    single_schema = {"properties": {"x": {"items": {"type": "integer"}}}}
+    vm2 = _valid_map(spark, [("a", "hello")], "k string, x string", single_schema)
+    assert vm2 == {"a": True}
+
+
+def test_format_bounds_unknown_guard_and_time_coercion(spark):
+    # core.clj:1114-1140: format "unknown" compiles NO formatM* check;
+    # format "time" strips the zone suffix from value and bound
+    unknown = {"properties": {"s": {"format": "unknown", "formatMaximum": "abc"}}}
+    vm = _valid_map(spark, [("a", "zzz")], "k string, s string", unknown)
+    assert vm == {"a": True}
+    timed = {"properties": {"s": {"format": "time", "formatMaximum": "10:00:00"}}}
+    vm2 = _valid_map(
+        spark, [("a", "10:00:00Z"), ("b", "10:00:01Z"), ("c", "09:59:59+01:00")],
+        "k string, s string", timed,
+    )
+    assert vm2 == {"a": True, "b": False, "c": True}
