@@ -93,13 +93,28 @@ def uri_template_ok(col: Column) -> Column:
     return ~col.rlike(r"\{[^}]+$")
 
 
+#: same structure as the Python backend's _DT_RE (ISO_DATE_TIME: time part
+#: required, seconds optional, case-sensitive T/Z, offset <= 18:00)
+_DT_STRUCT_RE = (
+    r"^-?\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+    r"T([01]\d|2[0-3]):[0-5]\d(:[0-5]\d(\.\d{1,9})?)?"
+    r"(Z|[+-](0\d|1[0-8]):[0-5]\d(:[0-5]\d)?(\[[^\]]+\])?)?$"
+)
+
+
 def date_time_ok(col: Column) -> Column:
-    """valid-date-time? (core.clj:1301-1306) parses with ISO_DATE_TIME —
-    approximate with Spark's try_to_timestamp on ISO forms."""
-    return F.coalesce(
-        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")).isNotNull(),
-        F.lit(False),
-    )
+    """valid-date-time? (core.clj:1301-1306) parses with ISO_DATE_TIME:
+    structural regex (time REQUIRED, seconds optional, strict case,
+    bounded offsets — identical to the Python backend's _DT_RE) plus a
+    calendar-day check via try_to_date on the extracted date part (the
+    smart resolver rejects Feb 30); proleptic negative years pass on
+    structure alone, mirroring the Python backend."""
+    structural = col.rlike(_DT_STRUCT_RE)
+    date_part = F.regexp_extract(col, r"^(\d{4}-\d{2}-\d{2})T", 1)
+    calendar_ok = F.when(
+        col.startswith("-"), F.lit(True)
+    ).otherwise(F.try_to_date(date_part, "yyyy-MM-dd").isNotNull())
+    return F.coalesce(structural & calendar_ok, F.lit(False))
 
 
 def format_ok(col: Column, fmt: str) -> Column | None:

@@ -25,6 +25,21 @@ Semantic parity notes (quirks deliberately preserved — SURVEY.md §7):
 * ``multipleOf`` is exact-rational (is-divider?, core.clj:419-421), with
   decimal-string interpretation of float operands so 0.0075 is a multiple
   of 0.0001.
+
+Deliberate deviations (documented, not bugs):
+
+* Probes are HERMETIC everywhere: if-predicates, switch-ifs and disallow
+  run on a scratch error list.  The reference is internally inconsistent
+  — :contains resets ``:errors`` before probing (core.clj:1387) but :if
+  threads the ACCUMULATED ctx (core.clj:738), so a failure from any
+  earlier keyword silently flips the if to its else branch, making the
+  verdict depend on Clojure's map-iteration order over the schema's
+  keys.  Order-dependent verdicts are not reproducible across backends;
+  the hermetic reading is used uniformly.
+* ``dependencies`` emits one violation PER missing dependency at the
+  parent path, where the reference emits a single aggregated
+  "(:b :c) are required" at path+key (core.clj:565-586) — richer rows
+  for the violation sink, same verdict.
 """
 
 from __future__ import annotations
@@ -303,6 +318,15 @@ def _valid_regex(x):
         return str(e)
 
 
+def _schema_re(pat: str):
+    """Compile a SCHEMA-supplied pattern in the JVM dialect the reference
+    uses (re-pattern -> java.util.regex): Java named-group spelling is
+    translated first (:func:`_jvm_regex_to_python`); constructs Python
+    cannot express (\\p{Alpha}, class intersection) still raise at
+    compile, matching nothing we can silently fake."""
+    return re.compile(_jvm_regex_to_python(pat))
+
+
 def _valid_pointer(x):
     if not isinstance(x, str):
         return "json pointer should be string"
@@ -340,24 +364,29 @@ def _valid_uri_template(x):
     return None
 
 
+# Java DateTimeFormatter/ISO_DATE_TIME (core.clj:1303): the TIME part is
+# REQUIRED ('T' HH:mm minimum, seconds/fraction optional), 'T'/'Z' are
+# case-sensitive, second 60 is rejected, offsets are bounded ±18:00 with
+# optional seconds and an optional bracketed zone id
 _DT_RE = re.compile(
-    r"^-?\d{4,}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
-    r"([Tt]([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
-    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)?)?$"
+    r"^(?P<y>-?\d{4})-(?P<m>0[1-9]|1[0-2])-(?P<d>0[1-9]|[12]\d|3[01])"
+    r"T([01]\d|2[0-3]):[0-5]\d(:[0-5]\d(\.\d{1,9})?)?"
+    r"(Z|[+-](0\d|1[0-8]):[0-5]\d(:[0-5]\d)?(\[[^\]]+\])?)?$"
 )
 
 
 def _valid_date_time(x):
     """ISO_DATE_TIME acceptance (core.clj:1301-1306) — structural check plus
-    real calendar-day validation."""
-    if not _DT_RE.match(x):
+    real calendar-day validation (the smart resolver rejects Feb 30)."""
+    m = _DT_RE.match(x)
+    if not m:
         return "could not parse date-time"
     try:
         import datetime as _dt
 
-        head = x[:10].lstrip("-")
-        y, m, d = head.split("-")
-        _dt.date(int(y), int(m), int(d))
+        year = int(m.group("y"))
+        if year > 0:  # proleptic negative years: structural check only
+            _dt.date(year, int(m.group("m")), int(m.group("d")))
         return None
     except ValueError as e:
         return str(e)
@@ -719,11 +748,11 @@ def _k_pattern(value, schema, cc):
                 # "could not interpret as pattern" (core.clj:1371-1372)
                 _add_error(run, "pattern", path, f"could not interpret as pattern {pat}")
                 return
-            if isinstance(v, str) and not re.search(pat, v):
+            if isinstance(v, str) and not _schema_re(pat).search(v):
                 _add_error(run, "pattern", path, f"expected '{v}' matches pattern '{pat}'")
 
         return vfn
-    rx = re.compile(value)
+    rx = _schema_re(value)
 
     def vfn(v, path, run):
         # find-semantics; non-strings pass (core.clj:1361-1366)
@@ -840,7 +869,7 @@ def _k_required(value, schema, cc):
 
 @keyword("patternRequired")
 def _k_pattern_required(value, schema, cc):
-    pats = [re.compile(p) for p in value]
+    pats = [_schema_re(p) for p in value]
 
     def vfn(v, path, run):
         if not isinstance(v, dict):
@@ -854,7 +883,7 @@ def _k_pattern_required(value, schema, cc):
 
 @keyword("patternProperties")
 def _k_pattern_properties(value, schema, cc):
-    pairs = [(re.compile(p), _compile(sub, cc.push("patternProperties", p), cc)) for p, sub in value.items()]
+    pairs = [(_schema_re(p), _compile(sub, cc.push("patternProperties", p), cc)) for p, sub in value.items()]
 
     def vfn(v, path, run):
         if not isinstance(v, dict):
@@ -870,7 +899,7 @@ def _k_pattern_properties(value, schema, cc):
 @keyword("patternGroups")
 def _k_pattern_groups(value, schema, cc):
     groups = [
-        (re.compile(p), _compile(g.get("schema", True), cc.push("patternGroups"), cc),
+        (_schema_re(p), _compile(g.get("schema", True), cc.push("patternGroups"), cc),
          g.get("minimum"), g.get("maximum"))
         for p, g in value.items()
     ]
@@ -899,7 +928,7 @@ def _k_pattern_groups(value, schema, cc):
 @keyword("additionalProperties")
 def _k_additional_properties(value, schema, cc):
     props_keys = set((schema.get("properties") or {}).keys())
-    pat_regexes = [re.compile(p) for p in list(schema.get("patternProperties") or {})
+    pat_regexes = [_schema_re(p) for p in list(schema.get("patternProperties") or {})
                    + list(schema.get("patternGroups") or {})]
 
     def is_pat(k):
@@ -930,7 +959,7 @@ def _k_additional_properties(value, schema, cc):
 
 @keyword("propertyNames")
 def _k_property_names(value, schema, cc):
-    sub = _compile(value, cc.push("propertyNames"), cc)
+    sub = _compile(value, cc, cc)  # parent path: core.clj:1396 registry quirk
 
     def vfn(v, path, run):
         if not isinstance(v, dict):
@@ -1083,7 +1112,7 @@ def _k_unique_items(value, schema, cc):
 
 @keyword("contains")
 def _k_contains(value, schema, cc):
-    sub = _compile(value, cc.push("contains"), cc)
+    sub = _compile(value, cc, cc)  # parent path: core.clj:1383 registry quirk
 
     def vfn(v, path, run):
         if isinstance(v, list) and not any(
@@ -1201,9 +1230,12 @@ def _k_if(value, schema, cc):
     def _coerce(x):
         return True if x is None or x is False else x
 
-    pred = _compile(value, cc.push("if"), cc)
-    th = _compile(_coerce(schema.get("then")), cc.push("then"), cc)
-    el = _compile(_coerce(schema.get("else")), cc.push("else"), cc)
+    # parent-path compiles (core.clj:734-736 uses bare `path`): the
+    # if-predicate registers FIRST at the parent's pointer and first-
+    # registration-wins, so a $ref to this node resolves to the PREDICATE
+    pred = _compile(value, cc, cc)
+    th = _compile(_coerce(schema.get("then")), cc, cc)
+    el = _compile(_coerce(schema.get("else")), cc, cc)
 
     def vfn(v, path, run):
         if not _probe(pred, v, path, run).errors:
@@ -1218,9 +1250,9 @@ def _k_if(value, schema, cc):
 def _k_switch(value, schema, cc):
     clauses = []
     for cl in value:
-        cif = _compile(cl["if"], cc.push("switch"), cc) if "if" in cl else None
+        cif = _compile(cl["if"], cc, cc) if "if" in cl else None  # parent path: core.clj:679
         cthen = cl.get("then")
-        cthen_v = _compile(cthen, cc.push("switch"), cc) if isinstance(cthen, dict) else None
+        cthen_v = _compile(cthen, cc, cc) if isinstance(cthen, dict) else None  # core.clj:681
         clauses.append((cl, cif, cthen_v))
 
     def vfn(v, path, run):
