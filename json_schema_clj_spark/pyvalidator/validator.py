@@ -334,10 +334,16 @@ def _valid_pointer(x):
         return None
     if not x.startswith("/"):
         return "json-pointer should start with /"
+    # the reference's reduce (core.clj:1271-1276) has no else branch, so a
+    # GOOD token resets the accumulator to nil — only a trailing run of
+    # bad-~ tokens survives ("/~2/good" is valid there, "/good/~2" is not)
+    acc = None
     for tok in x.split("/")[1:]:
         if "~" in re.sub(r"~[01]", "", tok):
-            return f" ~ should be escaped [{tok}]"
-    return None
+            acc = ((acc + "; ") if acc else "") + f" ~ should be escaped [{tok}]"
+        else:
+            acc = None
+    return acc
 
 
 def _valid_uri(x):
