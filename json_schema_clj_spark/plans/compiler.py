@@ -1573,6 +1573,40 @@ def _resolve_schema_pointer(ref: str, root: dict):
         if prev in _UNINDEXED_BRANCH_KEYS and node:
             return node[0]  # first-registration-wins
         return None
+    return _registry_shadow(node)
+
+
+def _registry_shadow(node):
+    """Mirror the reference's parent-path registrations: if / switch /
+    contains / propertyNames compile their subschemas at the PARENT path
+    (core.clj:734-736, 679-681, 1383, 1396), and with first-registration-
+    wins the first such subschema — in schema key order, recursively —
+    shadows the composite node at its own pointer.  The Python backend
+    reproduces this through its real registry; this rewrite keeps the
+    document-walk resolver pointer-for-pointer identical."""
+    while isinstance(node, dict):
+        nxt = None
+        for k, v in node.items():
+            if k in ("if", "contains", "propertyNames"):
+                nxt = v
+                break
+            if k == "switch" and isinstance(v, list):
+                # a clause's :if compiles only when Clojure-truthy, its
+                # :then only when a map (core.clj:679-681 cond->)
+                for cl in v:
+                    if isinstance(cl, dict):
+                        cif = cl.get("if")
+                        if cif is not None and cif is not False:
+                            nxt = cif
+                            break
+                        if isinstance(cl.get("then"), dict):
+                            nxt = cl["then"]
+                            break
+                if nxt is not None:
+                    break
+        if nxt is None:
+            return node
+        node = nxt
     return node
 
 
