@@ -948,11 +948,17 @@ def minhash_md5_near_duplicates(
         F.sequence(F.lit(1), F.lit(bands)),
         lambda j: F.struct(j.alias("band"), F.element_at(F.col("sig"), j).alias("bh")),
     )
-    buckets = sigs.select("id", "sig", F.explode(band_structs).alias("b")).select(
-        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    # NARROW bucket rows, mirroring lsh_near_duplicates: the band explode
+    # is ×bands rows per doc, and each md5 band-min is a 32-char string —
+    # carrying the full `bands`-element sig through the explode, the guard
+    # count and BOTH sides of the self-join shuffled the wide payload
+    # bands× redundantly (the 1.61× clean-floor regression when the guard
+    # landed).  Signatures join back on the candidate pairs only.
+    buckets = sigs.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     # same hot-bucket guard as lsh_near_duplicates (inert on the planted
-    # oracle corpus, bucket size <= 2); the count pass prunes to (band, bh)
+    # oracle corpus, bucket size <= 2); the count pass scans (band, bh) only
     if max_bucket_size is not None:
         hot = (
             buckets.groupBy("band", "bh")
@@ -961,19 +967,26 @@ def minhash_md5_near_duplicates(
             .select("band", "bh")
         )
         buckets = buckets.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    sim = F.size(
-        F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda e: e)
-    ) / F.lit(float(bands))
-    out = (
-        a.join(
-            b,
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(sim, 6).alias("sim"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sim = F.size(
+        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda e: e)
+    ) / F.lit(float(bands))
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
     return _with_deps(out, sigs)

@@ -147,6 +147,26 @@ def test_batch_lsh_bucket_join_is_narrow(spark):
     D.release(out)
 
 
+def test_md5_lsh_bucket_join_is_narrow(spark):
+    # the md5 oracle-replicable twin must keep the same narrow-bucket shape
+    # as the xxhash64 path: no plan node carries BOTH a band-hash column and
+    # the bands-element md5 signature array (each band-min is a 32-char
+    # string, so a wide explode shuffles the sig payload bands× redundantly
+    # — the r4 clean-floor regression); the hot-bucket guard count prunes to
+    # (band, bh) through the cached signatures
+    from json_schema_clj_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = D.minhash_md5_near_duplicates(docs, threshold=0.9)
+    plan = executed(out)
+    offenders = [
+        ln for ln in plan.splitlines() if "bh#" in ln and "sig" in ln
+    ]
+    assert not offenders, offenders
+    assert "CartesianProduct" not in plan, plan
+    D.release(out)
+
+
 def test_incremental_lsh_bucket_join_is_narrow(spark, tmp_path):
     # the (band, bh) bucket self-join must shuffle ONLY (id, band, bh[,
     # batch]) rows — the 64-element signature joins back on candidate

@@ -14,7 +14,12 @@ Any disagreement is appended as one JSON line to BENCH/fuzz_findings.jsonl
 with the schema, doc, and per-backend verdicts — enough to replay as a
 fixture.  Exit code is the number of distinct disagreeing schemas.
 
-Usage: python tools/fuzz_differential.py [start_seed] [n_schemas]
+Usage: python tools/fuzz_differential.py [start_seed] [n_schemas] [bias]
+
+`bias=ref` post-processes each random schema to push subschemas behind
+definitions + $ref, sometimes pointing the $ref INTO a combinator node
+(`#/definitions/x/anyOf` resolves to the first-registered branch — the
+registry-shadowing surface where the last three root-cause bugs lived).
 """
 
 from __future__ import annotations
@@ -31,9 +36,44 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 FINDINGS = os.path.join(REPO, "BENCH", "fuzz_findings.jsonl")
 
 
+def bias_ref(schema, rng):
+    """Rewrite a random schema into $ref-heavy shape.
+
+    Two moves, mirroring where real divergences were found (core.clj's
+    first-registration-wins registry, see plans/compiler.py
+    `_registry_shadow`):
+      1. hoist a random property subschema into `definitions` and replace
+         it with an internal `$ref`; when the hoisted node is a combinator,
+         half the time point the `$ref` INTO the combinator path
+         (`#/definitions/x/anyOf`), which resolves to the first-registered
+         branch under registry shadowing;
+      2. wrap the whole schema one more `$ref` level through definitions.
+    Both moves keep the schema resolvable on every backend; the fuzz's job
+    is only that all four backends agree.
+    """
+    props = schema.get("properties")
+    if isinstance(props, dict) and props and rng.random() < 0.8:
+        col = rng.choice(sorted(props))
+        sub = props[col]
+        name = f"d_{col}"
+        schema.setdefault("definitions", {})[name] = sub
+        ptr = f"#/definitions/{name}"
+        if isinstance(sub, dict):
+            comb = next(
+                (k for k in ("anyOf", "allOf", "oneOf") if k in sub), None
+            )
+            if comb and rng.random() < 0.5:
+                ptr = f"{ptr}/{comb}"
+        props[col] = {"$ref": ptr}
+    if rng.random() < 0.4:
+        schema = {"definitions": {"root": schema}, "$ref": "#/definitions/root"}
+    return schema
+
+
 def main() -> int:
     start_seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     n_schemas = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    bias = sys.argv[3] if len(sys.argv) > 3 else None
 
     from pyspark.sql import SparkSession
 
@@ -61,6 +101,8 @@ def main() -> int:
     for si in range(start_seed, start_seed + n_schemas):
         rng = random.Random(si)
         schema = rand_schema(rng)
+        if bias == "ref":
+            schema = bias_ref(schema, rng)
         rows = [rand_row(rng) for _ in range(n_rows)]
         docs = [row_to_doc(r) for r in rows]
 
