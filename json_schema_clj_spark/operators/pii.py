@@ -30,19 +30,41 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def _occurrences(col: Column, token: str) -> Column:
+    """Literal substring occurrence count via length arithmetic — no regex
+    pass (the token contains regex metacharacters anyway)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(token), F.lit(""))))
+        / F.lit(len(token))
+    ).cast("int")
+
+
 def pii_counts(text: Column, patterns: dict[str, str] | None = None) -> dict[str, Column]:
     """Per-type hit count, STAGED: each pattern counts against the text
     with all PRIOR patterns already redacted, so the counts are exactly
     the replacements the sequential redaction performs — an overlapping
     cross-type span (an ip inside an email, say) is attributed to the
     first pattern that consumes it, never double-counted.  Same
-    non-overlapping leftmost semantics in Spark and DuckDB."""
+    non-overlapping leftmost semantics in Spark and DuckDB.
+
+    Counted as the placeholder-occurrence DELTA across each redaction
+    stage rather than a separate regexp_extract_all pass: the regex
+    engine runs once per pattern (the replace chain, shared across all
+    count columns by codegen subexpression elimination) instead of twice
+    (extract + replace), and the delta is exact for arbitrary input —
+    pre-existing literal ``[EMAIL]`` text survives every stage untouched
+    (no default pattern can match '[' or ']') and each replacement
+    inserts exactly one non-self-overlapping token.  Precondition for
+    CUSTOM pattern sets: a pattern must not match text containing its own
+    bracket placeholder (true for anything in the default charsets)."""
     pats = patterns or PII_PATTERNS
     out: dict[str, Column] = {}
     staged = text
     for name, pat in pats.items():
-        out[name] = F.size(F.regexp_extract_all(staged, F.lit(pat), 0))
-        staged = F.regexp_replace(staged, pat, f"[{name.upper()}]")
+        token = f"[{name.upper()}]"
+        before = _occurrences(staged, token)
+        staged = F.regexp_replace(staged, pat, token)
+        out[name] = _occurrences(staged, token) - before
     return out
 
 

@@ -3857,20 +3857,35 @@ _SQL_PII_PLANT = """
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import pii as PII
 
-    docs = _pii_planted(t(spark, sf_dir, "documents"))
-    return PII.pii_scan(docs).orderBy("doc_id")
+    # sort BEFORE the regex projection: orderBy is a range exchange whose
+    # partitioner SAMPLES its child, so sorting the scan output costs one
+    # cheap doc_id sample while sorting the count projection would run the
+    # whole regex pipeline twice; Project preserves the range-partitioned
+    # sort order, so the result is still globally doc_id-ordered
+    docs = _pii_planted(t(spark, sf_dir, "documents").orderBy("doc_id"))
+    return PII.pii_scan(docs)
 
 
 def _pii_staged_count_sqls() -> list[tuple[str, str]]:
     """(name, count-expr) per pattern, each counting against the text with
     all PRIOR patterns redacted — the exact mirror of the engine's staged
-    pii_counts, so overlapping cross-type spans are never double-counted."""
+    pii_counts (operators/pii.py): the placeholder-occurrence DELTA across
+    each redaction stage, so the regex engine runs once per pattern and
+    overlapping cross-type spans are never double-counted."""
     from .operators.pii import PII_PATTERNS
+
+    def occ(expr: str, token: str) -> str:
+        return (
+            f"(length({expr}) - length(replace({expr}, '{token}', '')))"
+            f" // {len(token)}"
+        )
 
     out, staged = [], "text"
     for name, pat in PII_PATTERNS.items():
-        out.append((name, f"len(regexp_extract_all({staged}, '{pat}'))"))
-        staged = f"regexp_replace({staged}, '{pat}', '[{name.upper()}]', 'g')"
+        token = f"[{name.upper()}]"
+        before = occ(staged, token)
+        staged = f"regexp_replace({staged}, '{pat}', '{token}', 'g')"
+        out.append((name, f"CAST({occ(staged, token)} - {before} AS INT)"))
     return out
 
 
@@ -3891,11 +3906,12 @@ SQL_PII_SCAN = _sql_pii_scan()
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import pii as PII
 
-    docs = _pii_planted(t(spark, sf_dir, "documents"))
+    # input-side sort for the same single-regex-pass reason as q_pii_scan
+    docs = _pii_planted(t(spark, sf_dir, "documents").orderBy("doc_id"))
     out = PII.pii_redact(docs)
     return out.select(
         "doc_id", F.md5(F.col("redacted")).alias("redacted_md5"), "n_redactions"
-    ).orderBy("doc_id")
+    )
 
 
 def _sql_pii_redact() -> str:
