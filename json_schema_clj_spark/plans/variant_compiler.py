@@ -19,9 +19,12 @@ Parity notes / scope:
   casts under a type guard (json-compare semantics); non-scalar members
   raise :class:`ColumnBackendUnsupported` (engine falls back to the
   Python backend).
-* ``uniqueItems`` canonicalizes elements via ``to_json`` — objects that
-  differ only in key order are not detected as duplicates (documented
-  divergence; the Python backend is exact).
+* ``uniqueItems`` canonicalizes elements via type tag + ``to_json``: the
+  variant binary encoding stores object fields in canonical (sorted key)
+  order, so ``to_json`` prints key-order-permuted objects identically at
+  every nesting depth and duplicates differing only in key order ARE
+  detected — Clojure ``=`` map semantics, pinned by
+  tests/test_variant_backend.py::test_unique_items_object_key_order.
 * ``$data`` and unbounded ``$ref`` recursion → unsupported (fallback).
 """
 

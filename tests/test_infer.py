@@ -188,6 +188,67 @@ def test_fd_candidates_approx_agrees(spark):
     assert not approx[("a", "c")] and not approx[("c", "a")]
 
 
+def test_fd_and_keys_hll_path_matches_exact(spark):
+    """The 10^12-row scale path (single-pass HLL aggregation) must agree
+    with exact mode on EVERY boolean verdict over a corpus whose
+    cardinality separations exceed the advisory tolerance band (3·rsd):
+    true FDs/keys have n_pair == n_lhs exactly, violated ones differ by
+    ≥2×, and non-keys cover <50% of rows — so a deterministic HLL++
+    estimate at the default rsd=0.05 cannot land on the wrong side.  This
+    is the driver-green exact mode oracling the HLL path the oracle rows
+    themselves never exercise."""
+    from json_schema_clj_spark.operators.infer import candidate_keys, fd_candidates
+
+    # 20k rows, 8 partitions (partial-aggregate merge path included):
+    # id unique; b = id%100 (bijective with c); e = coarse bucket of b;
+    # d two-valued — every separation is ≥2× or exact equality
+    df = spark.range(0, 20_000, 1, 8).selectExpr(
+        "id",
+        "id % 100 AS b",
+        "(id % 100) * 2 AS c",
+        "id % 2 AS d",
+        "(id % 100) DIV 10 AS e",
+    )
+
+    fd_exact = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_candidates(df, exact=True).collect()
+    }
+    fd_hll = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_candidates(df, exact=False).collect()
+    }
+    assert set(fd_exact) == set(fd_hll)
+    for pair, er in fd_exact.items():
+        hr = fd_hll[pair]
+        assert er["holds"] == hr["holds"], (pair, er, hr)
+        # the estimates themselves stay within the documented rsd band
+        assert abs(hr["n_lhs"] - er["n_lhs"]) <= 3 * 0.05 * er["n_lhs"] + 1
+        assert abs(hr["n_pair"] - er["n_pair"]) <= 3 * 0.05 * er["n_pair"] + 1
+    # ground truth spot checks so the corpus itself can't silently rot
+    assert fd_exact[("b", "c")]["holds"] and fd_exact[("c", "b")]["holds"]
+    assert fd_exact[("b", "e")]["holds"] and not fd_exact[("e", "b")]["holds"]
+    assert fd_exact[("id", "d")]["holds"] and not fd_exact[("d", "id")]["holds"]
+
+    ck_exact = {
+        r["key_cols"]: r
+        for r in candidate_keys(df, ["id", "b", "d"], max_width=2, exact=True).collect()
+    }
+    ck_hll = {
+        r["key_cols"]: r
+        for r in candidate_keys(df, ["id", "b", "d"], max_width=2, exact=False).collect()
+    }
+    assert set(ck_exact) == set(ck_hll)
+    for combo, er in ck_exact.items():
+        hr = ck_hll[combo]
+        assert er["is_key"] == hr["is_key"], (combo, er, hr)
+        assert er["minimal"] == hr["minimal"], (combo, er, hr)
+        assert abs(hr["n_distinct"] - er["n_distinct"]) <= 3 * 0.05 * er["n_distinct"] + 1
+    assert ck_exact["id"]["is_key"] and ck_exact["id"]["minimal"]
+    assert ck_exact["id,b"]["is_key"] and not ck_exact["id,b"]["minimal"]
+    assert not ck_exact["b,d"]["is_key"]  # 200 combos over 20k rows
+
+
 def test_profile_drift(spark):
     from json_schema_clj_spark.operators.infer import constraint_profile, profile_drift
 

@@ -122,3 +122,34 @@ def test_variant_malformed_json_is_row_violation_not_job_failure(spark):
     assert rows["b"]["valid"] is False
     assert [v["keyword"] for v in rows["b"]["violations"]] == ["$parse"]
     assert rows["c"]["valid"] is False  # not NULL — 3VL coalesced
+
+
+def test_unique_items_object_key_order(spark):
+    """Key-order-permuted duplicate objects ARE duplicates under Clojure
+    `=` map semantics (core.clj uniqueItems uses distinct?).  The variant
+    binary encoding stores object fields sorted, so the to_json canonical
+    form catches them at every nesting depth — this pins the variant path
+    against the exact Python backend on the cases the docstring used to
+    scope out, plus the numeric identity edges (1 vs 1.0, 0.0 vs -0.0)."""
+    schema = {"properties": {"arr": {"uniqueItems": True}}}
+    docs = [
+        {"arr": [{"a": 1, "b": 2}, {"b": 2, "a": 1}]},          # dup, reordered
+        {"arr": [{"a": 1, "b": 2}, {"a": 1, "b": 3}]},          # distinct
+        {"arr": [{"a": {"x": [{"p": 1, "q": 2}]}},              # nested reorder
+                 {"a": {"x": [{"q": 2, "p": 1}]}}]},
+        {"arr": [0.0, -0.0]},                                   # Clojure = equal
+        {"arr": [1, 1.0]},                                      # 1 != 1.0
+    ]
+    v = engine.compile(schema)
+    py = [not v(d)["errors"] for d in docs]
+    assert py == [False, True, False, False, True]  # ground truth
+    df = spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "data_json string"
+    )
+    var = [
+        r["valid"]
+        for r in engine.validate_json_column(
+            df, schema, force_backend="variant"
+        ).collect()
+    ]
+    assert var == py
