@@ -49,24 +49,32 @@ def bias_ref(schema, rng):
          branch under registry shadowing;
       2. wrap the whole schema one more `$ref` level through definitions.
     Both moves keep the schema resolvable on every backend; the fuzz's job
-    is only that all four backends agree.
+    is only that all four backends agree.  The moves are mutually
+    exclusive and pointer-safe: `#/definitions/...` pointers are absolute
+    (resolved from the document root), so hoisting is only valid when the
+    mutated schema stays the root, and re-wrapping a schema that already
+    carries top-level `definitions`/`$ref` either dangles its inner
+    pointers or — when the wrap name collides — builds a self-referential
+    $ref cycle that loops without consuming the document (a degenerate
+    broken schema every backend, including the reference, would die on).
     """
-    props = schema.get("properties")
-    if isinstance(props, dict) and props and rng.random() < 0.8:
-        col = rng.choice(sorted(props))
-        sub = props[col]
-        name = f"d_{col}"
-        schema.setdefault("definitions", {})[name] = sub
-        ptr = f"#/definitions/{name}"
-        if isinstance(sub, dict):
-            comb = next(
-                (k for k in ("anyOf", "allOf", "oneOf") if k in sub), None
-            )
-            if comb and rng.random() < 0.5:
-                ptr = f"{ptr}/{comb}"
-        props[col] = {"$ref": ptr}
-    if rng.random() < 0.4:
-        schema = {"definitions": {"root": schema}, "$ref": "#/definitions/root"}
+    if rng.random() < 0.7:
+        props = schema.get("properties")
+        if isinstance(props, dict) and props:
+            col = rng.choice(sorted(props))
+            sub = props[col]
+            name = f"d_{col}"
+            schema.setdefault("definitions", {})[name] = sub
+            ptr = f"#/definitions/{name}"
+            if isinstance(sub, dict):
+                comb = next(
+                    (k for k in ("anyOf", "allOf", "oneOf") if k in sub), None
+                )
+                if comb and rng.random() < 0.5:
+                    ptr = f"{ptr}/{comb}"
+            props[col] = {"$ref": ptr}
+    elif "definitions" not in schema and "$ref" not in schema:
+        schema = {"definitions": {"b5root": schema}, "$ref": "#/definitions/b5root"}
     return schema
 
 
