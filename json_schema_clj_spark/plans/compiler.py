@@ -316,6 +316,31 @@ def _scalar_lit(v):
     raise ColumnBackendUnsupported(f"non-scalar literal {v!r} needs the Python backend")
 
 
+def _lit_compatible(dtype, v) -> bool:
+    """Can a scalar JSON literal ever equal a value of this Spark type
+    under Clojure `=` on the typed-table surface?  Statically-incompatible
+    pairs (a string const against an array column, a number against a
+    boolean) must compile to a constant-false equality: Clojure `=` simply
+    answers false across JSON types (0 ≠ false, 1 ≠ true, "x" ≠ ["x"]),
+    while letting Spark coerce — or abort analysis with
+    DATATYPE_MISMATCH, as an eqNullSafe(array<string>, lit("x")) from a
+    registry-shadowed $ref does — diverges from the reference.  Unknown
+    dtype or a null literal defer to the runtime comparison."""
+    if dtype is None or v is None:
+        return True
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+        return False
+    if isinstance(v, bool):
+        return isinstance(dtype, T.BooleanType)
+    if isinstance(v, (int, float)):
+        return _is_numeric(dtype)
+    # strings also compare against the date/timestamp columns the typed
+    # surface stores temporal values in (coercion = ISO parse)
+    return isinstance(
+        dtype, (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)
+    )
+
+
 @register_keyword("enum")
 def _compile_enum(value, schema, target: Column, ctx: Ctx) -> Compiled:
     sev = ctx.severity("enum")
@@ -344,7 +369,11 @@ def _compile_enum(value, schema, target: Column, ctx: Ctx) -> Compiled:
         return simple_check(ok, ctx.schema_path, ctx.instance_path, "enum", "expected one of $data enum", sev)
     for v in value:
         _scalar_lit(v)  # reject non-scalar members (Python backend handles those)
-    ok = F.coalesce(target.isin(*value), F.lit(False)) if value else F.lit(False)
+    # drop members that can never equal the typed target (Clojure `=` is
+    # false across JSON types; keeping them would coerce — or abort
+    # analysis on complex-typed targets)
+    members = [v for v in value if v is not None and _lit_compatible(ctx.dtype, v)]
+    ok = F.coalesce(target.isin(*members), F.lit(False)) if members else F.lit(False)
     # null is in the enum iff None is a member
     if any(v is None for v in value):
         ok = ok | target.isNull()
@@ -357,15 +386,31 @@ def _compile_const(keyword: str):
         sev = ctx.severity(keyword)
         data = _maybe_data(value, ctx)
         if data is not None:
-            ref_col, _ = data
-            ok = target.eqNullSafe(ref_col)
+            ref_col, ref_dt = data
+            if (
+                ref_dt is not None
+                and ctx.dtype is not None
+                and ref_dt != ctx.dtype
+                and not (_is_numeric(ref_dt) and _is_numeric(ctx.dtype))
+            ):
+                # statically incompatible JSON types: Clojure `=` is false
+                # except null <=> null (the eqNullSafe null case), and the
+                # coerced comparison would be a plan-time DATATYPE_MISMATCH
+                ok = ref_col.isNull() & target.isNull()
+            else:
+                ok = target.eqNullSafe(ref_col)
             return simple_check(
                 ok, ctx.schema_path, ctx.instance_path, keyword,
                 F.concat(F.lit("expected "), F.coalesce(ref_col.cast("string"), F.lit("null")),
                          F.lit(", but "), F.coalesce(target.cast("string"), F.lit("null"))),
                 sev,
             )
-        ok = target.eqNullSafe(_scalar_lit(value))
+        if _lit_compatible(ctx.dtype, value):
+            ok = target.eqNullSafe(_scalar_lit(value))
+        else:
+            # cross-JSON-type const (e.g. a registry-shadowed $ref landing a
+            # scalar const on an array column): never equal under Clojure `=`
+            ok = F.lit(False)
         msg = F.concat(
             F.lit(f"expected {json.dumps(value) if not isinstance(value, str) else value}, but "),
             F.coalesce(target.cast("string"), F.lit("null")),

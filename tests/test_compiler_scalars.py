@@ -397,3 +397,40 @@ def test_format_bounds_unknown_guard_and_time_coercion(spark):
         "k string, s string", timed,
     )
     assert vm2 == {"a": True, "b": False, "c": True}
+
+
+def test_const_enum_cross_type_static_false(spark):
+    """Cross-JSON-type const/enum on a typed column is plain `false` under
+    Clojure `=` (0 ≠ false, "x" ≠ ["x"]) — the compiler must emit a
+    constant-false equality, not let Spark coerce (a boolean column would
+    cast "true" to true) or abort analysis (eqNullSafe against an
+    array<string> column is a DATATYPE_MISMATCH).  Found by the round-5
+    $ref-biased differential fuzz (seed 10000022): a registry-shadowed
+    $ref to a contains-bearing definition lands `const:"x"` directly on
+    the tags array column."""
+    # scalar const against an array column: analysis used to abort
+    arr_schema = {"properties": {"xs": {"const": "x"}}}
+    vm = _valid_map(
+        spark, [("a", ["x"]), ("b", None)], "k string, xs array<string>", arr_schema
+    )
+    assert vm == {"a": False, "b": True}  # null = missing property, passes
+    # string const against a boolean column: coercion would say true
+    bool_schema = {"properties": {"f": {"const": "true"}}}
+    vm2 = _valid_map(
+        spark, [("a", True), ("b", False)], "k string, f boolean", bool_schema
+    )
+    assert vm2 == {"a": False, "b": False}
+    # numeric const against a boolean column (Clojure 1 != true)
+    one_schema = {"properties": {"f": {"const": 1}}}
+    vm3 = _valid_map(spark, [("a", True)], "k string, f boolean", one_schema)
+    assert vm3 == {"a": False}
+    # enum keeps only type-compatible members; none left -> plain false
+    enum_schema = {"properties": {"xs": {"enum": ["x", 1]}}}
+    vm4 = _valid_map(
+        spark, [("a", ["x"])], "k string, xs array<string>", enum_schema
+    )
+    assert vm4 == {"a": False}
+    # mixed enum on a scalar column still honours the compatible members
+    mixed = {"properties": {"n": {"enum": ["x", 3]}}}
+    vm5 = _valid_map(spark, [("a", 3), ("b", 4)], "k string, n long", mixed)
+    assert vm5 == {"a": True, "b": False}
