@@ -236,6 +236,11 @@ def schema_from_profile(profile: DataFrame, enum_as_strings: bool = False) -> di
                 sub["enum"] = [int(v) for v in vals]
             elif jt == "number" and not enum_as_strings:
                 sub["enum"] = [float(v) for v in vals]
+            elif jt == "boolean" and not enum_as_strings:
+                # typed members: Clojure `=` never equates false with
+                # "false", so stringified members would reject the very
+                # data they were profiled from
+                sub["enum"] = [v == "true" for v in vals]
             else:
                 sub["enum"] = vals
         if r["required"]:

@@ -310,9 +310,23 @@ def _compile_type(value, schema, target: Column, ctx: Ctx) -> Compiled:
 # enum / const
 
 
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _i64_guard(v):
+    """py4j long literals are int64, so a beyond-int64 integer bound /
+    enum member / const cannot become a Column literal (Protocol.getLong
+    overflows).  Clojure integers are arbitrary precision — fall back to
+    the Python backend, which validates bignums exactly (official-suite
+    optional/bignum counterparts, tests/fixtures/*/bignum.json)."""
+    if isinstance(v, int) and not isinstance(v, bool) and not (_I64_MIN <= v <= _I64_MAX):
+        raise ColumnBackendUnsupported("integer literal beyond int64 needs the Python backend")
+    return v
+
+
 def _scalar_lit(v):
     if v is None or isinstance(v, (str, bool, int, float)):
-        return F.lit(v)
+        return F.lit(_i64_guard(v))
     raise ColumnBackendUnsupported(f"non-scalar literal {v!r} needs the Python backend")
 
 
@@ -499,7 +513,7 @@ def make_comparator(
             )
         if ctx.dtype is not None and not applicable_dtypes(ctx.dtype):
             return None  # non-applicable values pass (comparator ladder)
-        bound_col = F.lit(value)
+        bound_col = F.lit(_i64_guard(value))
         ok = F.when(target.isNull(), F.lit(True)).otherwise(cmp(bound_col))
         msg = F.concat(F.lit(f"expected{message} "), v.cast("string"), F.lit(f" {_op_sym(eff_op)} {value}"))
         return simple_check(ok, ctx.schema_path, ctx.instance_path, keyword, msg, sev)
@@ -647,7 +661,9 @@ def _compile_multiple_of(keyword: str):
             # backend's graceful contract (_is_divider: d == 0 -> False)
             ok = target == F.lit(0)
         elif _is_integral(ctx.dtype) and isinstance(value, int):
-            ok = (target == F.lit(0)) | (sign_ok & (F.pmod(target, F.lit(value)) == F.lit(0)))
+            ok = (target == F.lit(0)) | (
+                sign_ok & (F.pmod(target, F.lit(_i64_guard(value))) == F.lit(0))
+            )
         else:
             dec = target.cast(T.DecimalType(38, 10))
             bdec = F.lit(Decimal(str(value))).cast(T.DecimalType(38, 10))
@@ -1616,7 +1632,14 @@ def _resolve_schema_pointer(ref: str, root: dict):
         prev = seg
     if isinstance(node, list):
         if prev in _UNINDEXED_BRANCH_KEYS and node:
-            return node[0]  # first-registration-wins
+            # first-registration-wins — and registration is POST-ORDER
+            # (core.clj:160-180: validators are built, recursively
+            # registering subschemas, BEFORE the node itself registers), so
+            # a first branch carrying a parent-path keyword (if / switch /
+            # contains / propertyNames) is itself shadowed by that
+            # keyword's subschema at the branch pointer (fuzz seed
+            # 10000221: $ref #/.../anyOf where branch 0 has propertyNames)
+            return _registry_shadow(node[0])
         return None
     return _registry_shadow(node)
 

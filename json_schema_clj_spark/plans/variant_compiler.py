@@ -40,7 +40,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import formats
-from .compiler import ColumnBackendUnsupported, _op_sym, _resolve_schema_pointer
+from .compiler import (
+    ColumnBackendUnsupported,
+    _i64_guard,
+    _op_sym,
+    _resolve_schema_pointer,
+)
 from .ir import Compiled, Ctx, merge, simple_check, violation
 
 VARIANT_COMPILERS: dict[str, Callable] = {}
@@ -152,7 +157,7 @@ def scalar_eq(v: Column, member) -> Column:
     if isinstance(member, bool):
         return is_bool(v) & (as_bool(v) == F.lit(member))
     if isinstance(member, int):
-        return is_integer(v) & (as_long(v) == F.lit(member))
+        return is_integer(v) & (as_long(v) == F.lit(_i64_guard(member)))
     if isinstance(member, float):
         return (is_number(v) & ~is_integer(v)) & (as_double(v) == F.lit(member))
     if isinstance(member, str):
@@ -285,7 +290,7 @@ def _v_comparator(keyword: str, op: str, applicable, value_expr, bound_check, me
                 f"exclusive flag should be boolean, got {exclusive}", sev,
             )
         cv = value_expr(v)
-        b = F.lit(value)
+        b = F.lit(_i64_guard(value))
         cmpc = {"ge": cv >= b, "gt": cv > b, "le": cv <= b, "lt": cv < b}[eff_op]
         ok = F.when(~applicable(v) | v.isNull(), F.lit(True)).otherwise(cmpc)
         msg = F.concat(F.lit(f"expected{message} "), cv.cast("string"),

@@ -30,7 +30,7 @@ REPO = SH.REPO
 # code, so a new round starts its own file (the delta tool picks the
 # newest) rather than inheriting minima measured on superseded plans
 OUT = os.path.join(
-    REPO, "BENCH", os.environ.get("BENCH_CLEAN_FILE", "bench_clean_r4.json")
+    REPO, "BENCH", os.environ.get("BENCH_CLEAN_FILE", "bench_clean_r5.json")
 )
 
 
