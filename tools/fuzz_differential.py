@@ -14,7 +14,7 @@ Any disagreement is appended as one JSON line to BENCH/fuzz_findings.jsonl
 with the schema, doc, and per-backend verdicts — enough to replay as a
 fixture.  Exit code is the number of distinct disagreeing schemas.
 
-Usage: python tools/fuzz_differential.py [start_seed] [n_schemas] [bias]
+Usage: python tools/fuzz_differential.py [start_seed] [n_schemas] [bias: ref|data|refdata]
 
 `bias=ref` post-processes each random schema to push subschemas behind
 definitions + $ref, sometimes pointing the $ref INTO a combinator node
@@ -78,6 +78,26 @@ def bias_ref(schema, rng):
     return schema
 
 
+def bias_data(schema, rng):
+    """Rewrite scalar bounds/consts into `$data` relative pointers at
+    sibling columns — including TYPE-MISMATCHED targets (a const pointing
+    at the array column, an enum pointing at a scalar), which exercise
+    the compilers' static ref-dtype compatibility branches the plain
+    generator rarely reaches."""
+    props = schema.get("properties")
+    if isinstance(props, dict):
+        for col in sorted(props):
+            sub = props[col]
+            if isinstance(sub, dict) and rng.random() < 0.5:
+                for kw in ("minimum", "maximum", "const", "enum"):
+                    if kw in sub and not isinstance(sub[kw], dict):
+                        sub[kw] = {"$data": rng.choice(
+                            ["1/score", "1/age", "1/name", "1/flag", "1/tags"]
+                        )}
+                        break
+    return schema
+
+
 def main() -> int:
     start_seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     n_schemas = int(sys.argv[2]) if len(sys.argv) > 2 else 500
@@ -109,8 +129,10 @@ def main() -> int:
     for si in range(start_seed, start_seed + n_schemas):
         rng = random.Random(si)
         schema = rand_schema(rng)
-        if bias == "ref":
+        if bias in ("ref", "refdata"):
             schema = bias_ref(schema, rng)
+        if bias in ("data", "refdata"):
+            schema = bias_data(schema, rng)
         rows = [rand_row(rng) for _ in range(n_rows)]
         docs = [row_to_doc(r) for r in rows]
 
