@@ -929,10 +929,15 @@ def minhash_md5_near_duplicates(
     xxhash64 fast path in :func:`lsh_near_duplicates`).
 
     Candidate pair iff some band's min agrees (classic r=1 banding);
-    ``sim`` = agreement fraction across the `bands` mins — an unbiased
-    Jaccard estimate.  Plan shape: shingle explode → `bands`-way MIN hash
-    agg (map-side partial mins compress the shuffle to |docs| rows) →
-    bucket self-join on (band, min) → signature-agreement verify.
+    ``sim`` = agreeing-band fraction, counted directly from the bucket
+    self-join (one join row per agreeing band), so no signature joinback
+    exists in the plan.  With an inert hot-bucket guard this equals the
+    full-signature agreement rate (an unbiased Jaccard estimate); under
+    an ACTIVE guard, hot-dropped bands can't contribute, so sim is
+    conservatively LOWER for pairs whose agreement lived in hot buckets.
+    Plan shape: shingle explode → `bands`-way MIN hash agg (map-side
+    partial mins compress the shuffle to |docs| rows) → narrow
+    (id, band, bh) bucket self-join → per-pair band count.
     """
     ex = df.select(
         F.col(id_col).alias("id"),
@@ -953,7 +958,7 @@ def minhash_md5_near_duplicates(
     # carrying the full `bands`-element sig through the explode, the guard
     # count and BOTH sides of the self-join shuffled the wide payload
     # bands× redundantly (the 1.61× clean-floor regression when the guard
-    # landed).  Signatures join back on the candidate pairs only.
+    # landed).  No joinback at all: sim is the per-pair band count below.
     buckets = sigs.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )

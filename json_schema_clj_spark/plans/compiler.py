@@ -330,6 +330,38 @@ def _scalar_lit(v):
     raise ColumnBackendUnsupported(f"non-scalar literal {v!r} needs the Python backend")
 
 
+_STRINGISH = (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _dtype_compatible(a, b) -> bool:
+    """Can values of these two Spark types ever be Clojure-`=` equal
+    beyond the null <=> null case, on the typed-table surface?  Same
+    families as :func:`_lit_compatible` (numeric<->numeric,
+    string<->string/temporal, boolean<->boolean), compared family-wise so
+    nullability/metadata differences between otherwise-equal types don't
+    trigger the static-false branch.  Unknown types defer to the runtime
+    comparison; arrays are handled by the caller (empty arrays of any
+    element type are Clojure-equal)."""
+    if a is None or b is None:
+        return True
+    if _is_numeric(a) and _is_numeric(b):
+        return True
+    if isinstance(a, _STRINGISH) and isinstance(b, _STRINGISH):
+        return True
+    if isinstance(a, T.BooleanType) and isinstance(b, T.BooleanType):
+        return True
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return _dtype_compatible(a.elementType, b.elementType)
+    if isinstance(a, T.StructType) or isinstance(b, T.StructType):
+        # struct-vs-struct: only exact same shape compares at runtime;
+        # the {}-=={}-via-all-null-fields conflation is accepted as part
+        # of the typed surface (absent/null conflation, module docstring)
+        return a == b
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        return _dtype_compatible(a.valueType, b.valueType)
+    return False
+
+
 def _lit_compatible(dtype, v) -> bool:
     """Can a scalar JSON literal ever equal a value of this Spark type
     under Clojure `=` on the typed-table surface?  Statically-incompatible
@@ -363,14 +395,13 @@ def _compile_enum(value, schema, target: Column, ctx: Ctx) -> Compiled:
         ref_col, ref_dt = data
         if ref_dt is not None and not isinstance(ref_dt, T.ArrayType):
             return _const_fail(ctx, "enum", f"could not enum by {value['$data']}")
-        if (
-            isinstance(ref_dt, T.ArrayType)
-            and ctx.dtype is not None
-            and ref_dt.elementType != ctx.dtype
-            and not (_is_numeric(ref_dt.elementType) and _is_numeric(ctx.dtype))
+        if isinstance(ref_dt, T.ArrayType) and not _dtype_compatible(
+            ref_dt.elementType, ctx.dtype
         ):
             # statically incompatible JSON types are never enum members —
             # array_contains would be a plan-time DATATYPE_MISMATCH abort
+            # (family-wise compat, so string enums still admit temporal
+            # targets and nullability metadata never triggers this branch)
             ok = F.when(ref_col.isNull(), F.lit(True)).otherwise(F.lit(False))
         else:
             ok = F.when(ref_col.isNull(), F.lit(True)).otherwise(
@@ -401,16 +432,18 @@ def _compile_const(keyword: str):
         data = _maybe_data(value, ctx)
         if data is not None:
             ref_col, ref_dt = data
-            if (
-                ref_dt is not None
-                and ctx.dtype is not None
-                and ref_dt != ctx.dtype
-                and not (_is_numeric(ref_dt) and _is_numeric(ctx.dtype))
-            ):
+            if not _dtype_compatible(ref_dt, ctx.dtype):
                 # statically incompatible JSON types: Clojure `=` is false
-                # except null <=> null (the eqNullSafe null case), and the
-                # coerced comparison would be a plan-time DATATYPE_MISMATCH
+                # except null <=> null (the eqNullSafe null case) — and,
+                # when both sides are arrays, the empty <=> empty case
+                # ([] = [] regardless of element type); the coerced
+                # comparison would be a plan-time DATATYPE_MISMATCH
                 ok = ref_col.isNull() & target.isNull()
+                if isinstance(ref_dt, T.ArrayType) and isinstance(ctx.dtype, T.ArrayType):
+                    ok = ok | (
+                        ref_col.isNotNull() & target.isNotNull()
+                        & (F.size(ref_col) == 0) & (F.size(target) == 0)
+                    )
             else:
                 ok = target.eqNullSafe(ref_col)
             return simple_check(
@@ -665,6 +698,13 @@ def _compile_multiple_of(keyword: str):
                 sign_ok & (F.pmod(target, F.lit(_i64_guard(value))) == F.lit(0))
             )
         else:
+            if abs(value) >= 10**28:
+                # DecimalType(38,10) holds 28 integral digits; a wider
+                # bound would overflow to null/ANSI-error instead of the
+                # reference's exact rational — fall back
+                raise ColumnBackendUnsupported(
+                    "multipleOf bound beyond 28 digits needs the Python backend"
+                )
             dec = target.cast(T.DecimalType(38, 10))
             bdec = F.lit(Decimal(str(value))).cast(T.DecimalType(38, 10))
             ok = (target == F.lit(0)) | (sign_ok & (dec % bdec == F.lit(0)))
@@ -1133,7 +1173,8 @@ def _props_count_comparator(keyword: str, op: str):
         else:
             if not _is_number_py(value):
                 return None
-            cmpc = (cnt <= F.lit(value)) if op == "le" else (cnt >= F.lit(value))
+            bound = F.lit(_i64_guard(value))
+            cmpc = (cnt <= bound) if op == "le" else (cnt >= bound)
             ok = F.when(target.isNull(), F.lit(True)).otherwise(cmpc)
         msg = F.concat(F.lit(f"expected number of properties "), cnt.cast("string"),
                        F.lit(f" {_op_sym(op)} {value if data is None else '$data'}"))
@@ -1160,12 +1201,12 @@ def _compile_pattern_groups(value, schema, target: Column, ctx: Ctx) -> Optional
         out = []
         if mn is not None:
             out.append(simple_check(
-                cnt >= F.lit(mn), ctx.schema_path, ctx.instance_path, "patternGroups",
+                cnt >= F.lit(_i64_guard(mn)), ctx.schema_path, ctx.instance_path, "patternGroups",
                 F.concat(F.lit("patternGroup expects number of matched props "),
                          cnt.cast("string"), F.lit(f" > {mn}")), sev))
         if mx is not None:
             out.append(simple_check(
-                cnt <= F.lit(mx), ctx.schema_path, ctx.instance_path, "patternGroups",
+                cnt <= F.lit(_i64_guard(mx)), ctx.schema_path, ctx.instance_path, "patternGroups",
                 F.concat(F.lit("patternGroup expects number of matched props "),
                          cnt.cast("string"), F.lit(f" < {mx}")), sev))
         return out
@@ -1639,8 +1680,24 @@ def _resolve_schema_pointer(ref: str, root: dict):
             # contains / propertyNames) is itself shadowed by that
             # keyword's subschema at the branch pointer (fuzz seed
             # 10000221: $ref #/.../anyOf where branch 0 has propertyNames)
+            if prev == "type":
+                # type-union string entries never compile-schema (core.clj:
+                # 356 dispatches them through schema-type), so only the
+                # first NON-string entry registers; an all-string union
+                # leaves the pointer unresolvable
+                first = next((b for b in node if not isinstance(b, str)), None)
+                return _registry_shadow(first) if first is not None else None
+            if prev == "disallow" and isinstance(node[0], str):
+                # draft-3 disallow registers string entries as their
+                # converted {:type s} map (core.clj:768)
+                return {"type": node[0]}
             return _registry_shadow(node[0])
         return None
+    if prev == "disallow" and isinstance(node, str):
+        # single string form: compiled (and registered) as {:type s}
+        return {"type": node}
+    if prev == "type" and isinstance(node, str):
+        return None  # schema-type strings never register
     return _registry_shadow(node)
 
 

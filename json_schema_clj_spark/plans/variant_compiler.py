@@ -380,6 +380,12 @@ def _v_multiple(kw, verb):
         if not _is_num_py(value):
             return None
         sev = ctx.severity(kw)
+        if abs(value) >= 10**28:
+            # DecimalType(38,10) holds 28 integral digits (see the struct
+            # compiler's multipleOf guard)
+            raise ColumnBackendUnsupported(
+                f"{kw} bound beyond 28 digits on the variant backend"
+            )
         dec = as_decimal(v)
         bdec = F.lit(Decimal(str(value))).cast(T.DecimalType(38, 10))
         sign_ok = (dec >= 0) if value >= 0 else (dec <= 0)
