@@ -394,7 +394,16 @@ def _compile_enum(value, schema, target: Column, ctx: Ctx) -> Compiled:
     if data is not None:
         ref_col, ref_dt = data
         if ref_dt is not None and not isinstance(ref_dt, T.ArrayType):
-            return _const_fail(ctx, "enum", f"could not enum by {value['$data']}")
+            # non-sequential $data target: a NIL ref passes BEFORE the
+            # could-not-enum error fires (core.clj:487-489 — same cond
+            # order as the comparator's null-runtime-bound pass); only a
+            # present non-array value is the broken-enum error
+            return simple_check(
+                ref_col.isNull(), ctx.schema_path, ctx.instance_path, "enum",
+                F.concat(F.lit("could not enum by "),
+                         F.coalesce(ref_col.cast("string"), F.lit("null"))),
+                sev,
+            )
         if isinstance(ref_dt, T.ArrayType) and not _dtype_compatible(
             ref_dt.elementType, ctx.dtype
         ):

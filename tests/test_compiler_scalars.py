@@ -434,3 +434,20 @@ def test_const_enum_cross_type_static_false(spark):
     mixed = {"properties": {"n": {"enum": ["x", 3]}}}
     vm5 = _valid_map(spark, [("a", 3), ("b", 4)], "k string, n long", mixed)
     assert vm5 == {"a": True, "b": False}
+
+
+def test_enum_data_nil_ref_passes_before_broken_enum(spark):
+    """enum with a $data pointer at a NON-array sibling: a nil ref passes
+    BEFORE the could-not-enum error fires (core.clj:487-489 cond order);
+    only a PRESENT non-sequential value is the broken-enum error.  Found
+    by the round-5 refdata-biased differential fuzz (seeds 20001008,
+    20001255): the Column backend emitted a static constant-false for the
+    whole shape, failing rows whose ref was missing."""
+    schema = {"properties": {"name": {"enum": {"$data": "1/score"}}}}
+    vm = _valid_map(
+        spark,
+        [("a", "x", None), ("b", "x", 1.5)],
+        "k string, name string, score double",
+        schema,
+    )
+    assert vm == {"a": True, "b": False}
